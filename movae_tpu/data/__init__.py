@@ -1,0 +1,312 @@
+"""Data layer: datasets + host-side batch pipeline.
+
+Mirrors the reference's dataset surface (/root/reference/utils/utils.py:144-426):
+cifar10/cifar100 (32px), imagenet (256px, HF), celeba (64px: center-crop 148
+-> bicubic resize), celeba-128, celeba-hq (HF 256px), oxford-flower-102
+(random-resized-crop 0.7-1.0), afhq/animal-face — train augmentation is a
+random horizontal flip, optional Normalize(0.5, 0.5) to [-1, 1].
+
+TPU-native differences from the reference:
+  * torch-free: decoding/augment is numpy/PIL; batches are NHWC float32.
+  * static batch shapes for jit: the loader pads the final partial batch by
+    wrapping (and reports ``n_valid``) instead of emitting a ragged batch.
+  * augmentation randomness is seeded (numpy Generator), not global torch.
+  * ``synthetic[-<size>[-<n>]]`` datasets provide deterministic fake data for
+    tests/benchmarks (this build environment has no network egress).
+
+HF-backed datasets (imagenet, celeba-hq, flowers, afhq) load from the local
+HF cache; downloads are attempted only if the environment allows them.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+class ArrayDataset:
+    """In-memory dataset of uint8 HWC images with lazy per-batch transforms."""
+
+    def __init__(self, images: Array, labels: Optional[Array] = None,
+                 flip: bool = False, normalize: bool = False,
+                 random_resized_crop: Optional[Tuple[int, float, float]] = None):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = (labels if labels is not None
+                       else np.zeros((len(images),), np.int64))
+        self.flip = flip
+        self.normalize = normalize
+        self.random_resized_crop = random_resized_crop
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def input_size(self) -> int:
+        return self.images.shape[1]
+
+    def get_batch(self, idx: Array, rng: Optional[np.random.Generator] = None
+                  ) -> Tuple[Array, Array]:
+        imgs = self.images[idx].astype(np.float32) / 255.0
+        if self.random_resized_crop is not None and rng is not None:
+            imgs = _batch_random_resized_crop(
+                self.images[idx], rng, *self.random_resized_crop
+            ).astype(np.float32) / 255.0
+        if self.flip and rng is not None:
+            mask = rng.random(len(idx)) < 0.5
+            imgs[mask] = imgs[mask, :, ::-1, :]
+        if self.normalize:
+            imgs = (imgs - 0.5) / 0.5
+        return imgs, self.labels[idx]
+
+
+def _batch_random_resized_crop(imgs_u8, rng, out_size, scale_lo, scale_hi):
+    """RandomResizedCrop (bicubic) per image via PIL (flowers transform,
+    utils.py:372-382)."""
+    from PIL import Image
+
+    out = np.empty((len(imgs_u8), out_size, out_size, imgs_u8.shape[-1]),
+                   np.uint8)
+    for i, im in enumerate(imgs_u8):
+        h, w = im.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target = area * rng.uniform(scale_lo, scale_hi)
+            ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target * ar)))
+            ch = int(round(np.sqrt(target / ar)))
+            if cw <= w and ch <= h:
+                x0 = rng.integers(0, w - cw + 1)
+                y0 = rng.integers(0, h - ch + 1)
+                crop = im[y0:y0 + ch, x0:x0 + cw]
+                break
+        else:
+            crop = im
+        out[i] = np.asarray(Image.fromarray(crop).resize(
+            (out_size, out_size), Image.BICUBIC))
+    return out
+
+
+class Loader:
+    """Static-shape batch iterator (the DataLoader replacement,
+    reference main.py:1140-1157)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[Array, Array, int]]:
+        """Yields (images, labels, n_valid); the final batch is padded by
+        wrapping to keep shapes static."""
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        self.epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                if self.drop_last:
+                    return
+                pad = order[: bs - n_valid]
+                idx = np.concatenate([idx, pad])
+            imgs, labels = self.dataset.get_batch(idx, rng)
+            yield imgs, labels, n_valid
+
+
+# ---------------------------------------------------------------------------
+# Dataset builders
+# ---------------------------------------------------------------------------
+
+def _load_cifar10(data_dir: str):
+    root = os.path.join(data_dir, "cifar-10-batches-py")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"CIFAR-10 not found at {root}. This environment cannot download; "
+            "place the standard python-pickle batches there, or use dataset "
+            "'synthetic-32' for smoke runs.")
+
+    def load(names):
+        xs, ys = [], []
+        for name in names:
+            with open(os.path.join(root, name), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(np.asarray(d[b"labels"], np.int64))
+        x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return np.ascontiguousarray(x), np.concatenate(ys)
+
+    train = load([f"data_batch_{i}" for i in range(1, 6)])
+    test = load(["test_batch"])
+    return train, test
+
+
+def _load_cifar100(data_dir: str):
+    root = os.path.join(data_dir, "cifar-100-python")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"CIFAR-100 not found at {root}; use 'synthetic-32' for smoke runs.")
+
+    def load(name):
+        with open(os.path.join(root, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return np.ascontiguousarray(x), np.asarray(d[b"fine_labels"], np.int64)
+
+    return load("train"), load("test")
+
+
+def _synthetic(size: int, n: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    # structured fake images (smooth gradients + noise) so recon losses are
+    # non-degenerate
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base = np.stack([xx, yy, 0.5 * (xx + yy)], -1)[None]
+    imgs = (base * 255 * rng.uniform(0.3, 1.0, (n, 1, 1, 3))
+            + rng.normal(0, 20, (n, size, size, 3)))
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    return np.clip(imgs, 0, 255).astype(np.uint8), labels
+
+
+def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
+               center_crop: Optional[int] = None, limit: Optional[int] = None):
+    """Materialize an HF image dataset split into a uint8 array
+    (HFImageDataset equivalent, utils.py:122-142)."""
+    from datasets import load_dataset
+    from PIL import Image
+
+    ds = load_dataset(repo, split=split)
+    n = len(ds) if limit is None else min(limit, len(ds))
+    key = "image" if "image" in ds.column_names else ds.column_names[0]
+    out = None
+    labels = np.zeros((n,), np.int64)
+    for i in range(n):
+        im = ds[i][key]
+        if not isinstance(im, Image.Image):
+            im = Image.fromarray(np.asarray(im))
+        im = im.convert("RGB")
+        if center_crop:
+            w, h = im.size
+            left, top = (w - center_crop) // 2, (h - center_crop) // 2
+            im = im.crop((left, top, left + center_crop, top + center_crop))
+        if out_size and im.size != (out_size, out_size):
+            im = im.resize((out_size, out_size), Image.BICUBIC)
+        arr = np.asarray(im, np.uint8)
+        if out is None:
+            out = np.empty((n,) + arr.shape, np.uint8)
+        out[i] = arr
+        if "label" in ds.column_names:
+            labels[i] = ds[i]["label"]
+    return out, labels
+
+
+def get_dataset(dataset_name: str, data_dir: str = "./data",
+                normalize: bool = False):
+    """Return (train_dataset, test_dataset, input_size) — the reference
+    contract (utils.py:144-426)."""
+    name = dataset_name.lower()
+
+    if name.startswith("synthetic") or name.startswith("fake"):
+        parts = name.split("-")
+        size = int(parts[1]) if len(parts) > 1 else 32
+        n = int(parts[2]) if len(parts) > 2 else 512
+        imgs, labels = _synthetic(size, n)
+        timgs, tlabels = _synthetic(size, max(n // 4, 8), seed=1)
+        return (ArrayDataset(imgs, labels, flip=True, normalize=normalize),
+                ArrayDataset(timgs, tlabels, normalize=normalize), size)
+
+    if name == "cifar10":
+        (xtr, ytr), (xte, yte) = _load_cifar10(data_dir)
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
+                ArrayDataset(xte, yte, normalize=normalize), 32)
+
+    if name == "cifar100":
+        (xtr, ytr), (xte, yte) = _load_cifar100(data_dir)
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
+                ArrayDataset(xte, yte, normalize=normalize), 32)
+
+    if name == "imagenet":
+        xtr, ytr = _hf_images("benjamin-paine/imagenet-1k-256x256", "train")
+        xte, yte = _hf_images("benjamin-paine/imagenet-1k-256x256", "test")
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
+                ArrayDataset(xte, yte, normalize=normalize), 256)
+
+    if name in ("celeba", "celeba-128"):
+        input_size = 64 if name == "celeba" else 128
+        crop = 148 if name == "celeba" else 178
+        xtr, ytr = _load_celeba_folder(data_dir, "train", crop, input_size)
+        xte, yte = _load_celeba_folder(data_dir, "test", crop, input_size)
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
+                ArrayDataset(xte, yte, normalize=normalize), input_size)
+
+    if name == "celeba-hq":
+        xtr, ytr = _hf_images("korexyz/celeba-hq-256x256", "train")
+        xte, yte = _hf_images("korexyz/celeba-hq-256x256", "validation")
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
+                ArrayDataset(xte, yte, normalize=normalize), 256)
+
+    if name == "oxford-flower-102":
+        xtr, ytr = _hf_images("Donghyun99/Oxford-Flower-102", "train",
+                              out_size=300)
+        xva, yva = _hf_images("Donghyun99/Oxford-Flower-102", "validation",
+                              out_size=300)
+        xte, yte = _hf_images("Donghyun99/Oxford-Flower-102", "test",
+                              out_size=256, center_crop=None)
+        xtr = np.concatenate([xtr, xva])
+        ytr = np.concatenate([ytr, yva])
+        return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize,
+                             random_resized_crop=(256, 0.7, 1.0)),
+                ArrayDataset(xte, yte, normalize=normalize), 256)
+
+    if name in ("animal-face", "afhq"):
+        x, y = _hf_images("huggan/AFHQ", "train", out_size=256)
+        return (ArrayDataset(x, y, flip=True, normalize=normalize),
+                ArrayDataset(x.copy(), y.copy(), normalize=normalize), 256)
+
+    raise ValueError(f"Dataset {dataset_name} not supported")
+
+
+def _load_celeba_folder(data_dir: str, split: str, crop: int, out: int):
+    """CelebA from the standard torchvision folder layout (img_align_celeba +
+    list_eval_partition.txt); center-crop + bicubic resize at load
+    (utils.py:264-275)."""
+    from PIL import Image
+
+    img_dir = os.path.join(data_dir, "celeba", "img_align_celeba")
+    part_file = os.path.join(data_dir, "celeba", "list_eval_partition.txt")
+    if not os.path.isdir(img_dir):
+        raise FileNotFoundError(
+            f"CelebA not found under {img_dir}; use 'synthetic-64' for smoke "
+            "runs.")
+    split_id = {"train": 0, "valid": 1, "test": 2}[split]
+    names = []
+    with open(part_file) as f:
+        for line in f:
+            fname, sid = line.split()
+            if int(sid) == split_id:
+                names.append(fname)
+    imgs = np.empty((len(names), out, out, 3), np.uint8)
+    for i, fname in enumerate(names):
+        im = Image.open(os.path.join(img_dir, fname)).convert("RGB")
+        w, h = im.size
+        left, top = (w - crop) // 2, (h - crop) // 2
+        im = im.crop((left, top, left + crop, top + crop))
+        imgs[i] = np.asarray(im.resize((out, out), Image.BICUBIC), np.uint8)
+    return imgs, np.zeros((len(names),), np.int64)

@@ -1,0 +1,293 @@
+"""Model registry: arch name -> Flax module, with the reference's default
+lambda-weight policy (/root/reference/models/__init__.py:18-211), including
+the kld-weight override to batch_size/dataset_size for VAE-family models
+(models/__init__.py:50-55, 192-197).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from movae_tpu.models.base import MOVAEModel, resolve_lambda_weights
+from movae_tpu.models.vae import VAE
+
+__all__ = ["VAE", "get_network", "init_model", "MOVAEModel"]
+
+
+def _get(args, name, default=None):
+    if args is None:
+        return default
+    if isinstance(args, Mapping):
+        return args.get(name, default)
+    return getattr(args, name, default)
+
+
+def _weights(lambda_weights, names, defaults, kld_key=None, kld_value=None):
+    """Normalize user weights; force the KL-type weight to batch/dataset size
+    as the reference registry does."""
+    if isinstance(lambda_weights, Mapping):
+        lw = dict(lambda_weights)
+        if kld_key is not None:
+            lw[kld_key] = kld_value
+        return resolve_lambda_weights(names, lw, defaults)
+    if lambda_weights is None:
+        d = dict(defaults)
+        if kld_key is not None:
+            d[kld_key] = kld_value
+        return resolve_lambda_weights(names, None, d)
+    # list form: positional per objective; kld slot overridden
+    lw = list(lambda_weights)
+    items = dict(zip(names, lw))
+    if kld_key is not None:
+        items[kld_key] = kld_value
+    return resolve_lambda_weights(names, items, defaults)
+
+
+def get_network(input_size: int, num_channels: int = 3, args: Any = None
+                ) -> MOVAEModel:
+    """Build a model module from an args namespace/dict (reference
+    models/__init__.py:18-211). The returned module is unbound; initialize
+    with :func:`init_model`."""
+    arch = (_get(args, "arch", "vae") or "vae").lower()
+    latent_dim = _get(args, "latent_dim", 128)
+    embedding_dim = _get(args, "embedding_dim", 64) or 64
+    num_embeddings = _get(args, "num_embeddings", 512) or 512
+    hidden_dims = tuple(_get(args, "hidden_dims", (32, 64, 128, 256, 512)))
+    num_residual_layers = _get(args, "num_residual_layers", 2)
+    layer_norm = _get(args, "layer_norm", "batch")
+    recons_objective = (_get(args, "recons_objective", None)
+                        or _get(args, "recons_obj", None) or "mse").lower()
+    recons_activation = _get(args, "recons_activation", None)
+    lambda_weights = (_get(args, "loss_weights", None)
+                      or _get(args, "lambda_weights", None))
+    anneal_steps = _get(args, "anneal_steps", 200) or 200
+    dataset_size = _get(args, "dataset_size", 50000)
+    batch_size = _get(args, "batch_size", 128)
+    kld_w = batch_size / dataset_size
+    dtype = _get(args, "compute_dtype", jnp.float32)
+    if isinstance(dtype, str):
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+
+    if recons_activation is None:
+        recons_activation = "sigmoid" if recons_objective == "bce" else "tanh"
+
+    if arch == "vae":
+        names = ("reconstruction_loss", "kld_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "kld_loss": kld_w},
+                      "kld_loss", kld_w)
+        return VAE(latent_dim=latent_dim, hidden_dims=hidden_dims,
+                   input_size=input_size, in_channels=num_channels,
+                   layer_norm=layer_norm, recons_objective=recons_objective,
+                   recons_activation=recons_activation, lambda_weights=lw,
+                   dtype=dtype)
+
+    if arch in ("recursive_kl_vae",):
+        from movae_tpu.models.recursive_kl_vae import RecursiveKLVAE
+        names = ("reconstruction_loss", "recursive_kld_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "recursive_kld_loss": kld_w},
+                      "recursive_kld_loss", kld_w)
+        return RecursiveKLVAE(
+            latent_dim=latent_dim, hidden_dims=hidden_dims,
+            input_size=input_size, in_channels=num_channels,
+            layer_norm=layer_norm, recons_objective=recons_objective,
+            recons_activation=recons_activation, lambda_weights=lw,
+            recursive_kld_anneal_steps=_get(args, "recursive_kld_anneal_steps",
+                                            25000),
+            dtype=dtype)
+
+    if arch in ("cycle_vae",):
+        from movae_tpu.models.cycle_vae import CycleVAE
+        names = ("reconstruction_loss", "cycle_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "cycle_loss": kld_w})
+        return CycleVAE(latent_dim=latent_dim, hidden_dims=hidden_dims,
+                        input_size=input_size, in_channels=num_channels,
+                        layer_norm=layer_norm,
+                        recons_objective=recons_objective,
+                        recons_activation=recons_activation,
+                        lambda_weights=lw, dtype=dtype)
+
+    if arch in ("recursive_cyclic_vae", "rc_vae"):
+        from movae_tpu.models.recursive_cyclic_vae import RecursiveCyclicVAE
+        names = ("reconstruction_loss", "recursive_kld_loss", "cycle_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0,
+                       "recursive_kld_loss": kld_w, "cycle_loss": kld_w},
+                      "recursive_kld_loss", kld_w)
+        return RecursiveCyclicVAE(
+            latent_dim=latent_dim, hidden_dims=hidden_dims,
+            input_size=input_size, in_channels=num_channels,
+            layer_norm=layer_norm, recons_objective=recons_objective,
+            recons_activation=recons_activation, lambda_weights=lw,
+            recursive_kld_anneal_steps=_get(args, "recursive_kld_anneal_steps",
+                                            25000),
+            dtype=dtype)
+
+    if arch in ("betatc_vae", "btc_vae"):
+        from movae_tpu.models.betatc_vae import BetaTCVAE
+        names = ("reconstruction_loss", "mi_loss", "tc_loss", "kld")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "mi_loss": 1.0,
+                       "tc_loss": 1.0, "kld": kld_w}, "kld", kld_w)
+        return BetaTCVAE(latent_dim=latent_dim, hidden_dims=hidden_dims,
+                         input_size=input_size, in_channels=num_channels,
+                         anneal_steps=anneal_steps, dataset_size=dataset_size,
+                         recons_objective=recons_objective,
+                         recons_activation=recons_activation,
+                         lambda_weights=lw, dtype=dtype)
+
+    if arch in ("gg_vae", "gg_vae_v2", "gg_vae_v3", "gg_vae_v5", "gg_vae_v6"):
+        from movae_tpu.models.gg_vae import GGVAE
+        version = 1 if arch == "gg_vae" else int(arch.rsplit("v", 1)[-1])
+        names = ("reconstruction_loss", "kld_loss", "gradient_guided_loss",
+                 "edge_matching_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "kld_loss": kld_w,
+                       "gradient_guided_loss": 1.0,
+                       "edge_matching_loss": 1.0}, "kld_loss", kld_w)
+        return GGVAE(latent_dim=latent_dim, hidden_dims=hidden_dims,
+                     input_size=input_size, in_channels=num_channels,
+                     layer_norm=layer_norm, recons_objective=recons_objective,
+                     recons_activation=recons_activation, lambda_weights=lw,
+                     edge_matching_version=version, dtype=dtype)
+
+    if arch == "vq_vae":
+        from movae_tpu.models.vq_vae import VQVAE
+        names = ("reconstruction_loss", "embedding_loss", "commitment_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "embedding_loss": 1.0,
+                       "commitment_loss": 0.25})
+        return VQVAE(embedding_dim=embedding_dim,
+                     num_embeddings=num_embeddings,
+                     hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
+                     else (128, 256),
+                     num_residual_layers=num_residual_layers,
+                     input_size=input_size, in_channels=num_channels,
+                     recons_objective=recons_objective,
+                     recons_activation=recons_activation, lambda_weights=lw,
+                     dtype=dtype)
+
+    if arch.startswith("gg_vq_vae2") or arch == "gg_vq_vae2":
+        from movae_tpu.models.gg_vq_vae2 import GGVQVAE2
+        names = ("reconstruction_loss", "commitment_loss", "embedding_loss",
+                 "gradient_guided_loss", "edge_matching_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
+                       "embedding_loss": 0.25, "gradient_guided_loss": 1.0,
+                       "edge_matching_loss": 1.0})
+        return GGVQVAE2(embedding_dim=embedding_dim,
+                        num_embeddings=num_embeddings,
+                        hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
+                        else (128, 256),
+                        num_residual_layers=num_residual_layers,
+                        input_size=input_size, in_channels=num_channels,
+                        recons_objective=recons_objective,
+                        recons_activation=recons_activation,
+                        lambda_weights=lw, version="v3", dtype=dtype)
+
+    if arch == "vq_vae2":
+        from movae_tpu.models.vq_vae2 import VQVAE2
+        names = ("reconstruction_loss", "commitment_loss", "embedding_loss")
+        lw = _weights(lambda_weights, names,
+                      {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
+                       "embedding_loss": 0.25})
+        return VQVAE2(embedding_dim=embedding_dim,
+                      num_embeddings=num_embeddings,
+                      hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
+                      else (128, 256),
+                      num_residual_layers=num_residual_layers,
+                      input_size=input_size, in_channels=num_channels,
+                      recons_objective=recons_objective,
+                      recons_activation=recons_activation, lambda_weights=lw,
+                      dtype=dtype)
+
+    if arch.startswith("gg_vq_vae"):
+        from movae_tpu.models.gg_vq_vae import GGVQVAE
+        version = "v1" if arch in ("gg_vq_vae", "gg_vq_vae_v1") else arch.replace(
+            "gg_vq_vae_", "")
+        if version == "v1":
+            names = ("reconstruction_loss", "gradient_guided_loss",
+                     "embedding_loss", "commitment_loss")
+            defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
+                        "embedding_loss": 1.0, "commitment_loss": 0.25}
+        else:
+            names = ("reconstruction_loss", "gradient_guided_loss",
+                     "embedding_loss", "commitment_loss", "edge_matching_loss")
+            defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
+                        "embedding_loss": 1.0, "commitment_loss": 0.25,
+                        "edge_matching_loss": 1.0}
+        lw = _weights(lambda_weights, names, defaults)
+        return GGVQVAE(embedding_dim=embedding_dim,
+                       num_embeddings=num_embeddings,
+                       hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
+                       else (128, 256),
+                       num_residual_layers=num_residual_layers,
+                       input_size=input_size, in_channels=num_channels,
+                       recons_objective=recons_objective,
+                       recons_activation=recons_activation, lambda_weights=lw,
+                       version=version, dtype=dtype)
+
+    if arch == "sphere_encoder":
+        from movae_tpu.models.sphere_encoder import SphereEncoder
+        return SphereEncoder(
+            latent_dim=latent_dim, hidden_dims=hidden_dims,
+            input_size=input_size, in_channels=num_channels,
+            recons_objective=recons_objective,
+            recons_activation=recons_activation,
+            sigma_max_angle_deg=_get(args, "sigma_max_angle_deg", 80.0),
+            sigma_mix_prob=_get(args, "sigma_mix_prob", 0.0),
+            sigma_mix_angle_min_deg=_get(args, "sigma_mix_angle_min_deg", None),
+            sigma_mix_angle_max_deg=_get(args, "sigma_mix_angle_max_deg", None),
+            lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
+            lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
+            lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            dtype=dtype)
+
+    if arch == "sphere_encoder_vit":
+        from movae_tpu.models.sphere_encoder_vit import SphereEncoderViT
+        patch_size = _get(args, "patch_size", None) or (
+            2 if input_size <= 32 else 8)
+        num_patches = (input_size // patch_size) ** 2
+        if latent_dim % num_patches:
+            raise ValueError(
+                f"sphere_encoder_vit: latent_dim {latent_dim} must be "
+                f"divisible by num_patches {num_patches}")
+        return SphereEncoderViT(
+            img_size=input_size, patch_size=patch_size,
+            in_channels=num_channels,
+            embed_dim=_get(args, "vit_embed_dim", 1024),
+            depth=_get(args, "vit_depth", 24),
+            num_heads=_get(args, "vit_num_heads", 16),
+            mixer_depth=_get(args, "vit_mixer_depth", 2),
+            latent_channels=latent_dim // num_patches,
+            num_classes=_get(args, "num_classes", 0),
+            sigma_max_angle_deg=_get(args, "sigma_max_angle_deg", 80.0),
+            sigma_mix_prob=_get(args, "sigma_mix_prob", 0.0),
+            sigma_mix_angle_min_deg=_get(args, "sigma_mix_angle_min_deg", None),
+            sigma_mix_angle_max_deg=_get(args, "sigma_mix_angle_max_deg", None),
+            lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
+            lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
+            lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            dtype=dtype)
+
+    raise ValueError(f"Network architecture {arch} not supported")
+
+
+def init_model(model: MOVAEModel, rng: jax.Array, input_size: int,
+               in_channels: int = 3, batch_size: int = 2):
+    """Initialize variables; returns (params, batch_stats)."""
+    x = jnp.zeros((batch_size, input_size, input_size, in_channels),
+                  jnp.float32)
+    p_key, s_key, d_key = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_key, "sample": s_key, "dropout": d_key}, x, train=True)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def total_trainable_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

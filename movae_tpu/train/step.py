@@ -1,0 +1,195 @@
+"""The jitted train/eval steps: one compiled program per run.
+
+This is where the reference's hot loop (/root/reference/main.py:125-235)
+becomes a single pure function ``(state, batch, rng) -> (state, metrics)``:
+forward, the multi-objective Jacobian + Gramian + aggregator solve, gradient
+combination, clipping and the optimizer update are all fused by XLA. The
+aggregation mode mirrors the reference dispatch (main.py:176-196):
+
+  * aggregator "sum"/None  -> plain backward of total_loss;
+  * ``feature_names`` set  -> torchjd ``mtl_backward`` semantics (feature
+    Jacobian + trunk pullback);
+  * ``feature_names`` None -> torchjd ``backward`` (full-param Jacobian).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from movae_tpu.moo import aggregators as agg_lib
+from movae_tpu.moo import engine
+from movae_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def _merge_collections(*colls) -> Dict:
+    """Deep-merge flax mutable-collection updates (later wins)."""
+    flat: Dict = {}
+    for c in colls:
+        if c:
+            flat.update(traverse_util.flatten_dict(c))
+    return traverse_util.unflatten_dict(flat) if flat else {}
+
+
+def _rngs(rng: Array) -> Dict[str, Array]:
+    k1, k2 = jax.random.split(rng)
+    return {"sample": k1, "dropout": k2}
+
+
+def _codebook_usage(outputs: Dict[str, Any], num_embeddings: int) -> Optional[Array]:
+    """Per-batch codebook usage %, from encoding indices (vq_vae.py:110-124).
+    Handles single (``encoding_inds``) and hierarchical
+    (``encoding_inds_top``/``_bottom``) layouts (main.py:311-330)."""
+    def pct(inds):
+        used = jnp.zeros((num_embeddings,), jnp.float32).at[inds.reshape(-1)].set(1.0)
+        return jnp.sum(used) / num_embeddings * 100.0
+
+    if outputs.get("encoding_inds") is not None:
+        return pct(outputs["encoding_inds"])
+    if (outputs.get("encoding_inds_top") is not None
+            and outputs.get("encoding_inds_bottom") is not None):
+        return 0.5 * (pct(outputs["encoding_inds_top"])
+                      + pct(outputs["encoding_inds_bottom"]))
+    return None
+
+
+def make_train_step(
+    model,
+    agg_cfg: agg_lib.AggregatorConfig,
+    total_epochs: int = 1,
+    steps_per_epoch: int = 1,
+):
+    """Build the (un-jitted) train step for ``model`` under ``agg_cfg``.
+
+    Callers jit it themselves (optionally with shardings — see
+    movae_tpu.parallel.mesh).
+    """
+    m = len(model.objective_names)
+    if agg_cfg.is_sum:
+        mode = "sum"
+    elif model.feature_names is not None:
+        mode = "feature"
+    else:
+        mode = "full"
+    num_embeddings = getattr(model, "num_embeddings", 0)
+
+    def apply_losses(params, batch_stats, x, rngs):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            method="forward_with_losses", mutable=["batch_stats"], rngs=rngs)
+        return out, mut.get("batch_stats", {})
+
+    def train_step(state: TrainState, batch: Array, rng: Array
+                   ) -> Tuple[TrainState, Dict[str, Array]]:
+        x = batch
+        rng, agg_key = jax.random.split(rng)
+        rngs = _rngs(rng)
+        params, bs = state.params, state.batch_stats
+
+        if mode == "sum":
+            def loss_fn(p):
+                (loss_vec, loss_dict, outputs), new_bs = apply_losses(
+                    p, bs, x, rngs)
+                return loss_dict["total_loss"], (loss_vec, loss_dict,
+                                                 outputs, new_bs)
+
+            grads, (loss_vec, loss_dict, outputs, new_bs) = jax.grad(
+                loss_fn, has_aux=True)(params)
+            alpha = jnp.ones((m,), jnp.float32)
+            similarity = jnp.asarray(1.0, jnp.float32)
+            new_agg_state = state.agg_state
+
+        elif mode == "full":
+            def loss_vec_fn(p):
+                (loss_vec, loss_dict, outputs), new_bs = apply_losses(
+                    p, bs, x, rngs)
+                return loss_vec, (loss_dict, outputs, new_bs)
+
+            loss_vec, (loss_dict, outputs, new_bs), J, G = engine.full_jacobian(
+                loss_vec_fn, params, m)
+            beta = agg_lib.comfort_beta(
+                agg_cfg, state.step // steps_per_epoch + 1, total_epochs)
+            alpha, new_agg_state = agg_lib.compute_weights(
+                agg_cfg, G, loss_vec, agg_key, state.agg_state, beta)
+            grads = engine.combine(J, alpha)
+            similarity = agg_lib.gradient_similarity(G, alpha)
+
+        else:  # feature mode
+            def trunk_fn(p):
+                (features, t_aux), mut = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=True,
+                    method="trunk", mutable=["batch_stats"], rngs=rngs)
+                return features, (t_aux, mut.get("batch_stats", {}))
+
+            def heads_fn(p, features, trunk_aux):
+                t_aux, trunk_bs = trunk_aux
+                (loss_vec, loss_dict, outputs), mut = model.apply(
+                    {"params": p, "batch_stats": bs}, features, t_aux, x,
+                    train=True, method="heads_with_losses",
+                    mutable=["batch_stats"], rngs=rngs)
+                return loss_vec, (loss_dict, outputs,
+                                  mut.get("batch_stats", {}))
+
+            fj = engine.FeatureJacobian(trunk_fn, heads_fn, params, m)
+            loss_vec = fj.losses
+            loss_dict, outputs, heads_bs = fj.heads_aux
+            _, trunk_bs = fj.trunk_aux
+            new_bs = _merge_collections(bs, trunk_bs, heads_bs)
+            beta = agg_lib.comfort_beta(
+                agg_cfg, state.step // steps_per_epoch + 1, total_epochs)
+            alpha, new_agg_state = agg_lib.compute_weights(
+                agg_cfg, fj.G, loss_vec, agg_key, state.agg_state, beta)
+            grads = fj.grads(alpha)
+            similarity = agg_lib.gradient_similarity(fj.G, alpha)
+
+        if mode != "feature":
+            new_bs = _merge_collections(bs, new_bs)
+
+        new_state = state.replace(
+            batch_stats=new_bs, agg_state=new_agg_state
+        ).apply_gradients(grads)
+
+        metrics = {k: loss_dict[k] for k in model.objective_names}
+        metrics["total_loss"] = loss_dict["total_loss"]
+        for i in range(m):
+            metrics[f"task_{i}_weight"] = alpha[i]
+        metrics["gradient_similarity"] = similarity
+        usage = _codebook_usage(outputs, num_embeddings)
+        if usage is not None:
+            metrics["codebook_usage_percentage"] = usage
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Eval step: losses (+ codebook used-mask for exact usage accumulation
+    across batches, reference main.py:261-331)."""
+    num_embeddings = getattr(model, "num_embeddings", 0)
+
+    def eval_step(params, batch_stats, batch: Array, rng: Array):
+        (loss_vec, loss_dict, outputs) = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            train=False, method="forward_with_losses", rngs=_rngs(rng))
+        metrics = {k: loss_dict[k] for k in model.objective_names}
+        metrics["total_loss"] = loss_dict["total_loss"]
+        extras = {}
+        if outputs.get("encoding_inds") is not None:
+            mask = jnp.zeros((num_embeddings,), jnp.bool_)
+            extras["used_mask"] = mask.at[
+                outputs["encoding_inds"].reshape(-1)].set(True)
+        if (outputs.get("encoding_inds_top") is not None
+                and outputs.get("encoding_inds_bottom") is not None):
+            for side in ("top", "bottom"):
+                mask = jnp.zeros((num_embeddings,), jnp.bool_)
+                extras[f"used_mask_{side}"] = mask.at[
+                    outputs[f"encoding_inds_{side}"].reshape(-1)].set(True)
+        return metrics, extras, outputs
+
+    return eval_step

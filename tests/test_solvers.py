@@ -1,0 +1,169 @@
+"""Solver unit tests against the reference's executable docstring oracles
+(/root/reference/utils/torchmoo/mgda.py:54-86, nupgrad.py:55-62)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movae_tpu.moo import aggregators as agg
+from movae_tpu.moo import solvers
+
+J = np.array([[-4.0, 1.0, 1.0], [6.0, 1.0, 1.0]], np.float32)
+G = jnp.asarray(J @ J.T)
+
+
+def combine(alpha):
+    return np.asarray(alpha) @ J
+
+
+def cfg(name, **kw):
+    kw.setdefault("num_objectives", 2)
+    return agg.AggregatorConfig(name=name, **kw)
+
+
+def weights(c, G_=G, losses=None, key=None, state=None):
+    import jax
+    losses = jnp.ones(c.num_objectives) if losses is None else losses
+    key = jax.random.PRNGKey(0) if key is None else key
+    state = agg.init_state(c) if state is None else state
+    alpha, _ = agg.compute_weights(c, G_, losses, key, state)
+    return alpha
+
+
+def test_mgda_none():
+    # Reference oracle: MGDA()(J) == [0., 1., 1.]  (mgda.py:54-60)
+    alpha = weights(cfg("mgda"))
+    np.testing.assert_allclose(combine(alpha), [0.0, 1.0, 1.0], atol=1e-3)
+
+
+def test_mgda_l2():
+    # MGDA(norm_type='l2')(J) == [1., 1., 1.]  (mgda.py:65-68)
+    alpha = weights(cfg("mgda_ln"))
+    np.testing.assert_allclose(combine(alpha), [1.0, 1.0, 1.0], atol=1e-3)
+
+
+def test_mgda_loss():
+    # MGDA(norm_type='loss'), losses=[0.5, 2.0] -> [3.49, 1., 1.] (mgda.py:73-77)
+    alpha = weights(cfg("mgda_gn"), losses=jnp.array([0.5, 2.0]))
+    np.testing.assert_allclose(combine(alpha), [3.49, 1.0, 1.0], atol=2e-2)
+
+
+def test_mgda_loss_plus():
+    # MGDA(norm_type='loss+'), losses=[0.5, 2.0] -> [4.1606, 1., 1.]
+    alpha = weights(cfg("mgda_lgn"), losses=jnp.array([0.5, 2.0]))
+    np.testing.assert_allclose(combine(alpha), [4.1606, 1.0, 1.0], atol=2e-2)
+
+
+def test_upgrad_oracle():
+    # UPGrad()(J) == [0.2929, 1.9004, 1.9004]  (nupgrad.py:55-62)
+    alpha = weights(cfg("upgrad"))
+    np.testing.assert_allclose(combine(alpha), [0.2929, 1.9004, 1.9004],
+                               atol=5e-3)
+
+
+def test_dual_cone_projection_exactness():
+    # Projection result must satisfy KKT: w >= u (mu >= 0), G w >= 0 where mu>0
+    rng = np.random.default_rng(0)
+    for m in (2, 3, 4, 5):
+        A = rng.normal(size=(m, 7)).astype(np.float32)
+        Gm = jnp.asarray(A @ A.T)
+        u = jnp.asarray(rng.uniform(0.1, 1.0, size=m).astype(np.float32))
+        w = solvers.dual_cone_project_weights(u, Gm)
+        mu = np.asarray(w - u)
+        Gw = np.asarray(Gm @ w)
+        assert (mu >= -1e-4).all()
+        assert (Gw >= -1e-3).all()          # dual-cone feasibility J(w^T J)>=0
+        assert (np.abs(mu * Gw) < 1e-2).all()  # complementary slackness
+
+
+def test_mean_sum():
+    np.testing.assert_allclose(weights(cfg("sum")), [1.0, 1.0])
+    np.testing.assert_allclose(weights(cfg("mean")), [0.5, 0.5])
+
+
+def test_aligned_mtl_balances_spectrum():
+    alpha = weights(cfg("aligned_mtl"))
+    # Balanced gradient must lie in the span with positive norm
+    g = combine(alpha)
+    assert np.linalg.norm(g) > 0
+
+
+def test_pcgrad_no_conflict_is_sum():
+    # Orthogonal, non-conflicting gradients: PCGrad == sum of gradients
+    J2 = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    alpha = weights(cfg("pcgrad"), G_=jnp.asarray(J2 @ J2.T))
+    np.testing.assert_allclose(np.asarray(alpha) @ J2, [1.0, 1.0], atol=1e-5)
+
+
+def test_pcgrad_conflicting():
+    # g1=(1,0), g2=(-1, 0.1): PCGrad removes conflicting components
+    J2 = np.array([[1.0, 0.0], [-1.0, 0.1]], np.float32)
+    G2 = jnp.asarray(J2 @ J2.T)
+    alpha = weights(cfg("pcgrad"), G_=G2)
+    g = np.asarray(alpha) @ J2
+    # both projected gradients have non-negative dot with each raw gradient sum
+    assert g[1] > 0
+
+
+def test_imtlg_equal_projections():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(3, 9)).astype(np.float32)
+    Gm = jnp.asarray(A @ A.T)
+    alpha = weights(cfg("imtlg", num_objectives=3), G_=Gm,
+                    losses=jnp.ones(3))
+    g = np.asarray(alpha) @ A
+    norms = np.linalg.norm(A, axis=1)
+    projs = (A @ g) / norms
+    np.testing.assert_allclose(projs, projs[0] * np.ones(3), rtol=1e-3)
+
+
+def test_cagrad_norm_constraint():
+    alpha = weights(cfg("cagrad"))
+    g = combine(alpha)
+    g0 = J.mean(axis=0)
+    # ||g - g0|| <= c*||g0|| (+ tolerance): CAGrad ball constraint
+    assert np.linalg.norm(g - g0) <= 1.0 * np.linalg.norm(g0) * 1.05
+
+
+def test_nashmtl_inverse_proportionality():
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(3, 6)).astype(np.float32) + 1.0
+    Gm = jnp.asarray((A @ A.T).astype(np.float32))
+    c = cfg("nashmtl", num_objectives=3, nashmtl_optim_niter=100)
+    alpha = weights(c, G_=Gm, losses=jnp.ones(3))
+    f = np.asarray(alpha) * np.asarray(Gm @ alpha)
+    # alpha_i (G alpha)_i constant across i (Nash bargaining optimality)
+    assert f.std() / f.mean() < 0.05
+
+
+def test_comfort_blend():
+    c = cfg("comfort")
+    import jax
+    a, _ = agg.compute_weights(c, G, jnp.ones(2), jax.random.PRNGKey(0),
+                               agg.init_state(c), beta=jnp.asarray(1.0))
+    a_up = weights(cfg("upgrad"))
+    np.testing.assert_allclose(a, a_up, atol=1e-5)
+    a0, _ = agg.compute_weights(c, G, jnp.ones(2), jax.random.PRNGKey(0),
+                                agg.init_state(c), beta=jnp.asarray(0.0))
+    a_mgda = weights(cfg("mgda"))
+    np.testing.assert_allclose(a0, a_mgda, atol=1e-5)
+
+
+def test_comfort_beta_schedule():
+    c = cfg("comfort")
+    b1 = agg.comfort_beta(c, jnp.asarray(1), 50)
+    b50 = agg.comfort_beta(c, jnp.asarray(50), 50)
+    assert abs(float(b1) - 0.01) < 1e-6
+    assert abs(float(b50) - 1.0) < 1e-6
+
+
+def test_frank_wolfe_min_norm_property():
+    # alpha from FW must achieve (near-)minimal ||alpha^T J|| over the simplex
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(4, 10)).astype(np.float32)
+    Gm = jnp.asarray(A @ A.T)
+    alpha, _, _ = solvers.frank_wolfe_minnorm(Gm)
+    val = float(alpha @ Gm @ alpha)
+    for _ in range(200):
+        w = rng.dirichlet(np.ones(4)).astype(np.float32)
+        assert val <= float(w @ np.asarray(Gm) @ w) + 1e-3
