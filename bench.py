@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark harness: VQ-VAE train-step throughput (images/sec/chip).
+
+The BASELINE north-star metric (BASELINE.json): VQ-VAE images/sec/chip on
+CIFAR-shaped data. This benchmark builds the reference CIFAR-10 VQ-VAE
+configuration (hidden_dims=[128,256], K=512, D=64, batch 128 — configs/*/
+gg_vq_vae*/..: hidden_dims [128,256]), runs the jitted train step on
+synthetic CIFAR-shaped batches resident on device, and reports steady-state
+throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (README.md:18-30 is figures
+only; BASELINE.json "published": {}). We normalize against an estimated
+reference throughput of 4000 images/sec for the same model/batch on one
+A100 with the reference's single-backward (agg=sum) torch loop — a generous
+estimate for a ~5M-param VQ-VAE at 32x32; vs_baseline > 1 means faster than
+that estimate. The acceptance bar is >= 5x A100 images/sec/chip.
+
+Flags: --agg (default sum; try upgrad to bench the multi-objective path),
+--batch_size, --steps, --dtype bfloat16|float32.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMAGES_PER_SEC = 4000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agg", type=str, default="sum")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--input_size", type=int, default=32)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import AggregatorConfig, init_state
+    from movae_tpu.parallel.mesh import DataParallel
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    model_args = dict(
+        arch="vq_vae", embedding_dim=64, num_embeddings=512,
+        hidden_dims=(128, 256), num_residual_layers=2,
+        batch_size=args.batch_size, dataset_size=50000,
+        recons_objective="mse",
+        compute_dtype=args.dtype if jax.default_backend() != "cpu"
+        else "float32",
+    )
+    model = get_network(args.input_size, 3, model_args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), args.input_size, 3,
+                            batch_size=2)
+    m = len(model.objective_names)
+    cfg = AggregatorConfig(name=args.agg, num_objectives=m)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    parallel = DataParallel()
+    state = parallel.replicate(
+        TrainState.create(model.apply, params, bs, tx, init_state(cfg)))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    x_np = rng.uniform(-1, 1, (args.batch_size, args.input_size,
+                               args.input_size, 3)).astype(np.float32)
+    batch = parallel.shard_batch(jnp.asarray(x_np))
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(args.warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = args.steps * args.batch_size / dt / n_chips
+    print(json.dumps({
+        "metric": f"vq_vae_train_images_per_sec_per_chip(agg={args.agg},"
+                  f"bs={args.batch_size},{args.dtype})",
+        "value": round(images_per_sec_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec_per_chip
+                             / A100_REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Standalone checkpoint evaluation CLI.
+
+Rebuild of the reference evaluate.py (/root/reference/evaluate.py:1-383):
+load a checkpoint (model rebuilt from the saved ``args`` dict,
+evaluate.py:20-79), run test losses, reconstruction metrics
+(rFID/PSNR/SSIM/LPIPS), hypervolume (fixed 1.1 reference point,
+evaluate.py:82-106), generative metrics with naive sampling when no prior is
+given (evaluate.py:318), and print a tabulated report (evaluate.py:132-207).
+
+Usage: python evaluate.py --model_path <ckpt_dir> [--dataset ... --arch ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+
+from movae_tpu.data import Loader, get_dataset
+from movae_tpu.metrics.hv import build_hv_indicator
+from movae_tpu.models import get_network, init_model
+from movae_tpu.parallel.mesh import DataParallel
+from movae_tpu.train import checkpoint as ckpt_lib
+from movae_tpu.train.final_metrics import (
+    evaluate_generative_metrics,
+    evaluate_recon_metrics,
+)
+from movae_tpu.train.loop import evaluate as evaluate_losses
+from movae_tpu.train.step import make_eval_step
+
+try:
+    from tabulate import tabulate
+except Exception:  # pragma: no cover
+    tabulate = None
+
+
+def load_model_from_checkpoint(model_path: str, dataset: str = None,
+                               data_dir: str = "./data"):
+    """Rebuild model + state from a saved checkpoint directory
+    (reference evaluate.py:20-79)."""
+    payload = ckpt_lib.load_checkpoint(model_path)
+    saved_args = payload.get("args", {})
+    args = SimpleNamespace(**saved_args)
+    if dataset is not None:
+        args.dataset = dataset
+    args.data_dir = data_dir
+    normalize = getattr(args, "normalize_inputs", False)
+    train_ds, test_ds, input_size = get_dataset(args.dataset, data_dir,
+                                                normalize)
+    args.dataset_size = len(train_ds)
+    model = get_network(input_size, 3, args)
+    state_dict = payload["model_state_dict"]
+    params = state_dict["params"]
+    batch_stats = state_dict.get("batch_stats", {})
+    return model, params, batch_stats, args, train_ds, test_ds, normalize
+
+
+def print_results_table(results: dict):
+    rows = [(k, f"{v:.6g}" if isinstance(v, float) else v)
+            for k, v in results.items()]
+    if tabulate is not None:
+        print(tabulate(rows, headers=["metric", "value"], tablefmt="github"))
+    else:  # pragma: no cover
+        for k, v in rows:
+            print(f"{k:40s} {v}")
+
+
+def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
+             data_dir: str = "./data", batch_size: int = 128,
+             max_fid_samples: int = 10000, skip_generative: bool = False):
+    model, params, batch_stats, args, train_ds, test_ds, normalize = (
+        load_model_from_checkpoint(model_path, dataset, data_dir))
+    parallel = DataParallel()
+    bs = parallel.pad_to_devices(batch_size)
+    test_loader = Loader(test_ds, bs, shuffle=False)
+
+    class _State:
+        pass
+
+    state = _State()
+    state.params = params
+    state.batch_stats = batch_stats
+
+    rng = jax.random.PRNGKey(0)
+    eval_fn = jax.jit(make_eval_step(model))
+    loss_meters, rng = evaluate_losses(eval_fn, state, test_loader, parallel,
+                                       rng, model.objective_names,
+                                       getattr(model, "num_embeddings", 0))
+    results = {f"eval/{k}": v.avg for k, v in loss_meters.items()}
+
+    hv = build_hv_indicator(model.objective_names, None)  # fixed 1.1 ref
+    if hv is not None:
+        pt = np.array([[loss_meters[k].avg for k in model.objective_names]])
+        results["eval/hv"] = float(hv(pt))
+
+    results.update({f"recon/{k}": v for k, v in evaluate_recon_metrics(
+        model, state, test_loader, rng, max_samples=max_fid_samples).items()})
+
+    if not skip_generative:
+        args.batch_size = batch_size
+        rng, sub = jax.random.split(rng)
+        results.update({f"gen/{k}": v for k, v in
+                        evaluate_generative_metrics(
+                            model, state, test_loader, args, None, sub,
+                            max_samples=max_fid_samples).items()})
+
+    print_results_table(results)
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, required=True,
+                   help="checkpoint directory (e.g. .../final_checkpoint)")
+    p.add_argument("--arch", type=str, default=None)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--max_fid_samples", type=int, default=10000)
+    p.add_argument("--skip_generative", action="store_true")
+    p.add_argument("--out_json", type=str, default=None)
+    a = p.parse_args()
+    results = evaluate(a.arch, a.dataset, a.model_path, a.data_dir,
+                       a.batch_size, a.max_fid_samples, a.skip_generative)
+    if a.out_json:
+        with open(a.out_json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

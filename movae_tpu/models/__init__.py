@@ -74,6 +74,13 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     if recons_activation is None:
         recons_activation = "sigmoid" if recons_objective == "bce" else "tanh"
 
+    def perceptual():
+        from movae_tpu.metrics.vgg import make_perceptual_fn
+        return make_perceptual_fn()
+
+    perceptual_fn = perceptual() if recons_objective == "perceptual" else None
+    use_perceptual = _get(args, "use_perceptual", True)
+
     if arch == "vae":
         names = ("reconstruction_loss", "kld_loss")
         lw = _weights(lambda_weights, names,
@@ -83,7 +90,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
                    input_size=input_size, in_channels=num_channels,
                    layer_norm=layer_norm, recons_objective=recons_objective,
                    recons_activation=recons_activation, lambda_weights=lw,
-                   dtype=dtype)
+                   perceptual_fn=perceptual_fn, dtype=dtype)
 
     if arch in ("recursive_kl_vae",):
         from movae_tpu.models.recursive_kl_vae import RecursiveKLVAE
@@ -139,7 +146,8 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
                          anneal_steps=anneal_steps, dataset_size=dataset_size,
                          recons_objective=recons_objective,
                          recons_activation=recons_activation,
-                         lambda_weights=lw, dtype=dtype)
+                         lambda_weights=lw, perceptual_fn=perceptual_fn,
+                         dtype=dtype)
 
     if arch in ("gg_vae", "gg_vae_v2", "gg_vae_v3", "gg_vae_v5", "gg_vae_v6"):
         from movae_tpu.models.gg_vae import GGVAE
@@ -246,6 +254,8 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
             lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
             lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
             lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            use_perceptual=use_perceptual,
+            perceptual_fn=perceptual() if use_perceptual else None,
             dtype=dtype)
 
     if arch == "sphere_encoder_vit":
@@ -273,6 +283,8 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
             lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
             lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
             lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            use_perceptual=use_perceptual,
+            perceptual_fn=perceptual() if use_perceptual else None,
             dtype=dtype)
 
     raise ValueError(f"Network architecture {arch} not supported")

@@ -1,0 +1,550 @@
+"""PixelCNN / PixelSNAIL priors over discrete VQ codes.
+
+TPU-native rebuild of the reference priors
+(/root/reference/models/pixelcnn_prior.py): masked A/B convolutions, gated
+residual blocks, causal self-attention (PixelSNAIL), and the hierarchical
+two-level P(z_top) * P(z_bottom | z_top) factorization for VQ-VAE2.
+
+Performance redesign (the reference's slowest path, SURVEY.md §2.6 #4):
+the reference samples by running the FULL network once per pixel in a Python
+loop (pixelcnn_prior.py:338-348) — O(HW * full-forward). Here sampling is a
+single compiled ``lax.fori_loop`` with **incremental activation caches**:
+each masked conv keeps a padded cache of its input plane and computes only
+the current pixel's dot product (one small MXU matmul per layer per pixel),
+and PixelSNAIL attention keeps a KV cache. Asymptotically O(HW * k^2 * C^2)
+instead of O((HW)^2 * k^2 * C^2) — the px/s headline lever.
+
+Codes are (B, H, W) int32; logits are NHWC (B, H, W, K).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def make_conv_mask(kh: int, kw: int, cin: int, cout: int,
+                   mask_type: str) -> np.ndarray:
+    """Raster-order causal mask for an HWIO conv kernel
+    (pixelcnn_prior.py:40-50)."""
+    mask = np.zeros((kh, kw, cin, cout), np.float32)
+    mask[: kh // 2, :, :, :] = 1.0
+    mask[kh // 2, : kw // 2, :, :] = 1.0
+    if mask_type == "B":
+        mask[kh // 2, kw // 2, :, :] = 1.0
+    return mask
+
+
+class MaskedConv(nn.Module):
+    """Masked conv: the kernel is multiplied by the causal mask at apply time
+    (pure; the torch reference mutates weight.data in forward,
+    pixelcnn_prior.py:52-54)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    mask_type: str = "B"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mask = jnp.asarray(make_conv_mask(kh, kw, cin, self.features,
+                                          self.mask_type))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), (kernel * mask).astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
+class GatedResBlock(nn.Module):
+    """1x1 -> masked k3 -> gated tanh*sigmoid, residual
+    (pixelcnn_prior.py:57-88)."""
+
+    channels: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        half = self.channels // 2
+        self.conv1 = nn.Conv(half, (1, 1), dtype=self.dtype, name="conv1")
+        self.conv2 = MaskedConv(half, (self.kernel_size, self.kernel_size),
+                                "B", dtype=self.dtype, name="conv2")
+        self.conv_gate = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                 name="conv_gate")
+        self.conv_feature = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                    name="conv_feature")
+
+    def __call__(self, x: Array) -> Array:
+        out = nn.relu(self.conv1(x))
+        out = nn.relu(self.conv2(out))
+        gate = jax.nn.sigmoid(self.conv_gate(out))
+        feature = jnp.tanh(self.conv_feature(out))
+        return x + gate * feature
+
+
+class CausalAttention(nn.Module):
+    """Causal MHA over the flattened raster sequence
+    (pixelcnn_prior.py:91-132). Inclusive diagonal (self-attention allowed)."""
+
+    channels: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.head_dim = self.channels // self.num_heads
+        pd = self.head_dim * self.num_heads
+        self.q_proj = nn.Dense(pd, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(pd, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(pd, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(self.channels, dtype=self.dtype,
+                                 name="out_proj")
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        b, h, w, c = x.shape
+        L = h * w
+        xf = x.reshape(b, L, c)
+        nh, hd = self.num_heads, self.head_dim
+
+        def split(t):
+            return t.reshape(b, L, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(self.q_proj(xf)), split(self.k_proj(xf)), split(
+            self.v_proj(xf))
+        attn = jnp.einsum("bnld,bnmd->bnlm", q, k) / jnp.sqrt(
+            jnp.asarray(hd, q.dtype))
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        attn = jnp.where(causal[None, None], attn, -jnp.inf)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = self.drop(attn, deterministic=not train)
+        out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, L, nh * hd)
+        return self.out_proj(out).reshape(b, h, w, c)
+
+
+class PixelSNAILBlock(nn.Module):
+    """Residual blocks + causal attention + merge (pixelcnn_prior.py:135-152)."""
+
+    channels: int
+    num_res_blocks: int = 2
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.res_blocks = [
+            GatedResBlock(self.channels, dtype=self.dtype, name=f"res_{i}")
+            for i in range(self.num_res_blocks)
+        ]
+        self.attention = CausalAttention(self.channels, self.num_heads,
+                                         self.dropout, dtype=self.dtype,
+                                         name="attention")
+        self.out_conv = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                name="out_conv")
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for blk in self.res_blocks:
+            x = blk(x)
+        attn = self.attention(x, train=train)
+        return self.out_conv(jnp.concatenate([x, attn], axis=-1)) + x
+
+
+def _pos_encoding(h: int, w: int) -> np.ndarray:
+    """Row/col coordinates normalized around zero, (1, H, W, 2)
+    (pixelcnn_prior.py:195-201)."""
+    ch = (np.arange(h, dtype=np.float32) - h / 2) / max(h, 1)
+    cw = (np.arange(w, dtype=np.float32) - w / 2) / max(w, 1)
+    pos = np.stack(np.broadcast_arrays(ch[:, None], cw[None, :]), axis=-1)
+    return pos[None]
+
+
+class PixelCNN(nn.Module):
+    """Gated PixelCNN over code grids (pixelcnn_prior.py:240-312)."""
+
+    num_embeddings: int
+    embedding_dim: int = 64
+    hidden_channels: int = 128
+    num_layers: int = 15
+    kernel_size: int = 7
+    conditional_channels: int = 0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_embeddings, self.embedding_dim,
+                                  name="embedding")
+        self.conv_in = MaskedConv(self.hidden_channels,
+                                  (self.kernel_size, self.kernel_size), "A",
+                                  dtype=self.dtype, name="conv_in")
+        self.res_blocks = [
+            GatedResBlock(self.hidden_channels, dtype=self.dtype,
+                          name=f"res_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.out1 = nn.Conv(self.hidden_channels, (1, 1), dtype=self.dtype,
+                            name="out1")
+        self.out2 = nn.Conv(self.num_embeddings, (1, 1), dtype=self.dtype,
+                            name="out2")
+
+    def __call__(self, x: Array, condition: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        h = self.embedding(x)
+        if condition is not None:
+            h = jnp.concatenate([h, condition.astype(h.dtype)], axis=-1)
+        h = self.conv_in(h)
+        for blk in self.res_blocks:
+            h = blk(h)
+        h = nn.relu(self.out1(nn.relu(h)))
+        return self.out2(h).astype(jnp.float32)
+
+    def loss_function(self, x: Array, condition: Optional[Array] = None,
+                      train: bool = True) -> Dict[str, Array]:
+        logits = self(x, condition, train=train)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, self.num_embeddings), x.reshape(-1)).mean()
+        return {"total_loss": loss}
+
+
+class PixelSNAIL(nn.Module):
+    """PixelCNN + causal attention blocks + coordinate channels
+    (pixelcnn_prior.py:155-237)."""
+
+    num_embeddings: int
+    embedding_dim: int = 64
+    hidden_channels: int = 128
+    num_blocks: int = 8
+    num_res_blocks_per_layer: int = 2
+    num_heads: int = 8
+    kernel_size: int = 7
+    conditional_channels: int = 0
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_embeddings, self.embedding_dim,
+                                  name="embedding")
+        self.conv_in = MaskedConv(self.hidden_channels,
+                                  (self.kernel_size, self.kernel_size), "A",
+                                  dtype=self.dtype, name="conv_in")
+        self.blocks = [
+            PixelSNAILBlock(self.hidden_channels,
+                            self.num_res_blocks_per_layer, self.num_heads,
+                            self.dropout, dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.num_blocks)
+        ]
+        self.out1 = nn.Conv(self.hidden_channels, (1, 1), dtype=self.dtype,
+                            name="out1")
+        self.out2 = nn.Conv(self.num_embeddings, (1, 1), dtype=self.dtype,
+                            name="out2")
+
+    def __call__(self, x: Array, condition: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        b, hh, ww = x.shape
+        h = self.embedding(x)
+        pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(hh, ww)),
+                               (b, hh, ww, 2)).astype(h.dtype)
+        h = jnp.concatenate([h, pos], axis=-1)
+        if condition is not None:
+            h = jnp.concatenate([h, condition.astype(h.dtype)], axis=-1)
+        h = self.conv_in(h)
+        for blk in self.blocks:
+            h = h + blk(h, train=train)
+        h = nn.relu(self.out1(nn.relu(h)))
+        return self.out2(h).astype(jnp.float32)
+
+    def loss_function(self, x: Array, condition: Optional[Array] = None,
+                      train: bool = True) -> Dict[str, Array]:
+        logits = self(x, condition, train=train)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, self.num_embeddings), x.reshape(-1)).mean()
+        return {"total_loss": loss}
+
+
+class HierarchicalPixelCNN(nn.Module):
+    """Two-level prior P(z_top) * P(z_bottom|z_top) for VQ-VAE2
+    (pixelcnn_prior.py:352-431)."""
+
+    num_embeddings: int
+    embedding_dim: int = 64
+    hidden_channels: int = 128
+    num_layers: int = 15
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.prior_top = PixelCNN(self.num_embeddings, self.embedding_dim,
+                                  self.hidden_channels, self.num_layers,
+                                  dtype=self.dtype, name="prior_top")
+        self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
+                                      name="embedding_top")
+        self.upsample_top = nn.ConvTranspose(
+            self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
+            dtype=self.dtype, name="upsample_top")
+        self.prior_bottom = PixelCNN(
+            self.num_embeddings, self.embedding_dim, self.hidden_channels,
+            self.num_layers, conditional_channels=self.embedding_dim,
+            dtype=self.dtype, name="prior_bottom")
+
+    def condition_from_top(self, z_top: Array) -> Array:
+        return self.upsample_top(self.embedding_top(z_top))
+
+    def __call__(self, z_top: Array, z_bottom: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        cond = self.condition_from_top(z_top)
+        return {"logits_top": self.prior_top(z_top, train=train),
+                "logits_bottom": self.prior_bottom(z_bottom, cond,
+                                                   train=train)}
+
+    def loss_function(self, z_top: Array, z_bottom: Array,
+                      train: bool = True) -> Dict[str, Array]:
+        out = self(z_top, z_bottom, train=train)
+        k = self.num_embeddings
+        lt = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits_top"].reshape(-1, k), z_top.reshape(-1)).mean()
+        lb = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1)).mean()
+        return {"loss_top": lt, "loss_bottom": lb, "total_loss": lt + lb}
+
+
+class HierarchicalPixelSNAIL(nn.Module):
+    """Attention top prior, conv bottom prior (pixelcnn_prior.py:434-554,
+    per the VQ-VAE-2 paper)."""
+
+    num_embeddings: int
+    embedding_dim: int = 64
+    hidden_channels: int = 128
+    num_blocks_top: int = 8
+    num_res_blocks_per_layer: int = 2
+    num_heads: int = 8
+    num_layers_bottom: int = 15
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.prior_top = PixelSNAIL(
+            self.num_embeddings, self.embedding_dim, self.hidden_channels,
+            self.num_blocks_top, self.num_res_blocks_per_layer,
+            self.num_heads, dropout=self.dropout, dtype=self.dtype,
+            name="prior_top")
+        self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
+                                      name="embedding_top")
+        self.upsample_top = nn.ConvTranspose(
+            self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
+            dtype=self.dtype, name="upsample_top")
+        self.prior_bottom = PixelCNN(
+            self.num_embeddings, self.embedding_dim, self.hidden_channels,
+            self.num_layers_bottom, conditional_channels=self.embedding_dim,
+            dtype=self.dtype, name="prior_bottom")
+
+    def condition_from_top(self, z_top: Array) -> Array:
+        return self.upsample_top(self.embedding_top(z_top))
+
+    def __call__(self, z_top: Array, z_bottom: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        cond = self.condition_from_top(z_top)
+        return {"logits_top": self.prior_top(z_top, train=train),
+                "logits_bottom": self.prior_bottom(z_bottom, cond,
+                                                   train=train)}
+
+    def loss_function(self, z_top: Array, z_bottom: Array,
+                      train: bool = True) -> Dict[str, Array]:
+        out = self(z_top, z_bottom, train=train)
+        k = self.num_embeddings
+        lt = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits_top"].reshape(-1, k), z_top.reshape(-1)).mean()
+        lb = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1)).mean()
+        return {"loss_top": lt, "loss_bottom": lb, "total_loss": lt + lb}
+
+
+# ===========================================================================
+# Sampling
+# ===========================================================================
+
+def sample_naive(model, params, rng: Array, batch_size: int, height: int,
+                 width: int, condition: Optional[Array] = None,
+                 temperature: float = 1.0) -> Array:
+    """Reference-style raster sampling (full forward per pixel,
+    pixelcnn_prior.py:314-349) but as one compiled fori_loop. Works for any
+    prior; use :func:`sample_fast` for the cached PixelCNN path."""
+
+    def body(idx, carry):
+        samples, rng = carry
+        i, j = idx // width, idx % width
+        logits = model.apply({"params": params}, samples, condition,
+                             train=False)
+        logits_p = jax.lax.dynamic_slice(
+            logits, (0, i, j, 0), (batch_size, 1, 1, model.num_embeddings)
+        ).reshape(batch_size, model.num_embeddings) / temperature
+        rng, sub = jax.random.split(rng)
+        code = jax.random.categorical(sub, logits_p, axis=-1)
+        samples = jax.lax.dynamic_update_slice(
+            samples, code.reshape(batch_size, 1, 1).astype(samples.dtype),
+            (0, i, j))
+        return samples, rng
+
+    samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+    samples, _ = jax.lax.fori_loop(0, height * width, body, (samples0, rng))
+    return samples
+
+
+# --- fast cached PixelCNN sampler -------------------------------------------
+
+def _masked_weights_flat(kernel: Array, mask_type: str) -> Array:
+    """(kh,kw,cin,cout) kernel -> (kh*kw*cin, cout) with the causal mask."""
+    kh, kw, cin, cout = kernel.shape
+    mask = jnp.asarray(make_conv_mask(kh, kw, cin, cout, mask_type))
+    return (kernel * mask).reshape(kh * kw * cin, cout)
+
+
+def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
+                height: int, width: int, condition: Optional[Array] = None,
+                temperature: float = 1.0) -> Array:
+    """Incremental-cache raster sampler for PixelCNN.
+
+    Per pixel, each layer computes ONE output vector from a cached k x k
+    neighborhood (dynamic slice + small matmul) instead of a full-plane
+    convolution. Caches are padded so no bounds checks are needed.
+    """
+    p = params
+    K = model.num_embeddings
+    k_in = model.kernel_size
+    pad_in = k_in // 2
+    hc = model.hidden_channels
+    half = hc // 2
+    n_layers = model.num_layers
+    cin = model.embedding_dim + (condition.shape[-1]
+                                 if condition is not None else 0)
+
+    emb_table = p["embedding"]["embedding"]
+    w_in = _masked_weights_flat(p["conv_in"]["kernel"], "A")
+    b_in = p["conv_in"]["bias"]
+
+    w1 = jnp.stack([p[f"res_{l}"]["conv1"]["kernel"].reshape(hc, half)
+                    for l in range(n_layers)])
+    b1 = jnp.stack([p[f"res_{l}"]["conv1"]["bias"] for l in range(n_layers)])
+    w2 = jnp.stack([_masked_weights_flat(p[f"res_{l}"]["conv2"]["kernel"], "B")
+                    for l in range(n_layers)])
+    b2 = jnp.stack([p[f"res_{l}"]["conv2"]["bias"] for l in range(n_layers)])
+    wg = jnp.stack([p[f"res_{l}"]["conv_gate"]["kernel"].reshape(half, hc)
+                    for l in range(n_layers)])
+    bg = jnp.stack([p[f"res_{l}"]["conv_gate"]["bias"]
+                    for l in range(n_layers)])
+    wf = jnp.stack([p[f"res_{l}"]["conv_feature"]["kernel"].reshape(half, hc)
+                    for l in range(n_layers)])
+    bf = jnp.stack([p[f"res_{l}"]["conv_feature"]["bias"]
+                    for l in range(n_layers)])
+    wo1 = p["out1"]["kernel"].reshape(hc, hc)
+    bo1 = p["out1"]["bias"]
+    wo2 = p["out2"]["kernel"].reshape(hc, K)
+    bo2 = p["out2"]["bias"]
+
+    # caches: padded input plane + per-layer conv1-output planes (k3 pad 1)
+    in_cache0 = jnp.zeros((batch_size, height + 2 * pad_in,
+                           width + 2 * pad_in, cin), jnp.float32)
+    if condition is not None:
+        cond_pad = jnp.pad(condition.astype(jnp.float32),
+                           ((0, 0), (pad_in, pad_in), (pad_in, pad_in),
+                            (0, 0)))
+        in_cache0 = in_cache0.at[..., model.embedding_dim:].set(cond_pad)
+    c1_cache0 = jnp.zeros((n_layers, batch_size, height + 2, width + 2, half),
+                          jnp.float32)
+    samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+
+    def body(idx, carry):
+        samples, in_cache, c1_cache, rng = carry
+        i, j = idx // width, idx % width
+
+        nb = jax.lax.dynamic_slice(
+            in_cache, (0, i, j, 0), (batch_size, k_in, k_in, cin))
+        x = nb.reshape(batch_size, -1) @ w_in + b_in          # (B, hc)
+
+        def layer_exact(l, xc):
+            x, c1_cache = xc
+            c1 = nn.relu(x @ w1[l] + b1[l])
+            c1_cache = jax.lax.dynamic_update_slice(
+                c1_cache, c1.reshape(1, batch_size, 1, 1, half),
+                (l, 0, i + 1, j + 1, 0))
+            nb2 = jax.lax.dynamic_slice(
+                c1_cache, (l, 0, i, j, 0), (1, batch_size, 3, 3, half))
+            c2 = nn.relu(nb2.reshape(batch_size, -1) @ w2[l] + b2[l])
+            gate = jax.nn.sigmoid(c2 @ wg[l] + bg[l])
+            feat = jnp.tanh(c2 @ wf[l] + bf[l])
+            return x + gate * feat, c1_cache
+
+        x, c1_cache = jax.lax.fori_loop(0, n_layers, layer_exact,
+                                        (x, c1_cache))
+        h = nn.relu(nn.relu(x) @ wo1 + bo1)
+        logits = (h @ wo2 + bo2) / temperature                # (B, K)
+        rng, sub = jax.random.split(rng)
+        code = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        samples = jax.lax.dynamic_update_slice(
+            samples, code.reshape(batch_size, 1, 1), (0, i, j))
+        emb = jnp.take(emb_table, code, axis=0)               # (B, E)
+        in_cache = jax.lax.dynamic_update_slice(
+            in_cache,
+            emb.reshape(batch_size, 1, 1, model.embedding_dim).astype(
+                jnp.float32),
+            (0, i + pad_in, j + pad_in, 0))
+        return samples, in_cache, c1_cache, rng
+
+    samples, _, _, _ = jax.lax.fori_loop(
+        0, height * width, body, (samples0, in_cache0, c1_cache0, rng))
+    return samples
+
+
+def sample_prior(model, params, rng, batch_size, height, width,
+                 condition=None, temperature: float = 1.0,
+                 fast: bool = True) -> Array:
+    """Dispatch: cached sampler for PixelCNN, naive loop otherwise."""
+    if fast and isinstance(model, PixelCNN):
+        return sample_fast(model, params, rng, batch_size, height, width,
+                           condition, temperature)
+    return sample_naive(model, params, rng, batch_size, height, width,
+                        condition, temperature)
+
+
+def sample_hierarchical(model, params, rng, batch_size: int,
+                        top_shape: Tuple[int, int],
+                        bottom_shape: Tuple[int, int],
+                        temperature: float = 1.0,
+                        fast: bool = True) -> Tuple[Array, Array]:
+    """Sample z_top then z_bottom | z_top (pixelcnn_prior.py:410-416)."""
+    rng_t, rng_b = jax.random.split(rng)
+    # module clones bound to the sub-param trees
+    if isinstance(model, HierarchicalPixelSNAIL):
+        top = PixelSNAIL(model.num_embeddings, model.embedding_dim,
+                         model.hidden_channels, model.num_blocks_top,
+                         model.num_res_blocks_per_layer, model.num_heads,
+                         dropout=model.dropout, dtype=model.dtype)
+    else:
+        top = PixelCNN(model.num_embeddings, model.embedding_dim,
+                       model.hidden_channels, model.num_layers,
+                       dtype=model.dtype)
+    z_top = sample_prior(top, params["prior_top"], rng_t, batch_size,
+                         top_shape[0], top_shape[1], temperature=temperature,
+                         fast=fast)
+    cond = model.apply({"params": params}, z_top,
+                       method="condition_from_top")
+    bottom = PixelCNN(model.num_embeddings, model.embedding_dim,
+                      model.hidden_channels,
+                      getattr(model, "num_layers",
+                              getattr(model, "num_layers_bottom", 15)),
+                      conditional_channels=model.embedding_dim,
+                      dtype=model.dtype)
+    z_bottom = sample_prior(bottom, params["prior_bottom"], rng_b, batch_size,
+                            bottom_shape[0], bottom_shape[1], condition=cond,
+                            temperature=temperature, fast=fast)
+    return z_top, z_bottom

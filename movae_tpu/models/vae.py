@@ -42,9 +42,12 @@ class VAE(MOVAEModel):
         ("kld_loss", 0.00025),
     )
     dtype: Any = jnp.float32
+    # bound (inputs, recons) -> loss using frozen VGG features; set by the
+    # registry when recons_objective == "perceptual" (objectives.py:35-42)
+    perceptual_fn: Optional[Any] = None
 
-    objective_names: Tuple[str, ...] = ("reconstruction_loss", "kld_loss")
-    feature_names: Optional[Tuple[str, ...]] = ("mu", "log_var")
+    objective_names = ("reconstruction_loss", "kld_loss")
+    feature_names = ("mu", "log_var")
 
     @property
     def spatial_dim(self) -> int:
@@ -146,7 +149,11 @@ class VAE(MOVAEModel):
     # --- losses ---------------------------------------------------------------
     def _recon_fn(self):
         if self.recons_objective.lower() == "perceptual":
-            return self.perceptual_loss  # wired by models with a VGG tower
+            if self.perceptual_fn is None:
+                raise ValueError(
+                    "recons_objective='perceptual' requires perceptual_fn "
+                    "(built by the registry from movae_tpu.metrics.vgg)")
+            return self.perceptual_fn
         fn, _ = obj_lib.get_recon_obj_and_activation(
             self.recons_objective, self.recons_activation
         )

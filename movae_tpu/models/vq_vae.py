@@ -81,11 +81,12 @@ class VQVAE(MOVAEModel):
         ("commitment_loss", 0.25),
     )
     dtype: Any = jnp.float32
-    use_pallas_vq: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+    use_pallas_vq: Optional[bool] = None
+    perceptual_fn: Optional[Any] = None
 
-    objective_names: Tuple[str, ...] = (
+    objective_names = (
         "reconstruction_loss", "embedding_loss", "commitment_loss")
-    feature_names: Optional[Tuple[str, ...]] = ("encoding",)
+    feature_names = ("encoding",)
 
     @property
     def latent_spatial_dim(self) -> int:
@@ -172,7 +173,7 @@ class VQVAE(MOVAEModel):
     # --- losses ------------------------------------------------------------
     def _recon_fn(self):
         if self.recons_objective.lower() == "perceptual":
-            return self.perceptual_loss
+            return self.perceptual_fn
         fn, _ = obj_lib.get_recon_obj_and_activation(
             self.recons_objective, self.recons_activation)
         return fn

@@ -83,8 +83,8 @@ class FeatureJacobian:
     """
 
     def __init__(self, trunk_fn, heads_fn, params, num_objectives: int):
-        (features, trunk_aux), trunk_vjp = jax.vjp(trunk_fn, params,
-                                                   has_aux=True)
+        features, trunk_vjp, trunk_aux = jax.vjp(trunk_fn, params,
+                                                 has_aux=True)
         losses, heads_vjp, heads_aux = jax.vjp(
             lambda p, f: heads_fn(p, f, trunk_aux), params, features,
             has_aux=True)

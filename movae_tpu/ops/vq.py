@@ -49,6 +49,14 @@ def _on_tpu() -> bool:
         return False
 
 
+def _pallas_enabled() -> bool:
+    """Pallas VQ is opt-in (MOVAE_VQ_PALLAS=1) until validated on the target
+    TPU generation; the XLA path is the default and is already matmul-bound."""
+    import os
+    return os.environ.get("MOVAE_VQ_PALLAS") == "1" and _on_tpu() \
+        and pltpu is not None
+
+
 # ---------------------------------------------------------------------------
 # XLA reference implementation
 # ---------------------------------------------------------------------------
@@ -68,14 +76,20 @@ def _lookup_xla(z_flat: Array, codebook: Array) -> Tuple[Array, Array]:
 # Pallas forward/backward kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(z_ref, cb_ref, q_ref, inds_ref):
+def _fwd_kernel(z_ref, cb_ref, cbsq_ref, q_ref, inds_ref):
     z = z_ref[:].astype(jnp.float32)          # (Tn, D)
     cb = cb_ref[:].astype(jnp.float32)        # (K, D)
-    # distances via one MXU matmul; ||z||^2 is constant per row -> skip it
+    k = cb.shape[0]
+    # distances via one MXU matmul; ||z||^2 is constant per row -> skip it.
+    # ||e||^2 is precomputed host-side as a (1, K) row (cbsq) — in-kernel
+    # lane reduction + broadcast tripped Mosaic's scoped-vmem accounting.
     dots = jnp.dot(z, cb.T, preferred_element_type=jnp.float32)   # (Tn, K)
-    dist = jnp.sum(cb * cb, axis=1)[None, :] - 2.0 * dots
-    inds = jnp.argmin(dist, axis=1).astype(jnp.int32)             # (Tn,)
-    one_hot = jax.nn.one_hot(inds, cb.shape[0], dtype=jnp.float32)
+    dist = cbsq_ref[:] - 2.0 * dots
+    # argmin via min+first-match (argmin/one_hot lowered poorly in Mosaic)
+    dmin = jnp.min(dist, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    inds = jnp.min(jnp.where(dist <= dmin, iota, jnp.int32(k)), axis=1)
+    one_hot = (iota == inds[:, None]).astype(jnp.float32)
     q_ref[:] = jnp.dot(one_hot, cb, preferred_element_type=jnp.float32)
     inds_ref[:] = inds[:, None]
 
@@ -88,7 +102,9 @@ def _bwd_kernel(inds_ref, dq_ref, dcb_ref):
         dcb_ref[:] = jnp.zeros_like(dcb_ref)
 
     inds = inds_ref[:][:, 0]                                     # (Tn,)
-    one_hot = jax.nn.one_hot(inds, dcb_ref.shape[0], dtype=jnp.float32)
+    k = dcb_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (inds.shape[0], k), 1)
+    one_hot = (iota == inds[:, None]).astype(jnp.float32)
     dq = dq_ref[:].astype(jnp.float32)                           # (Tn, D)
     dcb_ref[:] += jnp.dot(one_hot.T, dq, preferred_element_type=jnp.float32)
 
@@ -96,9 +112,11 @@ def _bwd_kernel(inds_ref, dq_ref, dcb_ref):
 def _lookup_pallas_fwd(z_flat: Array, codebook: Array) -> Tuple[Array, Array]:
     n, d = z_flat.shape
     k = codebook.shape[0]
-    tile = 512
+    tile = 256
     n_pad = _round_up(max(n, tile), tile)
     z_p = jnp.pad(z_flat, ((0, n_pad - n), (0, 0)))
+    cb32 = codebook.astype(jnp.float32)
+    cb_sq = jnp.sum(cb32 * cb32, axis=1)[None, :]  # (1, K)
     grid = (n_pad // tile,)
     q, inds2d = pl.pallas_call(
         _fwd_kernel,
@@ -107,6 +125,7 @@ def _lookup_pallas_fwd(z_flat: Array, codebook: Array) -> Tuple[Array, Array]:
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
@@ -118,13 +137,13 @@ def _lookup_pallas_fwd(z_flat: Array, codebook: Array) -> Tuple[Array, Array]:
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
-    )(z_p, codebook)
+    )(z_p, cb32, cb_sq)
     return q[:n].astype(codebook.dtype), inds2d[:n, 0]
 
 
 def _lookup_pallas_bwd(k: int, d: int, inds: Array, dq: Array) -> Array:
     n = inds.shape[0]
-    tile = 512
+    tile = 256
     n_pad = _round_up(max(n, tile), tile)
     # pad with index k (one_hot of an out-of-range index is all-zero)
     inds_p = jnp.pad(inds[:, None], ((0, n_pad - n), (0, 0)),
@@ -154,16 +173,17 @@ def _lookup_tpu(z_flat: Array, codebook: Array) -> Tuple[Array, Array]:
 
 def _lookup_tpu_fwd(z_flat, codebook):
     q, inds = _lookup_pallas_fwd(z_flat, codebook)
-    return (q, inds), (inds, codebook.shape, codebook.dtype)
+    # residuals must be JAX arrays; the codebook carries K/D/dtype for bwd
+    return (q, inds), (inds, codebook)
 
 
 def _lookup_tpu_bwd(res, cts):
-    inds, cb_shape, cb_dtype = res
+    inds, codebook = res
     dq, _ = cts  # no cotangent for integer indices
-    dcb = _lookup_pallas_bwd(cb_shape[0], cb_shape[1], inds,
-                             dq.astype(jnp.float32))
-    dz = jnp.zeros((inds.shape[0], cb_shape[1]), dq.dtype)
-    return dz, dcb.astype(cb_dtype)
+    k, d = codebook.shape
+    dcb = _lookup_pallas_bwd(k, d, inds, dq.astype(jnp.float32))
+    dz = jnp.zeros((inds.shape[0], d), dq.dtype)
+    return dz, dcb.astype(codebook.dtype)
 
 
 _lookup_tpu.defvjp(_lookup_tpu_fwd, _lookup_tpu_bwd)
@@ -177,7 +197,7 @@ def vq_lookup(z_flat: Array, codebook: Array,
     ``z_flat`` (matching ``codebook[argmin]`` in the reference).
     """
     if use_pallas is None:
-        use_pallas = _on_tpu() and pltpu is not None
+        use_pallas = _pallas_enabled()
     if use_pallas:
         return _lookup_tpu(z_flat, codebook)
     return _lookup_xla(z_flat, codebook)

@@ -1,0 +1,333 @@
+"""Training orchestration: the equivalent of the reference ``main(args)``
+(/root/reference/main.py:1088-1497).
+
+Pipeline per run: build data -> model -> optimizer -> aggregator config ->
+jitted train step -> epoch loop with periodic eval + sample/recon figures ->
+final checkpoint -> (VQ models) prior training -> reconstruction metrics
+(rFID/PSNR/SSIM/LPIPS) -> generative metrics (gFID/IS/KID) -> logging.
+
+Same output tree as the reference (main.py:1252-1256):
+``save_path/<dataset>/<arch>/<optimizer>/<aggregator>/<timestamp>/
+{figures/{generated,reconstructed}, checkpoints}``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from movae_tpu.data import Loader, get_dataset
+from movae_tpu.metrics.hv import build_hv_indicator
+from movae_tpu.models import get_network, init_model, total_trainable_params
+from movae_tpu.moo import AggregatorConfig, init_state
+from movae_tpu.parallel.mesh import DataParallel
+from movae_tpu.train import checkpoint as ckpt_lib
+from movae_tpu.train import figures as fig_lib
+from movae_tpu.train.optim import build_optimizer, lr_schedule
+from movae_tpu.train.state import TrainState
+from movae_tpu.train.step import make_eval_step, make_train_step
+from movae_tpu.utils import AverageMeter
+from movae_tpu.utils.logging import ExperimentLogger, StepTimer
+
+# VQ architectures that need a prior for meaningful generation
+# (reference main.py:54-59)
+ARCHS_NEEDING_PRIOR = {
+    "vq_vae", "gg_vq_vae", "gg_vq_vae_v1", "gg_vq_vae_v2", "gg_vq_vae_v3",
+    "gg_vq_vae_v4", "gg_vq_vae_v5", "gg_vq_vae_v6", "gg_vq_vae_v7",
+    "gg_vq_vae_v8", "vq_vae2", "gg_vq_vae2",
+}
+
+
+def is_vq_model(args) -> bool:
+    return getattr(args, "arch", "vae").lower() in ARCHS_NEEDING_PRIOR
+
+
+def aggregator_config_from_args(args, num_objectives: int) -> AggregatorConfig:
+    """Name + hyperparameter dispatch matching the reference
+    (main.py:1191-1246)."""
+    name = (getattr(args, "aggregator", None) or "sum").lower()
+    pref = getattr(args, "pref_weights", None)
+    if isinstance(pref, dict):
+        pref = tuple(float(v) for v in pref.values())
+    elif pref is not None:
+        pref = tuple(float(v) for v in pref)
+    return AggregatorConfig(
+        name=name,
+        num_objectives=num_objectives,
+        norm_eps=getattr(args, "agg_norm_eps", 1e-4),
+        reg_eps=getattr(args, "agg_reg_eps", 1e-4),
+        mgda_norm_type=getattr(args, "comfort_mgda_norm_type", "none")
+        if name == "comfort" else "none",
+        mgda_epsilon=getattr(args, "mgda_epsilon", 1e-5),
+        mgda_max_iters=getattr(args, "mgda_max_iters", 250),
+        mgda_stable=getattr(args, "comfort_mgda_stable", False),
+        mgda_min_eigenvalue_eps=getattr(args, "mgda_min_eigenvalue_eps", 1e-10),
+        pref_vector=pref,
+        nashmtl_update_every=getattr(args, "nashmtl_update_every", None)
+        or 1,
+        comfort_beta_k=getattr(args, "comfort_beta_k", 1.0),
+        comfort_beta_a=getattr(args, "comfort_beta_a", 1.0),
+        comfort_beta_l=getattr(args, "comfort_beta_l", 0.01),
+        comfort_beta_u=getattr(args, "comfort_beta_u", 1.0),
+    )
+
+
+def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
+                objective_names, log_every: int = 1,
+                timer: Optional[StepTimer] = None):
+    """One epoch of the hot loop (reference train_epoch, main.py:125-235)."""
+    meters = {k: AverageMeter() for k in
+              list(objective_names) + ["total_loss"]}
+    usage_meter = AverageMeter()
+    metrics = None
+    for imgs, _labels, n_valid in loader:
+        batch = parallel.shard_batch(jnp.asarray(imgs))
+        rng, sub = jax.random.split(rng)
+        if timer is not None:
+            timer.start()
+        state, metrics = step_fn(state, batch, sub)
+        step += 1
+        if timer is not None:
+            jax.block_until_ready(metrics["total_loss"])
+            timer.stop(n_valid)
+        if log_every and (step % log_every == 0):
+            host = {k: float(v) for k, v in metrics.items()}
+            for k in meters:
+                if k in host:
+                    meters[k].update(host[k])
+            if "codebook_usage_percentage" in host:
+                usage_meter.update(host["codebook_usage_percentage"],
+                                   n=n_valid)
+            if host["total_loss"] > 1e15:
+                print(f"Step {step}: EXPLODING: total={host['total_loss']:.6e}")
+            if logger is not None and logger.active:
+                log = {f"train/{k}": m.avg for k, m in meters.items()}
+                log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
+                nw = len([k for k in host if k.startswith("task_")])
+                for i in range(nw):
+                    log[f"train/task_{i}_weight"] = host[f"task_{i}_weight"]
+                log["train/gradient_similarity"] = host["gradient_similarity"]
+                if usage_meter.count > 0:
+                    log["train/codebook_usage_percentage"] = usage_meter.avg
+                logger.log(log, step=step)
+    if metrics is not None and meters["total_loss"].count == 0:
+        host = {k: float(v) for k, v in metrics.items()}
+        for k in meters:
+            if k in host:
+                meters[k].update(host[k])
+    if usage_meter.count > 0:
+        meters["codebook_usage_percentage"] = usage_meter
+    return state, meters, step, rng
+
+
+def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
+             num_embeddings: int = 0):
+    """Eval losses + exact codebook usage over the full set
+    (reference evaluate, main.py:238-332)."""
+    meters = {k: AverageMeter() for k in
+              list(objective_names) + ["total_loss"]}
+    union = {}
+    for imgs, _labels, n_valid in loader:
+        batch = parallel.shard_batch(jnp.asarray(imgs))
+        rng, sub = jax.random.split(rng)
+        metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
+                                     sub)
+        for k in meters:
+            meters[k].update(float(metrics[k]))
+        for k, mask in extras.items():
+            m = np.asarray(mask)
+            union[k] = np.logical_or(union[k], m) if k in union else m
+    if union:
+        if "used_mask_top" in union:
+            usage = 0.5 * (union["used_mask_top"].mean() * 100.0
+                           + union["used_mask_bottom"].mean() * 100.0)
+        else:
+            usage = union["used_mask"].mean() * 100.0
+        m = AverageMeter()
+        m.update(float(usage))
+        meters["codebook_usage_percentage"] = m
+    return meters, rng
+
+
+def run_training(args) -> Dict[str, Any]:
+    """Full training pipeline; returns a results dict (final metrics,
+    save_root, state)."""
+    normalize = getattr(args, "normalize_inputs",
+                        getattr(args, "normalize", False))
+    train_ds, test_ds, input_size = get_dataset(
+        args.dataset, data_dir=args.data_dir, normalize=normalize)
+    if (not normalize) and getattr(args, "recons_objective", "mse") in {
+            "mse", "l1", "smooth_l1", "perceptual"}:
+        print("Warning: normalize_inputs=false with a tanh-range recons "
+              "objective; consider --normalize_inputs (main.py:1131-1138).")
+
+    args.dataset_size = len(train_ds)
+    parallel = DataParallel()
+    batch_size = parallel.pad_to_devices(args.batch_size)
+
+    train_loader = Loader(train_ds, batch_size, shuffle=True,
+                          seed=getattr(args, "seed", 0) or 0)
+    test_loader = Loader(test_ds, batch_size, shuffle=False)
+
+    model = get_network(input_size, 3, args)
+    rng = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
+    rng, init_rng = jax.random.split(rng)
+    params, batch_stats = init_model(model, init_rng, input_size, 3,
+                                     batch_size=batch_size)
+    args.total_params = total_trainable_params(params)
+    print(f"Model {args.arch}: {args.total_params:,} trainable params")
+
+    for name, w in dict(model.lambda_weights).items():
+        setattr(args, f"{name}_weight", w)
+
+    steps_per_epoch = len(train_loader)
+    sched = lr_schedule(args.lr, getattr(args, "scheduler", None), args.epochs,
+                        steps_per_epoch,
+                        lr_min=getattr(args, "scheduler_lr_min", 0.0),
+                        gamma=getattr(args, "scheduler_gamma", 0.1),
+                        milestones=getattr(args, "scheduler_milestones", None))
+    tx = build_optimizer(args.optimizer, sched,
+                         momentum=getattr(args, "momentum", 0.9),
+                         weight_decay=getattr(args, "wd", 0.0) or 0.0,
+                         max_grad_norm=getattr(args, "max_grad_norm", None))
+
+    m = len(model.objective_names)
+    agg_cfg = aggregator_config_from_args(args, m)
+    if agg_cfg.name == "nashmtl":
+        agg_cfg = AggregatorConfig(
+            **{**agg_cfg.__dict__, "nashmtl_update_every": steps_per_epoch})
+    args.aggregator = agg_cfg.name
+
+    state = TrainState.create(model.apply, params, batch_stats, tx,
+                              init_state(agg_cfg))
+    state = parallel.replicate(state)
+
+    timestamp = time.strftime("%Y%m%d_%H%M%S")
+    save_root = os.path.join(args.save_path, args.dataset, args.arch,
+                             args.optimizer, agg_cfg.name, timestamp)
+    os.makedirs(os.path.join(save_root, "figures", "generated"), exist_ok=True)
+    os.makedirs(os.path.join(save_root, "figures", "reconstructed"),
+                exist_ok=True)
+    os.makedirs(os.path.join(save_root, "checkpoints"), exist_ok=True)
+
+    logger = ExperimentLogger(
+        use_wandb=getattr(args, "use_wandb", False), save_dir=save_root,
+        config=vars(args) if hasattr(args, "__dict__") else dict(args),
+        project=getattr(args, "wandb_project", "mo-vae"),
+        entity=getattr(args, "wandb_entity", None),
+        name=getattr(args, "wandb_name", None),
+        group=getattr(args, "wandb_group", None),
+        tags=getattr(args, "wandb_tags", None))
+
+    hv_indicator = build_hv_indicator(model.objective_names,
+                                      getattr(args, "hv_ref", None))
+
+    train_step = jax.jit(
+        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch),
+        donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(model))
+
+    step = 0
+    timer = StepTimer()
+    train_losses, eval_losses = [], []
+    log_every = getattr(args, "log_every", 1)
+    num_vis = getattr(args, "num_vis_samples", 4)
+
+    for epoch in range(1, args.epochs + 1):
+        state, meters, step, rng = train_epoch(
+            train_step, state, train_loader, parallel, rng, step, logger,
+            model.objective_names, log_every=log_every, timer=timer)
+        train_losses.append({k: v.avg for k, v in meters.items()})
+
+        log_dict = {}
+        if hv_indicator is not None:
+            pt = np.array([[meters[k].avg for k in model.objective_names]])
+            log_dict["train/hv"] = hv_indicator(pt)
+
+        if epoch % getattr(args, "save_freq", 10) == 0 or epoch == args.epochs:
+            _write_figures(model, state, test_loader, rng, save_root, epoch,
+                           num_vis, normalize, logger, step)
+
+        if epoch % getattr(args, "eval_freq", 1) == 0:
+            eval_meters, rng = evaluate(eval_fn, state, test_loader, parallel,
+                                        rng, model.objective_names,
+                                        getattr(model, "num_embeddings", 0))
+            eval_losses.append({k: v.avg for k, v in eval_meters.items()})
+            for k, v in eval_meters.items():
+                log_dict[f"eval/{k}"] = v.avg
+            if hv_indicator is not None:
+                pt = np.array([[eval_meters[k].avg
+                                for k in model.objective_names]])
+                log_dict["eval/hv"] = hv_indicator(pt)
+            loss_line = ", ".join(f"{k}: {v.avg:.6e}"
+                                  for k, v in eval_meters.items())
+            print(f"Epoch {epoch}/{args.epochs} eval: {loss_line}")
+
+        if logger.active and log_dict:
+            logger.log(log_dict, step=step)
+
+    print(f"Training done: {timer.images_per_sec:.1f} images/sec")
+
+    # final checkpoint (payload keys per main.py:1422-1437)
+    final_path = ckpt_lib.final_checkpoint_path(save_root)
+    ckpt_lib.save_checkpoint(final_path, {
+        "epoch": args.epochs,
+        "model_state_dict": {"params": jax.device_get(state.params),
+                             "batch_stats": jax.device_get(state.batch_stats)},
+        "args": {k: v for k, v in vars(args).items()
+                 if isinstance(v, (int, float, str, bool, list, dict,
+                                   type(None), tuple))},
+        "train_losses": train_losses,
+        "eval_losses": eval_losses,
+        "best_eval_loss": min((e.get("total_loss", np.inf)
+                               for e in eval_losses), default=None),
+    })
+    print(f"Saved final checkpoint to {final_path}")
+
+    results = {
+        "save_root": save_root,
+        "state": state,
+        "model": model,
+        "train_losses": train_losses,
+        "eval_losses": eval_losses,
+        "images_per_sec": timer.images_per_sec,
+        "logger": logger,
+        "parallel": parallel,
+        "test_loader": test_loader,
+        "train_loader": train_loader,
+        "normalize": normalize,
+        "rng": rng,
+    }
+    return results
+
+
+def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
+                   normalized, logger, step):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    try:
+        samples = model.apply(variables, num_vis, method="sample",
+                              rngs={"sample": rng})
+        png = fig_lib.save_sample_grid(
+            np.asarray(jax.device_get(samples)),
+            os.path.join(save_root, "figures", "generated",
+                         f"epoch_{epoch:04d}.pdf"), normalized)
+        logger.log_image("samples/generated", png, step=step)
+    except Exception as e:  # pragma: no cover
+        print(f"figure generation failed: {e}")
+    try:
+        imgs, _, _ = next(iter(test_loader))
+        x = jnp.asarray(imgs[:num_vis])
+        out = model.apply(variables, x, train=False,
+                          rngs={"sample": rng, "dropout": rng})
+        png = fig_lib.save_reconstruction_panel(
+            np.asarray(x), np.asarray(jax.device_get(out["recons"])),
+            os.path.join(save_root, "figures", "reconstructed",
+                         f"epoch_{epoch:04d}.pdf"), normalized)
+        logger.log_image("samples/reconstructed", png, step=step)
+    except Exception as e:  # pragma: no cover
+        print(f"reconstruction figure failed: {e}")

@@ -1,0 +1,161 @@
+"""Prior training stage (PixelCNN/PixelSNAIL over frozen VQ codes).
+
+Equivalent of the reference ``train_pixelcnn_prior``
+(/root/reference/main.py:890-1051): freeze the VQ model, extract the code
+dataset (cached, movae_tpu.utils.codes_cache), train the prior with
+Adam(pixelcnn_lr) + cosine annealing (T_max=pixelcnn_epochs, eta_min=1e-6)
+and grad-clip 1.0, keep the best checkpoint by epoch loss, save
+best_prior/final_prior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from movae_tpu.models.pixelcnn import (
+    HierarchicalPixelCNN,
+    HierarchicalPixelSNAIL,
+    PixelCNN,
+    PixelSNAIL,
+)
+from movae_tpu.train import checkpoint as ckpt_lib
+from movae_tpu.utils import AverageMeter
+from movae_tpu.utils.codes_cache import CodeLoader, get_or_extract_codes
+
+
+def build_prior(args, num_embeddings: int, hierarchical: bool):
+    """Prior construction per args (reference main.py:916-952)."""
+    prior_type = getattr(args, "prior_type", "pixelcnn")
+    hc = getattr(args, "pixelcnn_hidden_channels", 128)
+    nl = getattr(args, "pixelcnn_num_layers", 15)
+    if hierarchical:
+        if prior_type == "pixelsnail":
+            return HierarchicalPixelSNAIL(
+                num_embeddings=num_embeddings, hidden_channels=hc,
+                num_blocks_top=getattr(args, "pixelsnail_num_blocks", 8),
+                num_res_blocks_per_layer=getattr(
+                    args, "pixelsnail_num_res_blocks", 2),
+                num_heads=getattr(args, "pixelsnail_num_heads", 8),
+                num_layers_bottom=nl,
+                dropout=getattr(args, "pixelsnail_dropout", 0.1))
+        return HierarchicalPixelCNN(num_embeddings=num_embeddings,
+                                    hidden_channels=hc, num_layers=nl)
+    if prior_type == "pixelsnail":
+        return PixelSNAIL(
+            num_embeddings=num_embeddings, hidden_channels=hc,
+            num_blocks=getattr(args, "pixelsnail_num_blocks", 8),
+            num_res_blocks_per_layer=getattr(args, "pixelsnail_num_res_blocks",
+                                             2),
+            num_heads=getattr(args, "pixelsnail_num_heads", 8),
+            dropout=getattr(args, "pixelsnail_dropout", 0.1))
+    return PixelCNN(num_embeddings=num_embeddings, hidden_channels=hc,
+                    num_layers=nl)
+
+
+def extract_codes(model, state, loader, hierarchical: bool):
+    """Jitted frozen-VQ code extraction sweep (vq_codes_lmdb.py:58-99)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if hierarchical:
+        fn = jax.jit(lambda x: model.apply(variables, x,
+                                           method="get_code_indices_pair"))
+    else:
+        fn = jax.jit(lambda x: model.apply(variables, x,
+                                           method="get_code_indices"))
+
+    def extract(imgs):
+        return fn(jnp.asarray(imgs))
+
+    return extract
+
+
+def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
+    """Train the prior stage; returns {'model','params','hierarchical'}."""
+    model = results["model"]
+    state = results["state"]
+    save_root = results["save_root"]
+    hierarchical = args.arch.lower() in ("vq_vae2", "gg_vq_vae2")
+
+    epochs = getattr(args, "pixelcnn_epochs", 100)
+    batch_size = args.batch_size
+    lr = getattr(args, "pixelcnn_lr", 3e-4)
+
+    extract = extract_codes(model, state, None, hierarchical)
+    levels, cached = get_or_extract_codes(
+        extract, results["train_loader"], save_root, args.arch, args.dataset,
+        model.num_embeddings, model.input_size, hierarchical,
+        force_extract=getattr(args, "prior_force_extract_codes", False),
+        use_cache=getattr(args, "prior_use_lmdb_codes", True))
+    loader = CodeLoader(levels, batch_size, shuffle=True,
+                        seed=getattr(args, "seed", 0) or 0)
+
+    prior = build_prior(args, model.num_embeddings, hierarchical)
+    rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
+    if hierarchical:
+        zt = jnp.zeros((2,) + levels["top"].shape[1:], jnp.int32)
+        zb = jnp.zeros((2,) + levels["bottom"].shape[1:], jnp.int32)
+        params = prior.init({"params": rng, "dropout": rng}, zt, zb,
+                            train=False)["params"]
+    else:
+        z = jnp.zeros((2,) + levels["codes"].shape[1:], jnp.int32)
+        params = prior.init({"params": rng, "dropout": rng}, z,
+                            train=False)["params"]
+
+    sched = optax.cosine_decay_schedule(lr, epochs * max(len(loader), 1),
+                                        alpha=1e-6 / lr)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(sched))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            if hierarchical:
+                out = prior.apply({"params": p}, batch["top"],
+                                  batch["bottom"], train=True,
+                                  method="loss_function",
+                                  rngs={"dropout": rng})
+            else:
+                out = prior.apply({"params": p}, batch["codes"], train=True,
+                                  method="loss_function",
+                                  rngs={"dropout": rng})
+            return out["total_loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, out
+
+    logger = results.get("logger")
+    best_loss = float("inf")
+    best_params = params
+    for epoch in range(1, epochs + 1):
+        meter = AverageMeter()
+        for batch_np, n_valid in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            rng, sub = jax.random.split(rng)
+            params, opt_state, out = step(params, opt_state, batch, sub)
+            meter.update(float(out["total_loss"]), n=n_valid)
+        if logger is not None and logger.active:
+            logger.log({"prior/loss": meter.avg, "prior/epoch": epoch})
+        if meter.avg < best_loss:
+            best_loss = meter.avg
+            best_params = jax.device_get(params)
+            ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(save_root), {
+                "epoch": epoch, "model_state_dict": {"params": best_params},
+                "loss": best_loss})
+        if epoch % 10 == 0 or epoch == epochs:
+            print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
+                  f"(best {best_loss:.4f})")
+
+    ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(save_root), {
+        "epoch": epochs,
+        "model_state_dict": {"params": jax.device_get(params)},
+        "loss": meter.avg})
+    return {"model": prior, "params": best_params,
+            "hierarchical": hierarchical}

@@ -1,0 +1,137 @@
+"""Pre-extracted VQ code cache for prior training.
+
+Capability-parity port of the reference LMDB cache
+(/root/reference/utils/vq_codes_lmdb.py:20-240): a one-time frozen-VQ sweep
+over the dataset writes per-sample code arrays keyed by
+``md5(arch_dataset_K_inputsize)[:12]``; later prior-training runs read codes
+without touching the VQ encoder.
+
+Storage is TPU-host-native instead of LMDB+pickle: codes are fixed-shape
+int32 grids, so they live in flat memory-mapped ``.npy`` files (one per
+level) + a ``meta.json`` — O(1) random access, zero deserialization, and
+trivially shardable across hosts. (The lmdb package is not available in this
+environment; for datasets that do have an existing LMDB cache this module
+falls back to on-the-fly extraction, mirroring vq_codes_lmdb.py:182-240's
+fall-through.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def cache_key(arch: str, dataset: str, num_embeddings: int,
+              input_size: int) -> str:
+    s = f"{arch}_{dataset}_{num_embeddings}_{input_size}"
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+class CodeCache:
+    """Memory-mapped code store; levels are named arrays of (N, h, w) int32."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_path = os.path.join(root, "meta.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def write(self, levels: Dict[str, np.ndarray], meta: Optional[dict] = None):
+        os.makedirs(self.root, exist_ok=True)
+        info = {"levels": {}, **(meta or {})}
+        for name, arr in levels.items():
+            arr = np.ascontiguousarray(arr, np.int32)
+            path = os.path.join(self.root, f"{name}.npy")
+            np.save(path, arr)
+            info["levels"][name] = {"shape": list(arr.shape)}
+        info["__len__"] = int(next(iter(levels.values())).shape[0])
+        with open(self.meta_path, "w") as f:
+            json.dump(info, f, indent=2)
+
+    def open(self) -> Dict[str, np.ndarray]:
+        with open(self.meta_path) as f:
+            info = json.load(f)
+        return {name: np.load(os.path.join(self.root, f"{name}.npy"),
+                              mmap_mode="r")
+                for name in info["levels"]}
+
+    def __len__(self) -> int:
+        with open(self.meta_path) as f:
+            return json.load(f)["__len__"]
+
+
+def get_or_extract_codes(
+    extract_fn,
+    loader,
+    save_root: str,
+    arch: str,
+    dataset: str,
+    num_embeddings: int,
+    input_size: int,
+    is_hierarchical: bool = False,
+    force_extract: bool = False,
+    use_cache: bool = True,
+) -> Tuple[Dict[str, np.ndarray], bool]:
+    """Return ``{level_name: (N,h,w) int32}`` codes, extracting + caching on
+    first use (reference get_or_extract_codes_lmdb, vq_codes_lmdb.py:182-240).
+
+    ``extract_fn(images) -> codes`` (single level) or ``-> (top, bottom)``.
+    """
+    key = cache_key(arch, dataset, num_embeddings, input_size)
+    cache = CodeCache(os.path.join(save_root, "codes_cache", key))
+    if use_cache and cache.exists() and not force_extract:
+        print(f"Loading cached VQ codes from {cache.root}")
+        return cache.open(), True
+
+    names = ("top", "bottom") if is_hierarchical else ("codes",)
+    chunks = {n: [] for n in names}
+    for imgs, _labels, n_valid in loader:
+        out = extract_fn(imgs)
+        if is_hierarchical:
+            top, bottom = out
+            chunks["top"].append(np.asarray(top)[:n_valid])
+            chunks["bottom"].append(np.asarray(bottom)[:n_valid])
+        else:
+            chunks["codes"].append(np.asarray(out)[:n_valid])
+    levels = {n: np.concatenate(c).astype(np.int32)
+              for n, c in chunks.items()}
+    if use_cache:
+        cache.write(levels, {"arch": arch, "dataset": dataset,
+                             "num_embeddings": num_embeddings,
+                             "input_size": input_size})
+        print(f"Wrote VQ code cache to {cache.root}")
+    return levels, False
+
+
+class CodeLoader:
+    """Static-shape batch iterator over cached codes."""
+
+    def __init__(self, levels: Dict[str, np.ndarray], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.levels = levels
+        self.n = next(iter(levels.values())).shape[0]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        self.epoch += 1
+        bs = self.batch_size
+        for start in range(0, self.n, bs):
+            idx = order[start:start + bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                idx = np.concatenate([idx, order[: bs - n_valid]])
+            yield ({k: np.asarray(v[idx]) for k, v in self.levels.items()},
+                   n_valid)

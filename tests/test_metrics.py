@@ -1,0 +1,121 @@
+"""Metric suite tests: pixel metrics, HV, FID/KID math on known inputs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movae_tpu.metrics import hv as hv_lib
+from movae_tpu.metrics import pixel
+from movae_tpu.metrics.features import (
+    fid_from_features,
+    kid_from_features,
+    precision_recall_from_features,
+)
+
+
+def imgs(seed=0, n=4, size=16):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32))
+
+
+def test_psnr_identical_is_high():
+    x = imgs()
+    assert float(pixel.psnr(x, x)) > 90.0
+
+
+def test_psnr_known_value():
+    x = imgs()
+    y = jnp.clip(x + 0.1, 0, 1)
+    mse = float(jnp.mean((x - y) ** 2))
+    expected = -10 * np.log10(mse)
+    assert abs(float(pixel.psnr(x, y)) - expected) < 0.5
+
+
+def test_ssim_range_and_identity():
+    x = imgs()
+    assert float(pixel.ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+    y = imgs(seed=9)
+    v = float(pixel.ssim(x, y))
+    assert -1.0 <= v < 0.9
+
+
+def test_ssim_autorange_negative_inputs():
+    x = imgs() * 2 - 1  # [-1, 1]
+    assert float(pixel.ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ssnr_identity_clamped():
+    x = imgs()
+    # perfect reconstruction: noise clamped at 1e-10 -> large positive dB
+    assert float(pixel.ssnr(x, x)) > 50.0
+
+
+def test_fid_identical_features_zero():
+    f = np.random.default_rng(0).normal(size=(200, 16)).astype(np.float64)
+    assert abs(fid_from_features(f, f.copy())) < 1e-4
+
+
+def test_fid_shifted_features():
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(500, 8))
+    f2 = f1 + 3.0
+    fid = fid_from_features(f1, f2)
+    assert abs(fid - 8 * 9.0) < 2.0  # ||mu1-mu2||^2 = 8 * 3^2
+
+
+def test_kid_identical_near_zero():
+    f = np.random.default_rng(0).normal(size=(200, 16))
+    assert kid_from_features(f, f.copy(), seed=0) < 1e-2
+
+
+def test_kid_different_positive():
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(200, 16))
+    f2 = rng.normal(size=(200, 16)) + 2.0
+    assert kid_from_features(f1, f2, seed=0) > 0.1
+
+
+def test_precision_recall_identical():
+    f = np.random.default_rng(0).normal(size=(50, 4))
+    p, r = precision_recall_from_features(f, f.copy())
+    assert p == 1.0 and r == 1.0
+
+
+def test_hv_single_point():
+    ind = hv_lib.build_hv_indicator(["a", "b"], None)
+    # single point (0.1, 0.1) vs ref (1.1, 1.1) -> 1.0 * 1.0
+    assert ind(np.array([[0.1, 0.1]])) == pytest.approx(1.0)
+    # dominated region only counts below ref
+    assert ind(np.array([[2.0, 0.1]])) == 0.0
+
+
+def test_hv_multi_point_union():
+    ind = hv_lib.HVIndicator(np.array([1.0, 1.0]))
+    pts = np.array([[0.5, 0.0], [0.0, 0.5]])
+    # union area = 1 - 0.5*0.5 ... compute: total = 0.5*1 + 1*0.5 - 0.5*0.5
+    assert ind(pts) == pytest.approx(0.75)
+
+
+def test_hv_ref_dict_and_list():
+    ind = hv_lib.build_hv_indicator(["a", "b"], {"a": 2.0, "b": 2.0})
+    assert ind(np.array([[1.0, 1.0]])) == pytest.approx(1.0)
+    ind2 = hv_lib.build_hv_indicator(["a", "b"], [2.0, 2.0])
+    assert ind2(np.array([[1.0, 1.0]])) == pytest.approx(1.0)
+
+
+def test_sobel_edge_losses_zero_for_identical():
+    from movae_tpu.ops import sobel
+    x = imgs()
+    assert float(sobel.edge_matching_magnitude(x, x)) < 1e-8
+    assert float(sobel.edge_matching_signed_mse(x, x)) < 1e-8
+    assert float(sobel.edge_matching_cosine(x, x)) < 1e-5
+    assert float(sobel.edge_weighted_pixel_loss(x, x)) < 1e-8
+
+
+def test_sobel_gradients_detect_edges():
+    from movae_tpu.ops import sobel
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    x[:, :, 8:, :] = 1.0  # vertical edge
+    gx, gy = sobel.sobel_gradients(jnp.asarray(x))
+    assert float(jnp.abs(gx).max()) > 1.0
+    assert float(jnp.abs(gy[:, 2:-2, 2:-2]).max()) < 1e-6

@@ -1,0 +1,67 @@
+"""Data-parallel mesh tests on 8 virtual CPU devices (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movae_tpu.models import get_network, init_model
+from movae_tpu.moo import AggregatorConfig, init_state
+from movae_tpu.parallel.mesh import DataParallel, make_mesh
+from movae_tpu.train.optim import build_optimizer, lr_schedule
+from movae_tpu.train.state import TrainState
+from movae_tpu.train.step import make_train_step
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() >= 8
+    mesh = make_mesh()
+    assert mesh.shape["data"] == jax.device_count()
+    assert mesh.shape["model"] == 1
+
+
+def test_dp_train_step_matches_single_device():
+    """The sharded step must produce the same loss as an unsharded run
+    (XLA inserts psum; math is identical)."""
+    args = dict(arch="vae", latent_dim=8, hidden_dims=(8,), batch_size=8,
+                dataset_size=64, layer_norm="none")
+    model = get_network(16, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    cfg = AggregatorConfig(name="upgrad", num_objectives=2)
+    tx = build_optimizer("sgd", lr_schedule(1e-2, None, 1, 1), momentum=0.0)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    step = make_train_step(model, cfg, 1, 1)
+
+    # single device
+    s0 = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    s1, m1 = jax.jit(step)(s0, x, rng)
+
+    # 8-device data-parallel
+    parallel = DataParallel()
+    s0d = parallel.replicate(
+        TrainState.create(model.apply, params, bs, tx, init_state(cfg)))
+    xd = parallel.shard_batch(x)
+    s1d, m2 = jax.jit(step)(s0d, xd, rng)
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s1d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 32, 32, 3)
