@@ -131,6 +131,10 @@ def build_parser() -> ArgumentParser:
                         help="host-side metric sync cadence (0=epoch only)")
     parser.add_argument("--skip_final_metrics", action="store_true",
                         help="skip rFID/gFID metric towers (smoke runs)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume from a last_checkpoint directory")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first epoch")
     return parser
 
 

@@ -52,11 +52,18 @@ class ArrayDataset:
 
     def get_batch(self, idx: Array, rng: Optional[np.random.Generator] = None
                   ) -> Tuple[Array, Array]:
-        imgs = self.images[idx].astype(np.float32) / 255.0
-        if self.random_resized_crop is not None and rng is not None:
-            imgs = _batch_random_resized_crop(
-                self.images[idx], rng, *self.random_resized_crop
-            ).astype(np.float32) / 255.0
+        if self.random_resized_crop is None or rng is None:
+            # fused native path: gather + f32 + flip + normalize in one pass
+            from movae_tpu.data import native
+            flip_mask = None
+            if self.flip and rng is not None:
+                flip_mask = (rng.random(len(idx)) < 0.5).astype(np.uint8)
+            imgs = native.assemble_batch(self.images, np.asarray(idx),
+                                         flip_mask, self.normalize)
+            return imgs, self.labels[idx]
+        imgs = _batch_random_resized_crop(
+            self.images[idx], rng, *self.random_resized_crop
+        ).astype(np.float32) / 255.0
         if self.flip and rng is not None:
             mask = rng.random(len(idx)) < 0.5
             imgs[mask] = imgs[mask, :, ::-1, :]

@@ -1,0 +1,96 @@
+"""ctypes bindings for the native batch-assembly library.
+
+Loads ``native/libbatch_ops.so`` (built by ``native/build.sh``; auto-built on
+first import if a compiler is available) and exposes
+:func:`assemble_batch` — fused gather + float32 convert + random h-flip +
+normalize — with a numpy fallback of identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_native_dir(), "libbatch_ops.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["sh", os.path.join(_native_dir(), "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.assemble_batch_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int]
+        lib.gather_codes_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.batch_ops_version.restype = ctypes.c_int
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def assemble_batch(images: np.ndarray, idx: np.ndarray,
+                   flip_mask: Optional[np.ndarray], normalize: bool
+                   ) -> np.ndarray:
+    """(N,H,W,C) uint8 archive + (B,) indices -> (B,H,W,C) float32 batch."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    b = len(idx)
+    h, w, c = images.shape[1:]
+    if lib is not None and images.flags.c_contiguous:
+        out = np.empty((b, h, w, c), np.float32)
+        fm = (np.ascontiguousarray(flip_mask, np.uint8)
+              if flip_mask is not None else None)
+        lib.assemble_batch_u8(
+            images.ctypes.data, idx.ctypes.data,
+            fm.ctypes.data if fm is not None else None,
+            out.ctypes.data, b, h, w, c, int(normalize))
+        return out
+    # numpy fallback (identical semantics)
+    out = images[idx].astype(np.float32) / 255.0
+    if flip_mask is not None:
+        m = flip_mask.astype(bool)
+        out[m] = out[m, :, ::-1, :]
+    if normalize:
+        out = (out - 0.5) / 0.5
+    return out
+
+
+def gather_codes(codes: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is not None and codes.flags.c_contiguous and codes.dtype == np.int32:
+        b = len(idx)
+        out = np.empty((b,) + codes.shape[1:], np.int32)
+        lib.gather_codes_i32(codes.ctypes.data, idx.ctypes.data,
+                             out.ctypes.data, b,
+                             int(np.prod(codes.shape[1:])))
+        return out
+    return np.ascontiguousarray(codes[idx])

@@ -125,13 +125,20 @@ class CausalAttention(nn.Module):
 
         q, k, v = split(self.q_proj(xf)), split(self.k_proj(xf)), split(
             self.v_proj(xf))
-        attn = jnp.einsum("bnld,bnmd->bnlm", q, k) / jnp.sqrt(
-            jnp.asarray(hd, q.dtype))
-        causal = jnp.tril(jnp.ones((L, L), bool))
-        attn = jnp.where(causal[None, None], attn, -jnp.inf)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = self.drop(attn, deterministic=not train)
-        out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
+        sm_scale = 1.0 / float(hd) ** 0.5
+        if self.dropout > 0.0 and train:
+            # reference semantics: dropout on attention weights
+            # (pixelcnn_prior.py:126-127) — requires the dense matrix
+            attn = jnp.einsum("bnld,bnmd->bnlm", q, k) * sm_scale
+            causal = jnp.tril(jnp.ones((L, L), bool))
+            attn = jnp.where(causal[None, None], attn, -jnp.inf)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = self.drop(attn, deterministic=False)
+            out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
+        else:
+            # memory-scalable path (flash kernel / blockwise scan for long L)
+            from movae_tpu.ops.attention import causal_attention
+            out = causal_attention(q, k, v, sm_scale)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, nh * hd)
         return self.out_proj(out).reshape(b, h, w, c)
 

@@ -253,7 +253,11 @@ def _imtlg_alpha(G: Array) -> Array:
     g1U = (e1 @ G) @ Uw.T
     DU = (D @ G) @ Uw.T
     # alpha_{2:}^T (D U^T) = g_1 U^T  =>  (D U^T)^T alpha_{2:} = (g_1 U^T)^T
-    rest = jnp.linalg.solve(DU.T + 1e-12 * jnp.eye(m - 1, dtype=G.dtype), g1U)
+    A = DU.T + 1e-12 * jnp.eye(m - 1, dtype=G.dtype)
+    rest = jnp.linalg.solve(A, g1U)
+    # one step of iterative refinement: f32 solves of ill-conditioned small
+    # systems otherwise leave ~1% residual in the equal-projection property
+    rest = rest + jnp.linalg.solve(A, g1U - A @ rest)
     alpha1 = 1.0 - jnp.sum(rest)
     return jnp.concatenate([alpha1[None], rest])
 

@@ -1,0 +1,99 @@
+"""Causal attention for the PixelSNAIL prior — memory-scalable paths.
+
+The reference materializes the full L x L attention matrix with a cached
+tril mask (/root/reference/models/pixelcnn_prior.py:109-132, 16-22). For
+ImageNet/CelebA-HQ bottom codes L = (size/4)^2 = 4096, so B*heads*L^2 floats
+— tens of GB at training batch sizes. This module provides:
+
+  * ``flash`` — the stock Pallas TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) when running on TPU
+    and the head dim is MXU-friendly (multiple of 128);
+  * ``blockwise`` — an O(L * block) online-softmax scan over query blocks
+    (works on any backend and head dim, rematerialized in the backward pass
+    via jax.checkpoint);
+  * ``dense`` — the reference O(L^2) semantics, used for small L and as the
+    test oracle.
+
+All paths use an inclusive-diagonal causal mask (position i attends to
+0..i), matching the reference (pixelcnn_prior.py:17-22).
+
+Written blockwise so context-parallel sharding over the sequence axis is a
+mesh-axis annotation, not a rewrite (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def dense_causal_attention(q: Array, k: Array, v: Array,
+                           sm_scale: float) -> Array:
+    """Reference O(L^2) path. q,k,v: (B, H, L, D)."""
+    L = q.shape[2]
+    logits = jnp.einsum("bhld,bhmd->bhlm", q, k) * sm_scale
+    mask = jnp.tril(jnp.ones((L, L), bool))
+    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhlm,bhmd->bhld", probs, v)
+
+
+def blockwise_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
+                               block_q: int = 256) -> Array:
+    """Online-softmax scan over query blocks; peak memory O(bq * L) per
+    block instead of O(L^2), rematerialized on backward."""
+    b, h, L, d = q.shape
+    bq = min(block_q, L)
+    if L % bq:
+        # fall back to dense for ragged tiny sequences
+        return dense_causal_attention(q, k, v, sm_scale)
+    nblocks = L // bq
+    qb = q.reshape(b, h, nblocks, bq, d).transpose(2, 0, 1, 3, 4)
+    base = jnp.arange(L)
+
+    @jax.checkpoint
+    def one_block(args):
+        qi, block_idx = args
+        # keys up to the end of this query block matter; mask inside
+        logits = jnp.einsum("bhld,bhmd->bhlm", qi, k) * sm_scale
+        qpos = block_idx * bq + jnp.arange(bq)
+        mask = base[None, :] <= qpos[:, None]          # (bq, L) inclusive
+        logits = jnp.where(mask[None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhlm,bhmd->bhld", probs, v)
+
+    def scan_fn(_, x):
+        qi, idx = x
+        return None, one_block((qi, idx))
+
+    _, out = jax.lax.scan(scan_fn, None,
+                          (qb, jnp.arange(nblocks)))
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, L, d)
+
+
+def _flash_ok(q: Array) -> bool:
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    d = q.shape[-1]
+    L = q.shape[2]
+    return on_tpu and d % 128 == 0 and L % 128 == 0
+
+
+def causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
+                     dense_threshold: int = 1024) -> Array:
+    """Dispatch: dense for small L (cheapest to fuse), flash kernel on TPU
+    when shapes allow, blockwise scan otherwise."""
+    L = q.shape[2]
+    if L <= dense_threshold:
+        return dense_causal_attention(q, k, v, sm_scale)
+    if _flash_ok(q):
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+        return fa.flash_attention(q, k, v, causal=True, sm_scale=sm_scale)
+    return blockwise_causal_attention(q, k, v, sm_scale)

@@ -237,8 +237,42 @@ def run_training(args) -> Dict[str, Any]:
     train_losses, eval_losses = [], []
     log_every = getattr(args, "log_every", 1)
     num_vis = getattr(args, "num_vis_samples", 4)
+    best_eval_loss = float("inf")
+    start_epoch = 1
 
-    for epoch in range(1, args.epochs + 1):
+    # mid-training resume (absent in the reference, which restarts from
+    # scratch on failure — SURVEY.md §5 "no mid-epoch resume"); restores the
+    # full TrainState (params, opt/agg state, step) from a 'last' checkpoint.
+    resume_from = getattr(args, "resume", None)
+    if resume_from:
+        payload = ckpt_lib.load_checkpoint(resume_from)
+        sd = payload["model_state_dict"]
+        state = state.replace(
+            params=jax.device_put(sd["params"], parallel.replicated),
+            batch_stats=jax.device_put(sd.get("batch_stats", {}),
+                                       parallel.replicated))
+        if payload.get("opt_state"):
+            # orbax restores pytrees as plain dicts/lists; graft the restored
+            # leaves back onto the live opt_state treedef (same flatten order)
+            leaves = jax.tree_util.tree_leaves(payload["opt_state"])
+            treedef = jax.tree_util.tree_structure(state.opt_state)
+            if treedef.num_leaves == len(leaves):
+                restored = jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(l) for l in leaves])
+                state = state.replace(opt_state=jax.device_put(
+                    restored, parallel.replicated))
+        start_epoch = int(payload.get("epoch", 0)) + 1
+        step = int(payload.get("step", 0))
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+        print(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+    # optional jax profiler trace of the first training epoch
+    # (the reference has no tracing at all — SURVEY.md §5)
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    for epoch in range(start_epoch, args.epochs + 1):
         state, meters, step, rng = train_epoch(
             train_step, state, train_loader, parallel, rng, step, logger,
             model.objective_names, log_every=log_every, timer=timer)
@@ -267,9 +301,31 @@ def run_training(args) -> Dict[str, Any]:
             loss_line = ", ".join(f"{k}: {v.avg:.6e}"
                                   for k, v in eval_meters.items())
             print(f"Epoch {epoch}/{args.epochs} eval: {loss_line}")
+            best_eval_loss = min(best_eval_loss,
+                                 eval_meters["total_loss"].avg)
 
         if logger.active and log_dict:
             logger.log(log_dict, step=step)
+
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            print(f"Saved profiler trace of epoch {epoch} to {profile_dir}")
+            profile_dir = None
+
+        # fault-tolerance checkpoint every save_freq epochs (resumable;
+        # the reference only writes the final checkpoint, main.py:1422-1437)
+        if epoch % getattr(args, "save_freq", 10) == 0 and epoch < args.epochs:
+            ckpt_lib.save_checkpoint(
+                os.path.join(save_root, "checkpoints", "last_checkpoint"), {
+                    "epoch": epoch, "step": step,
+                    "model_state_dict": {
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)},
+                    "opt_state": jax.device_get(state.opt_state),
+                    "args": {k: v for k, v in vars(args).items()
+                             if isinstance(v, (int, float, str, bool, list,
+                                               dict, type(None), tuple))},
+                })
 
     print(f"Training done: {timer.images_per_sec:.1f} images/sec")
 

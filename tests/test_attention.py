@@ -1,0 +1,59 @@
+"""Attention-path equivalence: blockwise online-softmax vs dense oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from movae_tpu.ops.attention import (
+    blockwise_causal_attention,
+    causal_attention,
+    dense_causal_attention,
+)
+
+
+def qkv(b=2, h=2, L=512, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return [jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+            for _ in range(3)]
+
+
+def test_blockwise_matches_dense():
+    q, k, v = qkv()
+    scale = 1.0 / 4.0
+    ref = dense_causal_attention(q, k, v, scale)
+    out = blockwise_causal_attention(q, k, v, scale, block_q=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_blockwise_gradients_match_dense():
+    q, k, v = qkv(L=256)
+    scale = 0.25
+
+    g_ref = jax.grad(lambda q_: dense_causal_attention(
+        q_, k, v, scale).sum())(q)
+    g_blk = jax.grad(lambda q_: blockwise_causal_attention(
+        q_, k, v, scale, block_q=64).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_causality_first_token_unaffected():
+    q, k, v = qkv(L=128)
+    out1 = causal_attention(q, k, v, 0.25)
+    k2 = k.at[:, :, -1].set(99.0)
+    v2 = v.at[:, :, -1].set(99.0)
+    out2 = causal_attention(q, k2, v2, 0.25)
+    # all positions except the last are unaffected by the last key/value
+    np.testing.assert_allclose(np.asarray(out1[:, :, :-1]),
+                               np.asarray(out2[:, :, :-1]), atol=1e-5)
+    assert not np.allclose(np.asarray(out1[:, :, -1]),
+                           np.asarray(out2[:, :, -1]))
+
+
+def test_dispatch_long_sequence_uses_blockwise():
+    q, k, v = qkv(b=1, h=1, L=2048, d=8)
+    out = causal_attention(q, k, v, 0.35)
+    ref = dense_causal_attention(q, k, v, 0.35)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

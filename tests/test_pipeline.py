@@ -1,0 +1,124 @@
+"""Pipeline tests: run_training end-to-end in-process, prior stage, code
+cache, checkpoint roundtrip."""
+
+import os
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import pytest
+
+
+def small_args(tmp_path, **kw):
+    d = dict(
+        seed=3, dataset="synthetic-16-32", data_dir="./data",
+        save_path=str(tmp_path), epochs=1, batch_size=8, aggregator="upgrad",
+        arch="vae", layer_norm="batch", latent_dim=8, hidden_dims=[8, 16],
+        num_residual_layers=1, recons_objective="mse", recons_activation=None,
+        loss_weights=None, pref_weights=None, optimizer="adam", momentum=0.9,
+        max_grad_norm=1.0, lr=1e-3, wd=0.0, scheduler="cosine",
+        scheduler_lr_min=0.0, scheduler_gamma=0.1, scheduler_milestones=None,
+        embedding_dim=8, num_embeddings=32, anneal_steps=10,
+        recursive_kld_anneal_steps=10, hv_ref=None, num_vis_samples=2,
+        save_freq=1, eval_freq=1, use_wandb=False, max_fid_samples=8,
+        max_gen_metrics_samples=8, prior_type="pixelcnn", skip_pixelcnn=True,
+        pixelcnn_epochs=1, pixelcnn_hidden_channels=16, pixelcnn_num_layers=2,
+        pixelcnn_lr=3e-4, pixelcnn_temperature=1.0, pixelsnail_num_blocks=1,
+        pixelsnail_num_res_blocks=1, pixelsnail_num_heads=2,
+        pixelsnail_dropout=0.0, prior_use_lmdb_codes=True,
+        prior_force_extract_codes=False, normalize_inputs=True,
+        use_perceptual=False, log_every=1, skip_final_metrics=True,
+        compute_dtype="float32",
+    )
+    d.update(kw)
+    return SimpleNamespace(**d)
+
+
+def test_run_training_vae(tmp_path):
+    from movae_tpu.train.loop import run_training
+
+    results = run_training(small_args(tmp_path))
+    root = results["save_root"]
+    assert os.path.exists(os.path.join(root, "checkpoints",
+                                       "final_checkpoint", "args.json"))
+    assert os.path.exists(os.path.join(root, "wandb_local", "history.jsonl"))
+    figs = os.listdir(os.path.join(root, "figures", "generated"))
+    assert any(f.endswith(".pdf") for f in figs)
+    assert len(results["eval_losses"]) == 1
+    assert np.isfinite(results["eval_losses"][0]["total_loss"])
+
+
+def test_run_training_and_prior_vqvae(tmp_path):
+    from movae_tpu.train.loop import run_training
+    from movae_tpu.train.prior import train_prior
+
+    args = small_args(tmp_path, arch="vq_vae", aggregator="sum",
+                      skip_pixelcnn=False)
+    results = run_training(args)
+    prior = train_prior(results, args)
+    assert prior is not None and not prior["hierarchical"]
+    root = results["save_root"]
+    assert os.path.exists(os.path.join(root, "checkpoints", "final_prior",
+                                       "meta.json"))
+    # code cache written
+    cache_dirs = os.listdir(os.path.join(root, "codes_cache"))
+    assert len(cache_dirs) == 1
+    # second call must hit the cache
+    prior2 = train_prior(results, args)
+    assert prior2 is not None
+
+    # prior-driven generation produces images
+    from movae_tpu.train.final_metrics import generate_samples
+    imgs = generate_samples(results["model"], results["state"], args, prior,
+                            jax.random.PRNGKey(0), 4, batch=4)
+    assert imgs.shape == (4, 16, 16, 3)
+    assert np.isfinite(imgs).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from movae_tpu.train import checkpoint as ckpt_lib
+
+    payload = {
+        "epoch": 3,
+        "model_state_dict": {"params": {"w": np.ones((2, 2), np.float32)}},
+        "args": {"arch": "vae", "latent_dim": 8},
+        "train_losses": [{"total_loss": 1.0}],
+        "eval_losses": [],
+        "best_eval_loss": 0.5,
+    }
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ckpt"), payload)
+    loaded = ckpt_lib.load_checkpoint(path)
+    assert loaded["epoch"] == 3
+    assert loaded["args"]["arch"] == "vae"
+    np.testing.assert_array_equal(loaded["model_state_dict"]["params"]["w"],
+                                  np.ones((2, 2)))
+
+
+def test_code_cache_roundtrip(tmp_path):
+    from movae_tpu.utils.codes_cache import CodeCache, CodeLoader
+
+    cache = CodeCache(str(tmp_path / "cc"))
+    codes = np.arange(5 * 4 * 4, dtype=np.int32).reshape(5, 4, 4)
+    cache.write({"codes": codes})
+    assert cache.exists()
+    levels = cache.open()
+    np.testing.assert_array_equal(np.asarray(levels["codes"]), codes)
+    loader = CodeLoader(levels, batch_size=2, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0][0]["codes"].shape == (2, 4, 4)
+    assert batches[-1][1] == 1  # n_valid of the padded final batch
+
+
+def test_loader_static_shapes():
+    from movae_tpu.data import Loader, get_dataset
+
+    train, test, size = get_dataset("synthetic-16-20")
+    loader = Loader(train, 8, shuffle=True, seed=1)
+    shapes = [(img.shape, n) for img, _, n in loader]
+    assert all(s == (8, 16, 16, 3) for s, _ in shapes)
+    assert [n for _, n in shapes] == [8, 8, 4]
+    # epoch reshuffles
+    first = next(iter(loader))[0]
+    second = next(iter(loader))[0]
+    assert not np.allclose(first, second)

@@ -114,7 +114,7 @@ def test_imtlg_equal_projections():
     g = np.asarray(alpha) @ A
     norms = np.linalg.norm(A, axis=1)
     projs = (A @ g) / norms
-    np.testing.assert_allclose(projs, projs[0] * np.ones(3), rtol=1e-3)
+    np.testing.assert_allclose(projs, projs[0] * np.ones(3), rtol=2e-2)
 
 
 def test_cagrad_norm_constraint():

@@ -53,20 +53,18 @@ def test_vq_gradients_match_reference_semantics():
 
 
 def test_vq_pallas_interpret_matches_xla():
-    """Pallas kernel (interpret mode on CPU) must match the XLA path."""
-    from jax.experimental import pallas as pl  # noqa: F401
+    """Pallas index kernel (interpret mode on CPU) must match the XLA path."""
     rng = np.random.default_rng(2)
     z = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
     cb = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
-    q_ref, inds_ref = vq_ops.vq_lookup(z, cb, use_pallas=False)
+    inds_ref = vq_ops.nearest_code_indices(z, cb, use_pallas=False)
     try:
         from jax.experimental.pallas import tpu as pltpu
         with pltpu.force_tpu_interpret_mode():
-            q, inds = vq_ops._lookup_pallas_fwd(z, cb)
+            inds = vq_ops._nearest_inds_pallas(z, cb)
     except Exception as e:  # pragma: no cover - interpret mode unavailable
         pytest.skip(f"pallas interpret unavailable: {e}")
     np.testing.assert_array_equal(np.asarray(inds), np.asarray(inds_ref))
-    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), atol=1e-5)
 
 
 def vq_args(**kw):

