@@ -33,18 +33,28 @@ A100_REFERENCE_IMAGES_PER_SEC = 4000.0
 
 
 def bench_sampling(args):
-    """PixelCNN sampling px/s: the reference's slowest path (full forward
+    """Prior sampling px/s: the reference's slowest path (full forward
     per pixel, pixelcnn_prior.py:338-348) vs our compiled incremental-cache
-    sampler (movae_tpu/models/pixelcnn.py sample_fast)."""
-    from movae_tpu.models.pixelcnn import PixelCNN, sample_fast, sample_naive
+    samplers (movae_tpu/models/pixelcnn.py sample_fast / sample_fast_snail)."""
+    from movae_tpu.models.pixelcnn import (PixelCNN, PixelSNAIL, sample_fast,
+                                           sample_fast_snail)
 
     h = w = args.grid
-    model = PixelCNN(num_embeddings=512, embedding_dim=64,
-                     hidden_channels=128, num_layers=15)
-    z = jnp.zeros((2, h, w), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), z)["params"]
     b = args.batch_size
-    fast = jax.jit(lambda r: sample_fast(model, params, r, b, h, w))
+    if args.prior == "pixelsnail":
+        model = PixelSNAIL(num_embeddings=512, embedding_dim=64,
+                           hidden_channels=128, num_blocks=8,
+                           num_res_blocks_per_layer=2, num_heads=8,
+                           dropout=0.0)
+        z = jnp.zeros((2, h, w), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), z)["params"]
+        fast = jax.jit(lambda r: sample_fast_snail(model, params, r, b, h, w))
+    else:
+        model = PixelCNN(num_embeddings=512, embedding_dim=64,
+                         hidden_channels=128, num_layers=15)
+        z = jnp.zeros((2, h, w), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), z)["params"]
+        fast = jax.jit(lambda r: sample_fast(model, params, r, b, h, w))
     rng = jax.random.PRNGKey(1)
     np.asarray(fast(rng))  # compile
     t0 = time.perf_counter()
@@ -56,7 +66,7 @@ def bench_sampling(args):
     dt = time.perf_counter() - t0
     px_per_sec = reps * b * h * w / dt
     print(json.dumps({
-        "metric": f"pixelcnn_sample_px_per_sec(bs={b},grid={h}x{w},"
+        "metric": f"{args.prior}_sample_px_per_sec(bs={b},grid={h}x{w},"
                   "cached-sampler)",
         "value": round(px_per_sec, 1),
         "unit": "px/sec",
@@ -75,6 +85,8 @@ def main():
     p.add_argument("--input_size", type=int, default=32)
     p.add_argument("--grid", type=int, default=16,
                    help="code grid side for --mode sampling")
+    p.add_argument("--prior", type=str, default="pixelcnn",
+                   choices=["pixelcnn", "pixelsnail"])
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16",

@@ -512,10 +512,183 @@ def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
     return samples
 
 
+def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
+                      height: int, width: int,
+                      condition: Optional[Array] = None,
+                      temperature: float = 1.0) -> Array:
+    """Incremental-cache raster sampler for PixelSNAIL.
+
+    Same design as :func:`sample_fast` (per-pixel neighborhood slices of
+    padded activation caches instead of full-plane convs) plus a **KV cache**
+    per attention block: at pixel t each block appends (k_t, v_t) and the
+    query attends over keys 0..t with a static-shape mask — O(L) attention
+    work per pixel instead of the reference's full L x L matrix per pixel
+    (pixelcnn_prior.py:334-349 runs the whole network once per pixel).
+    """
+    p = params
+    K = model.num_embeddings
+    k_in = model.kernel_size
+    pad_in = k_in // 2
+    hc = model.hidden_channels
+    half = hc // 2
+    nb_blocks = model.num_blocks
+    n_res = model.num_res_blocks_per_layer
+    nh = model.num_heads
+    hd = hc // nh
+    pd = nh * hd
+    L = height * width
+    cc = condition.shape[-1] if condition is not None else 0
+    cin = model.embedding_dim + 2 + cc  # emb ++ pos(2) ++ cond
+
+    emb_table = p["embedding"]["embedding"]
+    w_in = _masked_weights_flat(p["conv_in"]["kernel"], "A")
+    b_in = p["conv_in"]["bias"]
+
+    def stack_res(name_fn):
+        return jnp.stack([jnp.stack([name_fn(l, r) for r in range(n_res)])
+                          for l in range(nb_blocks)])
+
+    blk = lambda l: p[f"block_{l}"]
+    w1 = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv1"]["kernel"]
+                   .reshape(hc, half))
+    b1 = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv1"]["bias"])
+    w2 = stack_res(lambda l, r: _masked_weights_flat(
+        blk(l)[f"res_{r}"]["conv2"]["kernel"], "B"))
+    b2 = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv2"]["bias"])
+    wg = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_gate"]["kernel"]
+                   .reshape(half, hc))
+    bg = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_gate"]["bias"])
+    wf = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_feature"]["kernel"]
+                   .reshape(half, hc))
+    bf = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_feature"]["bias"])
+
+    wq = jnp.stack([blk(l)["attention"]["q_proj"]["kernel"]
+                    for l in range(nb_blocks)])
+    bq = jnp.stack([blk(l)["attention"]["q_proj"]["bias"]
+                    for l in range(nb_blocks)])
+    wk = jnp.stack([blk(l)["attention"]["k_proj"]["kernel"]
+                    for l in range(nb_blocks)])
+    bk = jnp.stack([blk(l)["attention"]["k_proj"]["bias"]
+                    for l in range(nb_blocks)])
+    wv = jnp.stack([blk(l)["attention"]["v_proj"]["kernel"]
+                    for l in range(nb_blocks)])
+    bv = jnp.stack([blk(l)["attention"]["v_proj"]["bias"]
+                    for l in range(nb_blocks)])
+    wo = jnp.stack([blk(l)["attention"]["out_proj"]["kernel"]
+                    for l in range(nb_blocks)])
+    bo = jnp.stack([blk(l)["attention"]["out_proj"]["bias"]
+                    for l in range(nb_blocks)])
+    woc = jnp.stack([blk(l)["out_conv"]["kernel"].reshape(2 * hc, hc)
+                     for l in range(nb_blocks)])
+    boc = jnp.stack([blk(l)["out_conv"]["bias"] for l in range(nb_blocks)])
+    wo1 = p["out1"]["kernel"].reshape(hc, hc)
+    bo1 = p["out1"]["bias"]
+    wo2 = p["out2"]["kernel"].reshape(hc, K)
+    bo2 = p["out2"]["bias"]
+    sm_scale = 1.0 / float(hd) ** 0.5
+
+    # padded input-plane cache with pos (+ condition) channels pre-written
+    in_cache0 = jnp.zeros((batch_size, height + 2 * pad_in,
+                           width + 2 * pad_in, cin), jnp.float32)
+    pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(height, width)),
+                           (batch_size, height, width, 2)).astype(jnp.float32)
+    pos_pad = jnp.pad(pos, ((0, 0), (pad_in, pad_in), (pad_in, pad_in),
+                            (0, 0)))
+    in_cache0 = in_cache0.at[..., model.embedding_dim:
+                             model.embedding_dim + 2].set(pos_pad)
+    if condition is not None:
+        cond_pad = jnp.pad(condition.astype(jnp.float32),
+                           ((0, 0), (pad_in, pad_in), (pad_in, pad_in),
+                            (0, 0)))
+        in_cache0 = in_cache0.at[..., model.embedding_dim + 2:].set(cond_pad)
+
+    c1_cache0 = jnp.zeros((nb_blocks, n_res, batch_size, height + 2,
+                           width + 2, half), jnp.float32)
+    k_cache0 = jnp.zeros((nb_blocks, batch_size, nh, L, hd), jnp.float32)
+    v_cache0 = jnp.zeros_like(k_cache0)
+    samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+    key_pos = jnp.arange(L)
+
+    def body(idx, carry):
+        samples, in_cache, c1_cache, k_cache, v_cache, rng = carry
+        i, j = idx // width, idx % width
+
+        nb = jax.lax.dynamic_slice(
+            in_cache, (0, i, j, 0), (batch_size, k_in, k_in, cin))
+        h = nb.reshape(batch_size, -1) @ w_in + b_in          # (B, hc)
+
+        def block_body(l, carry_b):
+            h, c1_cache, k_cache, v_cache = carry_b
+
+            def res_body(r, xc):
+                x, c1_cache = xc
+                c1 = nn.relu(x @ w1[l, r] + b1[l, r])
+                c1_cache = jax.lax.dynamic_update_slice(
+                    c1_cache, c1.reshape(1, 1, batch_size, 1, 1, half),
+                    (l, r, 0, i + 1, j + 1, 0))
+                nb2 = jax.lax.dynamic_slice(
+                    c1_cache, (l, r, 0, i, j, 0),
+                    (1, 1, batch_size, 3, 3, half))
+                c2 = nn.relu(nb2.reshape(batch_size, -1) @ w2[l, r]
+                             + b2[l, r])
+                gate = jax.nn.sigmoid(c2 @ wg[l, r] + bg[l, r])
+                feat = jnp.tanh(c2 @ wf[l, r] + bf[l, r])
+                return x + gate * feat, c1_cache
+
+            x, c1_cache = jax.lax.fori_loop(0, n_res, res_body,
+                                            (h, c1_cache))
+
+            # attention at pixel t over cached keys 0..t (inclusive)
+            qt = (x @ wq[l] + bq[l]).reshape(batch_size, nh, hd)
+            kt = (x @ wk[l] + bk[l]).reshape(batch_size, nh, hd)
+            vt = (x @ wv[l] + bv[l]).reshape(batch_size, nh, hd)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kt.reshape(1, batch_size, nh, 1, hd),
+                (l, 0, 0, idx, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vt.reshape(1, batch_size, nh, 1, hd),
+                (l, 0, 0, idx, 0))
+            logits = jnp.einsum("bnd,bnld->bnl", qt,
+                                k_cache[l]) * sm_scale        # (B, nh, L)
+            logits = jnp.where(key_pos[None, None, :] <= idx, logits,
+                               -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bnl,bnld->bnd", probs, v_cache[l])
+            attn = attn.reshape(batch_size, pd) @ wo[l] + bo[l]  # (B, hc)
+
+            blk_out = jnp.concatenate([x, attn], axis=-1) @ woc[l] + boc[l]
+            return h + blk_out + x, c1_cache, k_cache, v_cache
+
+        h, c1_cache, k_cache, v_cache = jax.lax.fori_loop(
+            0, nb_blocks, block_body, (h, c1_cache, k_cache, v_cache))
+
+        hh = nn.relu(nn.relu(h) @ wo1 + bo1)
+        logits = (hh @ wo2 + bo2) / temperature               # (B, K)
+        rng, sub = jax.random.split(rng)
+        code = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        samples = jax.lax.dynamic_update_slice(
+            samples, code.reshape(batch_size, 1, 1), (0, i, j))
+        emb = jnp.take(emb_table, code, axis=0)
+        in_cache = jax.lax.dynamic_update_slice(
+            in_cache,
+            emb.reshape(batch_size, 1, 1, model.embedding_dim).astype(
+                jnp.float32),
+            (0, i + pad_in, j + pad_in, 0))
+        return samples, in_cache, c1_cache, k_cache, v_cache, rng
+
+    samples, _, _, _, _, _ = jax.lax.fori_loop(
+        0, L, body, (samples0, in_cache0, c1_cache0, k_cache0, v_cache0, rng))
+    return samples
+
+
 def sample_prior(model, params, rng, batch_size, height, width,
                  condition=None, temperature: float = 1.0,
                  fast: bool = True) -> Array:
-    """Dispatch: cached sampler for PixelCNN, naive loop otherwise."""
+    """Dispatch: cached sampler for PixelCNN/PixelSNAIL, naive loop
+    otherwise."""
+    if fast and isinstance(model, PixelSNAIL):
+        return sample_fast_snail(model, params, rng, batch_size, height,
+                                 width, condition, temperature)
     if fast and isinstance(model, PixelCNN):
         return sample_fast(model, params, rng, batch_size, height, width,
                            condition, temperature)

@@ -13,6 +13,7 @@ from movae_tpu.models.pixelcnn import (
     PixelCNN,
     PixelSNAIL,
     sample_fast,
+    sample_fast_snail,
     sample_hierarchical,
     sample_naive,
 )
@@ -84,6 +85,20 @@ def test_fast_sampler_matches_naive_with_condition():
     rng = jax.random.PRNGKey(7)
     s_naive = sample_naive(model, params, rng, 2, 6, 6, condition=cond)
     s_fast = sample_fast(model, params, rng, 2, 6, 6, condition=cond)
+    np.testing.assert_array_equal(np.asarray(s_naive), np.asarray(s_fast))
+
+
+def test_fast_snail_sampler_matches_naive():
+    """The KV-cache PixelSNAIL sampler must sample the SAME codes as the
+    naive full-forward sampler for identical rng."""
+    model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
+                       num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
+                       dropout=0.0)
+    x = jnp.zeros((2, 5, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    rng = jax.random.PRNGKey(11)
+    s_naive = sample_naive(model, params, rng, 2, 5, 5, temperature=1.0)
+    s_fast = sample_fast_snail(model, params, rng, 2, 5, 5, temperature=1.0)
     np.testing.assert_array_equal(np.asarray(s_naive), np.asarray(s_fast))
 
 
