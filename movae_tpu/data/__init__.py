@@ -50,23 +50,32 @@ class ArrayDataset:
     def input_size(self) -> int:
         return self.images.shape[1]
 
-    def get_batch(self, idx: Array, rng: Optional[np.random.Generator] = None
-                  ) -> Tuple[Array, Array]:
+    def get_batch(self, idx: Array, rng: Optional[np.random.Generator] = None,
+                  raw: bool = False) -> Tuple[Array, Array]:
+        """``raw=True`` emits uint8 (gather + aug only) so the float cast +
+        normalize run on-device inside the jitted step — the host->device
+        transfer is then 4x smaller (the hot-loop path)."""
         if self.random_resized_crop is None or rng is None:
-            # fused native path: gather + f32 + flip + normalize in one pass
+            # fused native path: gather (+ f32 + normalize unless raw) + flip
             from movae_tpu.data import native
             flip_mask = None
             if self.flip and rng is not None:
                 flip_mask = (rng.random(len(idx)) < 0.5).astype(np.uint8)
-            imgs = native.assemble_batch(self.images, np.asarray(idx),
-                                         flip_mask, self.normalize)
+            if raw:
+                imgs = native.assemble_batch_raw(self.images, np.asarray(idx),
+                                                 flip_mask)
+            else:
+                imgs = native.assemble_batch(self.images, np.asarray(idx),
+                                             flip_mask, self.normalize)
             return imgs, self.labels[idx]
-        imgs = _batch_random_resized_crop(
-            self.images[idx], rng, *self.random_resized_crop
-        ).astype(np.float32) / 255.0
+        imgs_u8 = _batch_random_resized_crop(
+            self.images[idx], rng, *self.random_resized_crop)
         if self.flip and rng is not None:
             mask = rng.random(len(idx)) < 0.5
-            imgs[mask] = imgs[mask, :, ::-1, :]
+            imgs_u8[mask] = imgs_u8[mask, :, ::-1, :]
+        if raw:
+            return imgs_u8, self.labels[idx]
+        imgs = imgs_u8.astype(np.float32) / 255.0
         if self.normalize:
             imgs = (imgs - 0.5) / 0.5
         return imgs, self.labels[idx]
@@ -104,12 +113,13 @@ class Loader:
     reference main.py:1140-1157)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False, raw: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.raw = raw
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -134,7 +144,7 @@ class Loader:
                     return
                 pad = order[: bs - n_valid]
                 idx = np.concatenate([idx, pad])
-            imgs, labels = self.dataset.get_batch(idx, rng)
+            imgs, labels = self.dataset.get_batch(idx, rng, raw=self.raw)
             yield imgs, labels, n_valid
 
 

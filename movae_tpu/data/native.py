@@ -37,19 +37,37 @@ def _load():
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(so)
-        lib.assemble_batch_u8.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int]
-        lib.gather_codes_i32.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64]
-        lib.batch_ops_version.restype = ctypes.c_int
+        lib = _bind(ctypes.CDLL(so))
+        if lib is None:
+            # stale .so from an older source revision — rebuild once
+            subprocess.run(["sh", os.path.join(_native_dir(), "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+            lib = _bind(ctypes.CDLL(so))
         _LIB = lib
     except Exception:
         _LIB = None
     return _LIB
+
+
+_EXPECTED_VERSION = 2
+
+
+def _bind(lib):
+    lib.batch_ops_version.restype = ctypes.c_int
+    if lib.batch_ops_version() != _EXPECTED_VERSION:
+        return None
+    lib.assemble_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int]
+    lib.assemble_batch_u8_raw.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64]
+    lib.gather_codes_i32.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64]
+    return lib
 
 
 def available() -> bool:
@@ -80,6 +98,31 @@ def assemble_batch(images: np.ndarray, idx: np.ndarray,
         out[m] = out[m, :, ::-1, :]
     if normalize:
         out = (out - 0.5) / 0.5
+    return out
+
+
+def assemble_batch_raw(images: np.ndarray, idx: np.ndarray,
+                       flip_mask: Optional[np.ndarray]) -> np.ndarray:
+    """(N,H,W,C) uint8 archive + (B,) indices -> (B,H,W,C) uint8 batch
+    (gather + flip only; cast/normalize happens on-device in the jitted
+    step — see movae_tpu.train.step)."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    b = len(idx)
+    h, w, c = images.shape[1:]
+    if lib is not None and images.flags.c_contiguous:
+        out = np.empty((b, h, w, c), np.uint8)
+        fm = (np.ascontiguousarray(flip_mask, np.uint8)
+              if flip_mask is not None else None)
+        lib.assemble_batch_u8_raw(
+            images.ctypes.data, idx.ctypes.data,
+            fm.ctypes.data if fm is not None else None,
+            out.ctypes.data, b, h, w, c)
+        return out
+    out = images[idx].copy()
+    if flip_mask is not None:
+        m = flip_mask.astype(bool)
+        out[m] = out[m, :, ::-1, :]
     return out
 
 

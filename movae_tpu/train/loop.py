@@ -80,46 +80,63 @@ def aggregator_config_from_args(args, num_objectives: int) -> AggregatorConfig:
 def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 objective_names, log_every: int = 1,
                 timer: Optional[StepTimer] = None):
-    """One epoch of the hot loop (reference train_epoch, main.py:125-235)."""
+    """One epoch of the hot loop (reference train_epoch, main.py:125-235).
+
+    Metric host-fetches are pipelined one step deep: step N's metrics are
+    pulled to the host only after step N+1 has been dispatched, so logging
+    (a forced device sync in the reference, which calls ``.item()`` on every
+    loss every batch) overlaps device compute instead of stalling it.
+    """
     meters = {k: AverageMeter() for k in
               list(objective_names) + ["total_loss"]}
     usage_meter = AverageMeter()
-    metrics = None
-    for imgs, _labels, n_valid in loader:
-        batch = parallel.shard_batch(jnp.asarray(imgs))
-        rng, sub = jax.random.split(rng)
-        if timer is not None:
-            timer.start()
-        state, metrics = step_fn(state, batch, sub)
-        step += 1
-        if timer is not None:
-            jax.block_until_ready(metrics["total_loss"])
-            timer.stop(n_valid)
-        if log_every and (step % log_every == 0):
-            host = {k: float(v) for k, v in metrics.items()}
-            for k in meters:
-                if k in host:
-                    meters[k].update(host[k])
-            if "codebook_usage_percentage" in host:
-                usage_meter.update(host["codebook_usage_percentage"],
-                                   n=n_valid)
-            if host["total_loss"] > 1e15:
-                print(f"Step {step}: EXPLODING: total={host['total_loss']:.6e}")
-            if logger is not None and logger.active:
-                log = {f"train/{k}": m.avg for k, m in meters.items()}
-                log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
-                nw = len([k for k in host if k.startswith("task_")])
-                for i in range(nw):
-                    log[f"train/task_{i}_weight"] = host[f"task_{i}_weight"]
-                log["train/gradient_similarity"] = host["gradient_similarity"]
-                if usage_meter.count > 0:
-                    log["train/codebook_usage_percentage"] = usage_meter.avg
-                logger.log(log, step=step)
-    if metrics is not None and meters["total_loss"].count == 0:
-        host = {k: float(v) for k, v in metrics.items()}
+
+    def drain(pending):
+        p_step, p_valid, p_metrics = pending
+        host = {k: float(v) for k, v in p_metrics.items()}
         for k in meters:
             if k in host:
                 meters[k].update(host[k])
+        if "codebook_usage_percentage" in host:
+            usage_meter.update(host["codebook_usage_percentage"], n=p_valid)
+        if host["total_loss"] > 1e15:
+            print(f"Step {p_step}: EXPLODING: total={host['total_loss']:.6e}")
+        if logger is not None and logger.active:
+            log = {f"train/{k}": m.avg for k, m in meters.items()}
+            log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
+            nw = len([k for k in host if k.startswith("task_")])
+            for i in range(nw):
+                log[f"train/task_{i}_weight"] = host[f"task_{i}_weight"]
+            log["train/gradient_similarity"] = host["gradient_similarity"]
+            if usage_meter.count > 0:
+                log["train/codebook_usage_percentage"] = usage_meter.avg
+            logger.log(log, step=p_step)
+
+    pending = None
+    n_images = 0
+    if timer is not None:
+        timer.start()
+    for imgs, _labels, n_valid in loader:
+        batch = parallel.shard_batch(jnp.asarray(imgs))
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        step += 1
+        n_images += n_valid
+        if pending is not None:
+            drain(pending)
+            pending = None
+        if (log_every and (step % log_every == 0)
+                or meters["total_loss"].count == 0):
+            pending = (step, n_valid, metrics)
+    if pending is not None:
+        drain(pending)
+    elif timer is not None and n_images:
+        # no pending fetch to act as the epoch-end barrier — force one
+        # (a host fetch, not block_until_ready: on the axon TPU platform the
+        # latter can return before execution completes)
+        float(metrics["total_loss"])  # noqa: F821 — loop ran if n_images > 0
+    if timer is not None and n_images:
+        timer.stop(n_images)
     if usage_meter.count > 0:
         meters["codebook_usage_percentage"] = usage_meter
     return state, meters, step, rng
@@ -170,8 +187,12 @@ def run_training(args) -> Dict[str, Any]:
     parallel = DataParallel()
     batch_size = parallel.pad_to_devices(args.batch_size)
 
+    # hot-loop loaders ship raw uint8 (cast/normalize happens on-device in
+    # the jitted step — 4x less host->device traffic); the float test_loader
+    # serves figures and the final metric passes, which expect float images.
     train_loader = Loader(train_ds, batch_size, shuffle=True,
-                          seed=getattr(args, "seed", 0) or 0)
+                          seed=getattr(args, "seed", 0) or 0, raw=True)
+    eval_loader = Loader(test_ds, batch_size, shuffle=False, raw=True)
     test_loader = Loader(test_ds, batch_size, shuffle=False)
 
     model = get_network(input_size, 3, args)
@@ -228,9 +249,10 @@ def run_training(args) -> Dict[str, Any]:
                                       getattr(args, "hv_ref", None))
 
     train_step = jax.jit(
-        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch),
+        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
+                        normalize_inputs=normalize),
         donate_argnums=(0,))
-    eval_fn = jax.jit(make_eval_step(model))
+    eval_fn = jax.jit(make_eval_step(model, normalize_inputs=normalize))
 
     step = 0
     timer = StepTimer()
@@ -288,7 +310,7 @@ def run_training(args) -> Dict[str, Any]:
                            num_vis, normalize, logger, step)
 
         if epoch % getattr(args, "eval_freq", 1) == 0:
-            eval_meters, rng = evaluate(eval_fn, state, test_loader, parallel,
+            eval_meters, rng = evaluate(eval_fn, state, eval_loader, parallel,
                                         rng, model.objective_names,
                                         getattr(model, "num_embeddings", 0))
             eval_losses.append({k: v.avg for k, v in eval_meters.items()})

@@ -58,15 +58,22 @@ def build_prior(args, num_embeddings: int, hierarchical: bool):
                     num_layers=nl)
 
 
-def extract_codes(model, state, loader, hierarchical: bool):
-    """Jitted frozen-VQ code extraction sweep (vq_codes_lmdb.py:58-99)."""
+def extract_codes(model, state, loader, hierarchical: bool,
+                  normalize_inputs: bool = False):
+    """Jitted frozen-VQ code extraction sweep (vq_codes_lmdb.py:58-99).
+    Accepts raw-uint8 loader batches (cast/normalize happens in-jit, see
+    movae_tpu.train.step.preprocess_batch)."""
+    from movae_tpu.train.step import preprocess_batch
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if hierarchical:
-        fn = jax.jit(lambda x: model.apply(variables, x,
-                                           method="get_code_indices_pair"))
+        fn = jax.jit(lambda x: model.apply(
+            variables, preprocess_batch(x, normalize_inputs),
+            method="get_code_indices_pair"))
     else:
-        fn = jax.jit(lambda x: model.apply(variables, x,
-                                           method="get_code_indices"))
+        fn = jax.jit(lambda x: model.apply(
+            variables, preprocess_batch(x, normalize_inputs),
+            method="get_code_indices"))
 
     def extract(imgs):
         return fn(jnp.asarray(imgs))
@@ -85,7 +92,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     batch_size = args.batch_size
     lr = getattr(args, "pixelcnn_lr", 3e-4)
 
-    extract = extract_codes(model, state, None, hierarchical)
+    extract = extract_codes(model, state, None, hierarchical,
+                            normalize_inputs=results.get("normalize", False))
     levels, cached = get_or_extract_codes(
         extract, results["train_loader"], save_root, args.arch, args.dataset,
         model.num_embeddings, model.input_size, hierarchical,

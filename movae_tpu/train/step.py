@@ -42,6 +42,19 @@ def _rngs(rng: Array) -> Dict[str, Array]:
     return {"sample": k1, "dropout": k2}
 
 
+def preprocess_batch(x: Array, normalize: bool) -> Array:
+    """Device-side input preprocessing: uint8 batches (shipped raw to keep
+    the host->device transfer 4x smaller) are cast to float32 in [0,1] and
+    optionally normalized to [-1,1] inside the compiled step. Float batches
+    pass through untouched (the host already preprocessed them)."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) * ((1.0 / 127.5) if normalize
+                                     else (1.0 / 255.0))
+        if normalize:
+            x = x - 1.0
+    return x
+
+
 def _codebook_usage(outputs: Dict[str, Any], num_embeddings: int) -> Optional[Array]:
     """Per-batch codebook usage %, from encoding indices (vq_vae.py:110-124).
     Handles single (``encoding_inds``) and hierarchical
@@ -64,6 +77,7 @@ def make_train_step(
     agg_cfg: agg_lib.AggregatorConfig,
     total_epochs: int = 1,
     steps_per_epoch: int = 1,
+    normalize_inputs: bool = False,
 ):
     """Build the (un-jitted) train step for ``model`` under ``agg_cfg``.
 
@@ -87,7 +101,7 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Array, rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
-        x = batch
+        x = preprocess_batch(batch, normalize_inputs)
         rng, agg_key = jax.random.split(rng)
         rngs = _rngs(rng)
         params, bs = state.params, state.batch_stats
@@ -168,12 +182,13 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, normalize_inputs: bool = False):
     """Eval step: losses (+ codebook used-mask for exact usage accumulation
     across batches, reference main.py:261-331)."""
     num_embeddings = getattr(model, "num_embeddings", 0)
 
     def eval_step(params, batch_stats, batch: Array, rng: Array):
+        batch = preprocess_batch(batch, normalize_inputs)
         (loss_vec, loss_dict, outputs) = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
             train=False, method="forward_with_losses", rngs=_rngs(rng))

@@ -58,6 +58,37 @@ void assemble_batch_u8(const uint8_t* images, const int64_t* idx,
   }
 }
 
+// Raw-uint8 variant of assemble_batch_u8: gather + optional h-flip, NO
+// float conversion — the cast/normalize runs on-device inside the jitted
+// step. Shipping uint8 keeps the host->device transfer 4x smaller, which
+// matters both on PCIe and (especially) on tunneled TPU targets.
+//   images : (N, H, W, C) uint8; idx : (B,) int64
+//   flip   : (B,) uint8 flags or nullptr
+//   out    : (B, H, W, C) uint8 (written)
+void assemble_batch_u8_raw(const uint8_t* images, const int64_t* idx,
+                           const uint8_t* flip, uint8_t* out, int64_t batch,
+                           int64_t height, int64_t width, int64_t channels) {
+  const int64_t row_elems = width * channels;
+  const int64_t img_elems = height * row_elems;
+  for (int64_t b = 0; b < batch; ++b) {
+    const uint8_t* src = images + idx[b] * img_elems;
+    uint8_t* dst = out + b * img_elems;
+    const bool do_flip = flip != nullptr && flip[b];
+    if (!do_flip) {
+      std::memcpy(dst, src, img_elems);
+    } else {
+      for (int64_t h = 0; h < height; ++h) {
+        const uint8_t* srow = src + h * row_elems;
+        uint8_t* drow = dst + h * row_elems;
+        for (int64_t w = 0; w < width; ++w) {
+          std::memcpy(drow + w * channels,
+                      srow + (width - 1 - w) * channels, channels);
+        }
+      }
+    }
+  }
+}
+
 // Gather rows of an int32 code archive (prior training batches).
 //   codes : (N, H, W) int32; idx : (B,) int64; out : (B, H, W) int32
 void gather_codes_i32(const int32_t* codes, const int64_t* idx, int32_t* out,
@@ -69,6 +100,6 @@ void gather_codes_i32(const int32_t* codes, const int64_t* idx, int32_t* out,
   }
 }
 
-int batch_ops_version() { return 1; }
+int batch_ops_version() { return 2; }
 
 }  // extern "C"

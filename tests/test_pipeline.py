@@ -122,3 +122,22 @@ def test_loader_static_shapes():
     first = next(iter(loader))[0]
     second = next(iter(loader))[0]
     assert not np.allclose(first, second)
+
+
+def test_raw_loader_matches_float_loader():
+    """uint8 hot-loop batches + in-jit preprocess == host-float batches."""
+    import jax.numpy as jnp
+
+    from movae_tpu.data import Loader, get_dataset
+    from movae_tpu.train.step import preprocess_batch
+
+    for normalize in (False, True):
+        train, _, _ = get_dataset("synthetic-16-20", normalize=normalize)
+        f_batches = [b for b, _, _ in Loader(train, 8, shuffle=True, seed=3)]
+        r_batches = [b for b, _, _ in Loader(train, 8, shuffle=True, seed=3,
+                                             raw=True)]
+        assert all(b.dtype == np.uint8 for b in r_batches)
+        for fb, rb in zip(f_batches, r_batches):
+            on_device = np.asarray(preprocess_batch(jnp.asarray(rb),
+                                                    normalize))
+            np.testing.assert_allclose(on_device, fb, atol=1e-6)
