@@ -30,7 +30,10 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
 
 
 class DataParallel:
-    """Shard batches over 'data'; replicate state."""
+    """Shard batches over 'data'; replicate state. When the mesh has a
+    non-trivial 'model' axis, :meth:`shard_params` additionally splits large
+    weight matrices/conv kernels over it (tensor parallelism) — GSPMD
+    propagates the layout through the step and inserts the collectives."""
 
     def __init__(self, mesh: Optional[Mesh] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -46,6 +49,27 @@ class DataParallel:
 
     def replicate(self, tree: Any):
         return jax.device_put(tree, self.replicated)
+
+    def param_shardings(self, params: Any, min_elems: int = 4096) -> Any:
+        """Tensor-parallel sharding rule: leaves with >=2 dims whose output
+        (last) dimension divides the 'model' axis and that are big enough to
+        be worth splitting get P(..., 'model'); everything else (biases,
+        norm scales, small kernels) is replicated. Output-dim sharding works
+        for both Dense kernels (in, out) and conv kernels (kh, kw, cin,
+        cout) without any model-code change."""
+        tp = self.mesh.shape["model"]
+
+        def rule(leaf):
+            if (tp > 1 and getattr(leaf, "ndim", 0) >= 2
+                    and leaf.shape[-1] % tp == 0 and leaf.size >= min_elems):
+                spec = [None] * (leaf.ndim - 1) + ["model"]
+                return NamedSharding(self.mesh, P(*spec))
+            return self.replicated
+
+        return jax.tree_util.tree_map(rule, params)
+
+    def shard_params(self, params: Any, min_elems: int = 4096) -> Any:
+        return jax.device_put(params, self.param_shardings(params, min_elems))
 
     def pad_to_devices(self, n: int) -> int:
         d = self.mesh.shape["data"]

@@ -144,11 +144,16 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     best_params = params
     for epoch in range(1, epochs + 1):
         meter = AverageMeter()
+        pending = None  # one-step-delayed host fetch (overlaps compute)
         for batch_np, n_valid in loader:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, out = step(params, opt_state, batch, sub)
-            meter.update(float(out["total_loss"]), n=n_valid)
+            if pending is not None:
+                meter.update(float(pending[0]["total_loss"]), n=pending[1])
+            pending = (out, n_valid)
+        if pending is not None:
+            meter.update(float(pending[0]["total_loss"]), n=pending[1])
         if logger is not None and logger.active:
             logger.log({"prior/loss": meter.avg, "prior/epoch": epoch})
         if meter.avg < best_loss:

@@ -141,3 +141,24 @@ def test_raw_loader_matches_float_loader():
             on_device = np.asarray(preprocess_batch(jnp.asarray(rb),
                                                     normalize))
             np.testing.assert_allclose(on_device, fb, atol=1e-6)
+
+
+def test_resume_from_last_checkpoint(tmp_path):
+    """Mid-training resume: restores params/opt-state/step from
+    last_checkpoint and continues at the next epoch."""
+    from movae_tpu.train.loop import run_training
+
+    args = small_args(tmp_path, epochs=2)
+    results = run_training(args)
+    last = os.path.join(results["save_root"], "checkpoints",
+                        "last_checkpoint")
+    assert os.path.exists(last)
+    assert len(results["train_losses"]) == 2
+
+    args2 = small_args(tmp_path, epochs=2, resume=last)
+    results2 = run_training(args2)
+    # resumed run starts at epoch 2 -> trains exactly one epoch
+    assert len(results2["train_losses"]) == 1
+    assert np.isfinite(results2["eval_losses"][-1]["total_loss"])
+    assert int(results2["state"].step) > int(
+        np.asarray(results["state"].step)) // 2
