@@ -168,6 +168,29 @@ def main(args):
     if is_vq_model(args) and not args.skip_pixelcnn:
         from movae_tpu.train.prior import train_prior
         prior = train_prior(results, args)
+        if prior is not None:
+            # final prior-driven sample grid (reference main.py:1445)
+            import os
+
+            import jax
+            import numpy as np
+
+            from movae_tpu.train import figures as fig_lib
+            from movae_tpu.train.final_metrics import generate_samples
+
+            try:
+                n = getattr(args, "num_vis_samples", 4)
+                imgs = generate_samples(
+                    results["model"], results["state"], args, prior,
+                    jax.random.PRNGKey((args.seed or 0) + 2), n, batch=n)
+                png = fig_lib.save_sample_grid(
+                    np.asarray(imgs),
+                    os.path.join(results["save_root"], "figures", "generated",
+                                 "final_random_samples_with_prior.pdf"),
+                    results["normalize"])
+                logger.log_image("samples/final_with_prior", png)
+            except Exception as e:  # pragma: no cover
+                print(f"final prior sample figure failed: {e}")
 
     if not getattr(args, "skip_final_metrics", False):
         from movae_tpu.train.final_metrics import run_final_metrics

@@ -69,9 +69,18 @@ def final_checkpoint_path(save_root: str) -> str:
     return os.path.join(save_root, "checkpoints", "final_checkpoint")
 
 
-def best_prior_path(save_root: str) -> str:
-    return os.path.join(save_root, "checkpoints", "best_prior")
+def _prior_dir(save_root: str, prior_type: str) -> str:
+    """Prior checkpoints live under ``<save_root>/<type>_prior/checkpoints``
+    like the reference (main.py:913-914: 'pixelcnn_prior' /
+    'pixelsnail_prior'; hierarchical variants use their base type)."""
+    name = ("pixelsnail_prior" if "pixelsnail" in (prior_type or "").lower()
+            else "pixelcnn_prior")
+    return os.path.join(save_root, name, "checkpoints")
 
 
-def final_prior_path(save_root: str) -> str:
-    return os.path.join(save_root, "checkpoints", "final_prior")
+def best_prior_path(save_root: str, prior_type: str = "pixelcnn") -> str:
+    return os.path.join(_prior_dir(save_root, prior_type), "best_prior")
+
+
+def final_prior_path(save_root: str, prior_type: str = "pixelcnn") -> str:
+    return os.path.join(_prior_dir(save_root, prior_type), "final_prior")

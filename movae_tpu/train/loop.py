@@ -307,7 +307,8 @@ def run_training(args) -> Dict[str, Any]:
 
         if epoch % getattr(args, "save_freq", 10) == 0 or epoch == args.epochs:
             _write_figures(model, state, test_loader, rng, save_root, epoch,
-                           num_vis, normalize, logger, step)
+                           num_vis, normalize, logger, step,
+                           train_ds=train_ds)
 
         if epoch % getattr(args, "eval_freq", 1) == 0:
             eval_meters, rng = evaluate(eval_fn, state, eval_loader, parallel,
@@ -385,7 +386,10 @@ def run_training(args) -> Dict[str, Any]:
 
 
 def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
-                   normalized, logger, step):
+                   normalized, logger, step, train_ds=None):
+    """Per-epoch sample + reconstruction figures, filenames as in the
+    reference (main.py:1331-1366: epoch_NNNN_random_samples.pdf plus
+    test/train reconstruction panels)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     try:
         samples = model.apply(variables, num_vis, method="sample",
@@ -393,19 +397,31 @@ def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
         png = fig_lib.save_sample_grid(
             np.asarray(jax.device_get(samples)),
             os.path.join(save_root, "figures", "generated",
-                         f"epoch_{epoch:04d}.pdf"), normalized)
+                         f"epoch_{epoch:04d}_random_samples.pdf"), normalized)
         logger.log_image("samples/generated", png, step=step)
     except Exception as e:  # pragma: no cover
         print(f"figure generation failed: {e}")
-    try:
-        imgs, _, _ = next(iter(test_loader))
-        x = jnp.asarray(imgs[:num_vis])
+
+    def recon_panel(x_np, split):
+        x = jnp.asarray(x_np[:num_vis])
         out = model.apply(variables, x, train=False,
                           rngs={"sample": rng, "dropout": rng})
         png = fig_lib.save_reconstruction_panel(
             np.asarray(x), np.asarray(jax.device_get(out["recons"])),
             os.path.join(save_root, "figures", "reconstructed",
-                         f"epoch_{epoch:04d}.pdf"), normalized)
-        logger.log_image("samples/reconstructed", png, step=step)
+                         f"epoch_{epoch:04d}_{split}_samples.pdf"),
+            normalized)
+        logger.log_image(f"samples/reconstructed_{split}", png, step=step)
+
+    try:
+        imgs, _, _ = next(iter(test_loader))
+        recon_panel(imgs, "test")
     except Exception as e:  # pragma: no cover
-        print(f"reconstruction figure failed: {e}")
+        print(f"test reconstruction figure failed: {e}")
+    if train_ds is not None:
+        try:
+            imgs, _ = train_ds.get_batch(np.arange(min(num_vis,
+                                                       len(train_ds))))
+            recon_panel(imgs, "train")
+        except Exception as e:  # pragma: no cover
+            print(f"train reconstruction figure failed: {e}")

@@ -159,14 +159,16 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         if meter.avg < best_loss:
             best_loss = meter.avg
             best_params = jax.device_get(params)
-            ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(save_root), {
+            ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(
+                save_root, getattr(args, "prior_type", "pixelcnn")), {
                 "epoch": epoch, "model_state_dict": {"params": best_params},
                 "loss": best_loss})
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
 
-    ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(save_root), {
+    ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
+        save_root, getattr(args, "prior_type", "pixelcnn")), {
         "epoch": epochs,
         "model_state_dict": {"params": jax.device_get(params)},
         "loss": meter.avg})

@@ -58,8 +58,8 @@ def test_run_training_and_prior_vqvae(tmp_path):
     prior = train_prior(results, args)
     assert prior is not None and not prior["hierarchical"]
     root = results["save_root"]
-    assert os.path.exists(os.path.join(root, "checkpoints", "final_prior",
-                                       "meta.json"))
+    assert os.path.exists(os.path.join(root, "pixelcnn_prior", "checkpoints",
+                                       "final_prior", "meta.json"))
     # code cache written
     cache_dirs = os.listdir(os.path.join(root, "codes_cache"))
     assert len(cache_dirs) == 1
