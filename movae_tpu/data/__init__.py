@@ -113,37 +113,50 @@ class Loader:
     reference main.py:1140-1157)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False, raw: bool = False):
+                 seed: int = 0, drop_last: bool = False, raw: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        """``process_index``/``process_count`` shard the *per-step order*
+        across hosts for multi-host (DCN) runs: every process walks the same
+        seeded permutation but takes an interleaved slice of each global
+        batch, so the union of host batches equals the single-host batch
+        stream (pass ``jax.process_index()``/``jax.process_count()``).
+        ``batch_size`` is the per-process batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.raw = raw
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        gb = self.batch_size * self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // gb
+        return (n + gb - 1) // gb
 
     def __iter__(self) -> Iterator[Tuple[Array, Array, int]]:
         """Yields (images, labels, n_valid); the final batch is padded by
-        wrapping to keep shapes static."""
+        wrapping to keep shapes static. With process sharding, each host
+        takes an interleaved slice of every seeded global batch."""
         n = len(self.dataset)
         rng = np.random.default_rng((self.seed, self.epoch))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         self.epoch += 1
         bs = self.batch_size
-        for start in range(0, n, bs):
-            idx = order[start:start + bs]
+        gb = bs * self.process_count
+        for start in range(0, n, gb):
+            idx = order[start:start + gb][self.process_index::
+                                          self.process_count]
             n_valid = len(idx)
             if n_valid < bs:
                 if self.drop_last:
                     return
                 pad = order[: bs - n_valid]
-                idx = np.concatenate([idx, pad])
+                idx = np.concatenate([idx, pad]) if n_valid else pad
             imgs, labels = self.dataset.get_batch(idx, rng, raw=self.raw)
             yield imgs, labels, n_valid
 

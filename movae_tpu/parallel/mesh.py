@@ -45,6 +45,11 @@ class DataParallel:
         return self.mesh.devices.size
 
     def shard_batch(self, batch: Any):
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its local slice of the
+            # global batch (Loader(process_index=..., process_count=...))
+            return jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(batch))
         return jax.device_put(batch, self.batch_sharding)
 
     def replicate(self, tree: Any):

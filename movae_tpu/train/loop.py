@@ -149,16 +149,25 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
     meters = {k: AverageMeter() for k in
               list(objective_names) + ["total_loss"]}
     union = {}
-    for imgs, _labels, n_valid in loader:
-        batch = parallel.shard_batch(jnp.asarray(imgs))
-        rng, sub = jax.random.split(rng)
-        metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
-                                     sub)
+
+    def drain(metrics, extras):
         for k in meters:
             meters[k].update(float(metrics[k]))
         for k, mask in extras.items():
             m = np.asarray(mask)
             union[k] = np.logical_or(union[k], m) if k in union else m
+
+    pending = None  # one-step-delayed host fetch (overlaps device compute)
+    for imgs, _labels, n_valid in loader:
+        batch = parallel.shard_batch(jnp.asarray(imgs))
+        rng, sub = jax.random.split(rng)
+        metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
+                                     sub)
+        if pending is not None:
+            drain(*pending)
+        pending = (metrics, extras)
+    if pending is not None:
+        drain(*pending)
     if union:
         if "used_mask_top" in union:
             usage = 0.5 * (union["used_mask_top"].mean() * 100.0
@@ -190,9 +199,15 @@ def run_training(args) -> Dict[str, Any]:
     # hot-loop loaders ship raw uint8 (cast/normalize happens on-device in
     # the jitted step — 4x less host->device traffic); the float test_loader
     # serves figures and the final metric passes, which expect float images.
-    train_loader = Loader(train_ds, batch_size, shuffle=True,
-                          seed=getattr(args, "seed", 0) or 0, raw=True)
-    eval_loader = Loader(test_ds, batch_size, shuffle=False, raw=True)
+    # Multi-host (DCN) runs: args.batch_size is the global batch; each
+    # process loads an interleaved 1/process_count slice.
+    pc, pi = jax.process_count(), jax.process_index()
+    local_bs = batch_size // pc if pc > 1 else batch_size
+    train_loader = Loader(train_ds, local_bs, shuffle=True,
+                          seed=getattr(args, "seed", 0) or 0, raw=True,
+                          process_index=pi, process_count=pc)
+    eval_loader = Loader(test_ds, local_bs, shuffle=False, raw=True,
+                         process_index=pi, process_count=pc)
     test_loader = Loader(test_ds, batch_size, shuffle=False)
 
     model = get_network(input_size, 3, args)

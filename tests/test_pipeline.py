@@ -162,3 +162,31 @@ def test_resume_from_last_checkpoint(tmp_path):
     assert np.isfinite(results2["eval_losses"][-1]["total_loss"])
     assert int(results2["state"].step) > int(
         np.asarray(results["state"].step)) // 2
+
+
+def test_process_sharded_loader_partitions_global_stream():
+    """Union of per-process loader slices == the single-process batch stream
+    (multi-host input sharding, exercised host-side)."""
+    from movae_tpu.data import Loader, get_dataset
+
+    train, _, _ = get_dataset("synthetic-16-40")
+    full = [idx_set for idx_set in _loader_index_stream(
+        Loader(train, 8, shuffle=True, seed=7))]
+    shards = [list(_loader_index_stream(
+        Loader(train, 4, shuffle=True, seed=7, process_index=p,
+               process_count=2))) for p in (0, 1)]
+    assert len(shards[0]) == len(full)
+    for step, whole in enumerate(full):
+        merged = shards[0][step] | shards[1][step]
+        assert merged == whole
+
+
+def _loader_index_stream(loader):
+    """Recover the per-batch sample-index sets by fingerprinting images."""
+    ds = loader.dataset
+    finger = {ds.images[i].tobytes(): i for i in range(len(ds.images))}
+    ds2 = type(ds)(ds.images, ds.labels)  # no flip/normalize: raw gather
+    loader.dataset = ds2
+    loader.raw = True
+    for imgs, _labels, n_valid in loader:
+        yield {finger[im.tobytes()] for im in imgs[:n_valid]}
