@@ -113,8 +113,10 @@ def evaluate_generative_metrics(model, state, loader, args,
                                 max_samples: int = 10000) -> Dict[str, float]:
     """gFID / IS / KID (main.py:695-887)."""
     num = min(max_samples, getattr(args, "max_fid_samples", 10000))
+    # prior sampling is per-pixel-latency bound: px/s scales ~linearly with
+    # batch (see bench.py --mode sampling), so generate at up to 256/batch
     fake = generate_samples(model, state, args, prior, rng, num,
-                            batch=min(args.batch_size, 64))
+                            batch=min(max(args.batch_size, 64), 256))
     reals = []
     n = 0
     for imgs, _labels, n_valid in loader:

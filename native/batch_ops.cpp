@@ -12,8 +12,38 @@
 // Build: cc -O3 -march=native -shared -fPIC -o libbatch_ops.so batch_ops.cpp
 // (see native/build.sh; no external dependencies).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Run fn(b) for b in [0, batch) across hardware threads. Each index writes
+// a disjoint output row, so the split is deterministic and race-free.
+template <typename Fn>
+void parallel_rows(int64_t batch, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nthreads = std::min<int64_t>(hw ? hw : 1, batch);
+  if (nthreads <= 1 || batch < 16) {
+    for (int64_t b = 0; b < batch; ++b) fn(b);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nthreads);
+  int64_t chunk = (batch + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(batch, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([=] {
+      for (int64_t b = lo; b < hi; ++b) fn(b);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -34,7 +64,7 @@ void assemble_batch_u8(const uint8_t* images, const int64_t* idx,
   const float scale = normalize ? (1.0f / 127.5f) : (1.0f / 255.0f);
   const float bias = normalize ? -1.0f : 0.0f;
 
-  for (int64_t b = 0; b < batch; ++b) {
+  parallel_rows(batch, [=](int64_t b) {
     const uint8_t* src = images + idx[b] * img_elems;
     float* dst = out + b * img_elems;
     const bool do_flip = flip != nullptr && flip[b];
@@ -55,7 +85,7 @@ void assemble_batch_u8(const uint8_t* images, const int64_t* idx,
         }
       }
     }
-  }
+  });
 }
 
 // Raw-uint8 variant of assemble_batch_u8: gather + optional h-flip, NO
@@ -70,7 +100,7 @@ void assemble_batch_u8_raw(const uint8_t* images, const int64_t* idx,
                            int64_t height, int64_t width, int64_t channels) {
   const int64_t row_elems = width * channels;
   const int64_t img_elems = height * row_elems;
-  for (int64_t b = 0; b < batch; ++b) {
+  parallel_rows(batch, [=](int64_t b) {
     const uint8_t* src = images + idx[b] * img_elems;
     uint8_t* dst = out + b * img_elems;
     const bool do_flip = flip != nullptr && flip[b];
@@ -86,7 +116,7 @@ void assemble_batch_u8_raw(const uint8_t* images, const int64_t* idx,
         }
       }
     }
-  }
+  });
 }
 
 // Gather rows of an int32 code archive (prior training batches).
