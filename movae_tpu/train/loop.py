@@ -101,6 +101,8 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             usage_meter.update(host["codebook_usage_percentage"], n=p_valid)
         if host["total_loss"] > 1e15:
             print(f"Step {p_step}: EXPLODING: total={host['total_loss']:.6e}")
+        if host.get("skipped_nonfinite"):
+            print(f"Step {p_step}: non-finite loss/grads — update skipped")
         if logger is not None and logger.active:
             log = {f"train/{k}": m.avg for k, m in meters.items()}
             log.update({f"train/{k}_curr": m.val for k, m in meters.items()})

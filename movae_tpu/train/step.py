@@ -78,6 +78,7 @@ def make_train_step(
     total_epochs: int = 1,
     steps_per_epoch: int = 1,
     normalize_inputs: bool = False,
+    guard_nonfinite: bool = True,
 ):
     """Build the (un-jitted) train step for ``model`` under ``agg_cfg``.
 
@@ -169,7 +170,19 @@ def make_train_step(
             batch_stats=new_bs, agg_state=new_agg_state
         ).apply_gradients(grads)
 
+        if guard_nonfinite:
+            # TPU-native equivalent of the reference's catch-and-skip-batch
+            # fault handling (main.py:197-208): a non-finite loss or gradient
+            # leaves the entire train state untouched for this step.
+            ok = jnp.isfinite(loss_dict["total_loss"])
+            for leaf in jax.tree_util.tree_leaves(grads):
+                ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_state, state)
+
         metrics = {k: loss_dict[k] for k in model.objective_names}
+        if guard_nonfinite:
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         metrics["total_loss"] = loss_dict["total_loss"]
         for i in range(m):
             metrics[f"task_{i}_weight"] = alpha[i]

@@ -182,3 +182,37 @@ def test_feature_mode_mtl_backward_semantics():
                         jax.tree_util.tree_leaves(got)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(e),
                                        rtol=5e-2, atol=3e-5)
+
+
+def test_nonfinite_batch_skips_update():
+    """A NaN batch must leave params/opt-state/step untouched (in-graph
+    equivalent of the reference's catch-and-skip, main.py:197-208)."""
+    import numpy as np
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import init_state
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    args = dict(arch="vae", latent_dim=4, hidden_dims=(4,), batch_size=4,
+                dataset_size=16, layer_norm="none")
+    model = get_network(16, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    cfg = AggregatorConfig(name="sum", num_objectives=2)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    state = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1))
+
+    bad = jnp.full((4, 16, 16, 3), jnp.nan, jnp.float32)
+    s_bad, m_bad = step_fn(state, bad, jax.random.PRNGKey(1))
+    assert float(m_bad["skipped_nonfinite"]) == 1.0
+    assert int(s_bad.step) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(s_bad.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = jnp.zeros((4, 16, 16, 3), jnp.float32)
+    s_ok, m_ok = step_fn(s_bad, good, jax.random.PRNGKey(2))
+    assert float(m_ok["skipped_nonfinite"]) == 0.0
+    assert int(s_ok.step) == 1
