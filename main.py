@@ -135,6 +135,10 @@ def build_parser() -> ArgumentParser:
                         help="resume from a last_checkpoint directory")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the first epoch")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize forward activations in the "
+                             "backward pass (large-image configs: trades "
+                             "FLOPs for HBM)")
     return parser
 
 

@@ -267,7 +267,8 @@ def run_training(args) -> Dict[str, Any]:
 
     train_step = jax.jit(
         make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
-                        normalize_inputs=normalize),
+                        normalize_inputs=normalize,
+                        remat=getattr(args, "remat", False)),
         donate_argnums=(0,))
     eval_fn = jax.jit(make_eval_step(model, normalize_inputs=normalize))
 

@@ -79,6 +79,7 @@ def make_train_step(
     steps_per_epoch: int = 1,
     normalize_inputs: bool = False,
     guard_nonfinite: bool = True,
+    remat: bool = False,
 ):
     """Build the (un-jitted) train step for ``model`` under ``agg_cfg``.
 
@@ -99,6 +100,15 @@ def make_train_step(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             method="forward_with_losses", mutable=["batch_stats"], rngs=rngs)
         return out, mut.get("batch_stats", {})
+
+    if remat:
+        # activation rematerialization for large-image configs (celeba-hq /
+        # imagenet 256px): recompute the forward during the backward pass,
+        # keeping only MXU outputs (jax.checkpoint 'dots' policy) — trades
+        # ~1 extra forward of FLOPs for O(depth) less activation HBM.
+        apply_losses = jax.checkpoint(
+            apply_losses, static_argnums=(),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def train_step(state: TrainState, batch: Array, rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
@@ -151,6 +161,10 @@ def make_train_step(
                 return loss_vec, (loss_dict, outputs,
                                   mut.get("batch_stats", {}))
 
+            if remat:
+                trunk_fn = jax.checkpoint(
+                    trunk_fn, policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
             fj = engine.FeatureJacobian(trunk_fn, heads_fn, params, m)
             loss_vec = fj.losses
             loss_dict, outputs, heads_bs = fj.heads_aux

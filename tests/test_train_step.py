@@ -216,3 +216,40 @@ def test_nonfinite_batch_skips_update():
     s_ok, m_ok = step_fn(s_bad, good, jax.random.PRNGKey(2))
     assert float(m_ok["skipped_nonfinite"]) == 0.0
     assert int(s_ok.step) == 1
+
+
+@pytest.mark.parametrize("agg", ["sum", "upgrad", "mgda"])
+def test_remat_matches_no_remat(agg):
+    """--remat must be numerically identical (same graph, recomputed
+    activations) in every aggregation mode."""
+    import numpy as np
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import init_state
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    args = dict(arch="vae", latent_dim=4, hidden_dims=(4,), batch_size=4,
+                dataset_size=16, layer_norm="none")
+    model = get_network(16, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    cfg = AggregatorConfig(name=agg, num_objectives=2)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (4, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+
+    outs = []
+    for remat in (False, True):
+        state = TrainState.create(model.apply, params, bs, tx,
+                                  init_state(cfg))
+        step_fn = jax.jit(make_train_step(model, cfg, 1, 1, remat=remat))
+        s1, m1 = step_fn(state, x, rng)
+        outs.append((s1, m1))
+    np.testing.assert_allclose(float(outs[0][1]["total_loss"]),
+                               float(outs[1][1]["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0].params),
+                    jax.tree_util.tree_leaves(outs[1][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
