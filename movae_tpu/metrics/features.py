@@ -71,11 +71,17 @@ class InceptionTower:
             return (np.array([]), np.array([])) if want_logits else np.array([])
         feats, logits = [], []
         for i in range(0, n, batch_size):
-            b = jnp.asarray(images[i:i + batch_size])
-            f, lg = self._run(b)
-            feats.append(np.asarray(f))
+            chunk = np.asarray(images[i:i + batch_size])
+            valid = len(chunk)
+            if valid < batch_size:
+                # pad the ragged final batch to the static shape — avoids a
+                # second XLA compilation for the remainder
+                pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
+                chunk = np.concatenate([chunk, pad])
+            f, lg = self._run(jnp.asarray(chunk))
+            feats.append(np.asarray(f)[:valid])
             if want_logits:
-                logits.append(np.asarray(lg))
+                logits.append(np.asarray(lg)[:valid])
         feats = np.concatenate(feats)
         if want_logits:
             return feats, np.concatenate(logits)
