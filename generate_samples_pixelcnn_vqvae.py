@@ -31,7 +31,11 @@ def load_models(model_path: str, prior_path: str, dataset=None,
         model_path, dataset, data_dir)
     hierarchical = vq_args.arch.lower() in ("vq_vae2", "gg_vq_vae2")
     prior_payload = ckpt_lib.load_checkpoint(prior_path)
-    merged = SimpleNamespace(**{**vars(vq_args), **(prior_args or {})})
+    # precedence: VQ-run args < hyperparams echoed in the prior checkpoint
+    # < explicitly-passed CLI flags (None = not provided)
+    saved = prior_payload.get("prior_args") or {}
+    explicit = {k: v for k, v in (prior_args or {}).items() if v is not None}
+    merged = SimpleNamespace(**{**vars(vq_args), **saved, **explicit})
     prior_model = prior_lib.build_prior(merged, model.num_embeddings,
                                         hierarchical)
     prior = {"model": prior_model,
@@ -49,17 +53,21 @@ def main():
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--temperature", type=float, default=1.0)
-    p.add_argument("--out_dir", type=str, default="generated_samples")
-    p.add_argument("--grid", action="store_true", default=True)
+    p.add_argument("--out_dir", "--output_dir", type=str,
+                   default="generated_samples",
+                   help="output directory (reference spelling: --output_dir)")
+    p.add_argument("--grid", "--save_grid", action="store_true", default=True)
     p.add_argument("--individual", action="store_false", dest="grid",
                    help="save per-image PNGs instead of one grid")
-    p.add_argument("--prior_type", type=str, default="pixelcnn")
-    p.add_argument("--pixelcnn_hidden_channels", type=int, default=128)
-    p.add_argument("--pixelcnn_num_layers", type=int, default=15)
-    p.add_argument("--pixelsnail_num_blocks", type=int, default=8)
-    p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
-    p.add_argument("--pixelsnail_num_heads", type=int, default=8)
-    p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    # prior hyperparams: None = take from the prior checkpoint's echoed
+    # prior_args (newer checkpoints) or the VQ run args; explicit flags win
+    p.add_argument("--prior_type", type=str, default=None)
+    p.add_argument("--pixelcnn_hidden_channels", type=int, default=None)
+    p.add_argument("--pixelcnn_num_layers", type=int, default=None)
+    p.add_argument("--pixelsnail_num_blocks", type=int, default=None)
+    p.add_argument("--pixelsnail_num_res_blocks", type=int, default=None)
+    p.add_argument("--pixelsnail_num_heads", type=int, default=None)
+    p.add_argument("--pixelsnail_dropout", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args()
 

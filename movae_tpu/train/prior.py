@@ -58,6 +58,17 @@ def build_prior(args, num_embeddings: int, hierarchical: bool):
                     num_layers=nl)
 
 
+def prior_args_echo(args) -> Dict[str, Any]:
+    """Prior hyperparameters echoed into prior checkpoints so offline
+    loaders can rebuild the module without re-specifying flags (the VQ
+    checkpoints already echo the full args; the reference prior payload is
+    only {epoch, state_dict, loss}, main.py:1037-1047)."""
+    keys = ("prior_type", "pixelcnn_hidden_channels", "pixelcnn_num_layers",
+            "pixelsnail_num_blocks", "pixelsnail_num_res_blocks",
+            "pixelsnail_num_heads", "pixelsnail_dropout")
+    return {k: getattr(args, k) for k in keys if hasattr(args, k)}
+
+
 def extract_codes(model, state, loader, hierarchical: bool,
                   normalize_inputs: bool = False):
     """Jitted frozen-VQ code extraction sweep (vq_codes_lmdb.py:58-99).
@@ -162,7 +173,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
             ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(
                 save_root, getattr(args, "prior_type", "pixelcnn")), {
                 "epoch": epoch, "model_state_dict": {"params": best_params},
-                "loss": best_loss})
+                "loss": best_loss, "prior_args": prior_args_echo(args)})
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
@@ -171,6 +182,6 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         save_root, getattr(args, "prior_type", "pixelcnn")), {
         "epoch": epochs,
         "model_state_dict": {"params": jax.device_get(params)},
-        "loss": meter.avg})
+        "loss": meter.avg, "prior_args": prior_args_echo(args)})
     return {"model": prior, "params": best_params,
             "hierarchical": hierarchical}
