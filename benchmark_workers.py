@@ -20,13 +20,13 @@ from movae_tpu.data import Loader, get_dataset
 
 
 def benchmark(dataset_name: str, data_dir: str, batch_sizes, num_batches: int,
-              num_runs: int, normalize: bool):
+              num_runs: int, normalize: bool, shuffle: bool = True):
     train_ds, _, input_size = get_dataset(dataset_name, data_dir,
                                           normalize=normalize)
     print(f"dataset={dataset_name} n={len(train_ds)} input_size={input_size}")
     results = []
     for bs in batch_sizes:
-        loader = Loader(train_ds, bs, shuffle=True, seed=0)
+        loader = Loader(train_ds, bs, shuffle=shuffle, seed=0)
         # warmup
         for i, _ in enumerate(loader):
             if i >= 2:
@@ -59,14 +59,29 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", type=str, default="synthetic-32")
     p.add_argument("--data_dir", type=str, default="./data")
+    # reference spellings (benchmark_workers.py:170-200): --batch_size,
+    # --runs, --warmup map onto this harness; --workers/--device/pin-memory
+    # are no-ops (in-process loader, no worker processes)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="bench a single batch size (reference spelling)")
+    p.add_argument("--runs", type=int, default=None, dest="runs")
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--workers", type=int, nargs="*", default=None,
+                   help="(ignored; no worker processes)")
+    p.add_argument("--device", type=str, default=None, help="(ignored)")
+    p.add_argument("--no_pin_memory", action="store_true", help="(ignored)")
+    p.add_argument("--no_shuffle", action="store_true")
     p.add_argument("--batch_sizes", type=int, nargs="+",
                    default=[32, 64, 128, 256])
     p.add_argument("--num_batches", type=int, default=20)
     p.add_argument("--num_runs", type=int, default=3)
     p.add_argument("--normalize_inputs", action="store_true")
     a = p.parse_args()
-    print_results(benchmark(a.dataset, a.data_dir, a.batch_sizes,
-                            a.num_batches, a.num_runs, a.normalize_inputs))
+    sizes = [a.batch_size] if a.batch_size else a.batch_sizes
+    runs = a.runs if a.runs else a.num_runs
+    print_results(benchmark(a.dataset, a.data_dir, sizes,
+                            a.num_batches, runs, a.normalize_inputs,
+                            shuffle=not a.no_shuffle))
 
 
 if __name__ == "__main__":

@@ -121,8 +121,13 @@ def main():
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--max_fid_samples", type=int, default=10000)
+    p.add_argument("--max_gen_metrics_samples", type=int, default=10000)
     p.add_argument("--skip_generative", action="store_true")
     p.add_argument("--out_json", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    # reference-compat no-ops (single-process device-mesh design)
+    p.add_argument("--device", type=str, default=None, help="(ignored)")
+    p.add_argument("--num_workers", type=int, default=None, help="(ignored)")
     a = p.parse_args()
     results = evaluate(a.arch, a.dataset, a.model_path, a.data_dir,
                        a.batch_size, a.max_fid_samples, a.skip_generative)

@@ -46,8 +46,11 @@ def load_models(model_path: str, prior_path: str, dataset=None,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model_path", type=str, required=True)
-    p.add_argument("--prior_path", type=str, required=True)
+    p.add_argument("--model_path", "--vqvae_checkpoint",
+                   "--vqvae2_checkpoint", type=str, required=True,
+                   dest="model_path")
+    p.add_argument("--prior_path", "--prior_checkpoint", type=str,
+                   required=True, dest="prior_path")
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--num_samples", type=int, default=16)
@@ -69,6 +72,9 @@ def main():
     p.add_argument("--pixelsnail_num_heads", type=int, default=None)
     p.add_argument("--pixelsnail_dropout", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grid_nrow", type=int, default=None,
+                   help="images per grid row")
+    p.add_argument("--device", type=str, default=None, help="(ignored)")
     a = p.parse_args()
 
     model, params, batch_stats, vq_args, prior = load_models(
@@ -90,7 +96,7 @@ def main():
     normalized = getattr(vq_args, "normalize_inputs", False)
     if a.grid:
         png = save_sample_grid(imgs, os.path.join(a.out_dir, "samples.pdf"),
-                               normalized)
+                               normalized, ncols=a.grid_nrow)
         print(f"Saved grid to {png}")
     else:
         from PIL import Image

@@ -11,6 +11,7 @@ best_prior/final_prior.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -127,8 +128,10 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
 
     sched = optax.cosine_decay_schedule(lr, epochs * max(len(loader), 1),
                                         alpha=1e-6 / lr)
+    wd = getattr(args, "pixelcnn_weight_decay", 0.0) or 0.0
     tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adam(sched))
+                     optax.adamw(sched, weight_decay=wd) if wd
+                     else optax.adam(sched))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -177,6 +180,25 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
+        sample_every = getattr(args, "prior_sample_every", 0) or 0
+        if sample_every and (epoch % sample_every == 0 or epoch == epochs):
+            # periodic sample grid through the current prior (reference
+            # train_prior_vqvae.py --sample_every)
+            try:
+                from movae_tpu.train import figures as fig_lib
+                from movae_tpu.train.final_metrics import generate_samples
+
+                cur = {"model": prior, "params": jax.device_get(params),
+                       "hierarchical": hierarchical}
+                n = min(getattr(args, "num_samples", 16), 16)
+                imgs = generate_samples(model, state, args, cur, rng, n,
+                                        batch=n)
+                fig_lib.save_sample_grid(imgs, os.path.join(
+                    save_root, "figures", "generated",
+                    f"prior_epoch_{epoch:04d}.pdf"),
+                    getattr(args, "normalize_inputs", False))
+            except Exception as e:  # pragma: no cover
+                print(f"prior sample figure failed: {e}")
 
     ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
         save_root, getattr(args, "prior_type", "pixelcnn")), {

@@ -57,38 +57,93 @@ def load_vqvae(model_path: str, dataset: str = None, data_dir: str = "./data"):
     return model, params, sd.get("batch_stats", {}), args, train_ds, test_ds
 
 
-def main():
+def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
+                       ) -> argparse.ArgumentParser:
+    """Shared parser for the standalone prior trainers. Accepts both this
+    framework's flag spellings and the reference's
+    (train_prior_vqvae.py:44-113: --vqvae_checkpoint/--epochs/--lr/
+    --hidden_channels/--num_layers/--temperature/--weight_decay/
+    --output_dir/--sample_every; --device/--num_workers/
+    --prior_lmdb_map_size_gb are accepted no-ops in this in-process,
+    device-mesh design)."""
     p = argparse.ArgumentParser()
-    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--model_path", f"--{checkpoint_alias}", type=str,
+                   default=None, dest="model_path")
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--data_dir", type=str, default="./data")
-    p.add_argument("--save_root", type=str, default=None,
+    p.add_argument("--save_root", "--output_dir", type=str, default=None,
+                   dest="save_root",
                    help="defaults to the checkpoint's run directory")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prior_type", type=str, default="pixelcnn",
                    choices=["pixelcnn", "pixelsnail"])
-    p.add_argument("--pixelcnn_epochs", type=int, default=100)
-    p.add_argument("--pixelcnn_hidden_channels", type=int, default=128)
-    p.add_argument("--pixelcnn_num_layers", type=int, default=15)
-    p.add_argument("--pixelcnn_lr", type=float, default=3e-4)
-    p.add_argument("--pixelcnn_temperature", type=float, default=1.0)
+    p.add_argument("--pixelcnn_epochs", "--epochs", type=int, default=100,
+                   dest="pixelcnn_epochs")
+    p.add_argument("--pixelcnn_hidden_channels", "--hidden_channels",
+                   type=int, default=128, dest="pixelcnn_hidden_channels")
+    p.add_argument("--pixelcnn_num_layers", "--num_layers", type=int,
+                   default=15, dest="pixelcnn_num_layers")
+    p.add_argument("--pixelcnn_lr", "--lr", type=float, default=3e-4,
+                   dest="pixelcnn_lr")
+    p.add_argument("--pixelcnn_weight_decay", "--weight_decay", type=float,
+                   default=0.0, dest="pixelcnn_weight_decay")
+    p.add_argument("--pixelcnn_temperature", "--temperature", type=float,
+                   default=1.0, dest="pixelcnn_temperature")
     p.add_argument("--pixelsnail_num_blocks", type=int, default=8)
     p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     p.add_argument("--pixelsnail_num_heads", type=int, default=8)
     p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    p.add_argument("--prior_sample_every", "--sample_every", type=int,
+                   default=0, dest="prior_sample_every",
+                   help="write a prior sample grid every N epochs")
     p.add_argument("--prior_use_lmdb_codes", action="store_true", default=True)
     p.add_argument("--no_prior_lmdb_codes", action="store_false",
                    dest="prior_use_lmdb_codes")
     p.add_argument("--prior_force_extract_codes", action="store_true")
     p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--max_gen_metrics_samples", type=int, default=0,
+                   help="if >0, compute gFID/IS/KID over this many samples "
+                        "after training")
     p.add_argument("--use_wandb", action="store_true")
-    a = p.parse_args()
+    # reference-compat no-ops (single-process device-mesh design)
+    p.add_argument("--device", type=str, default=None, help="(ignored)")
+    p.add_argument("--num_workers", type=int, default=None, help="(ignored)")
+    p.add_argument("--prior_lmdb_map_size_gb", type=float, default=None,
+                   help="(ignored; the code cache is a memory-mapped npy)")
+    # wandb-run checkpoint download (reference train_prior_vqvae.py:118-156)
+    p.add_argument("--wandb_id", type=str, default=None)
+    p.add_argument("--wandb_project", type=str, default="mo-vae")
+    p.add_argument("--wandb_entity", type=str, default=None)
+    return p
 
+
+def resolve_checkpoint(a) -> str:
+    """model_path directly, or download from a wandb run (--wandb_id)."""
+    if a.model_path:
+        return a.model_path
+    if a.wandb_id:
+        import wandb  # raises if unavailable — requires network + package
+
+        api = wandb.Api()
+        run = api.run(f"{a.wandb_entity}/{a.wandb_project}/{a.wandb_id}")
+        dl = os.path.join("wandb_downloads", a.wandb_id)
+        os.makedirs(dl, exist_ok=True)
+        for f in run.files():
+            if "final_checkpoint" in f.name:
+                f.download(root=dl, exist_ok=True)
+        return os.path.join(dl, "checkpoints", "final_checkpoint")
+    raise SystemExit("provide --model_path/--vqvae_checkpoint or --wandb_id")
+
+
+def main():
+    a = build_prior_parser("vqvae_checkpoint").parse_args()
+
+    ckpt_path = resolve_checkpoint(a)
     model, params, batch_stats, vq_args, train_ds, test_ds = load_vqvae(
-        a.model_path, a.dataset, a.data_dir)
+        ckpt_path, a.dataset, a.data_dir)
     save_root = a.save_root or os.path.dirname(
-        os.path.dirname(os.path.abspath(a.model_path)))
+        os.path.dirname(os.path.abspath(ckpt_path)))
 
     class _State:
         pass
@@ -115,6 +170,24 @@ def main():
         save_root, "figures", "generated", "prior_samples.pdf"),
         getattr(vq_args, "normalize_inputs", False))
     print(f"Saved prior samples to {png}")
+
+    if a.max_gen_metrics_samples:
+        # post-training generative metrics refresh (the reference updates
+        # the original wandb run's final/* values, train_prior_vqvae.py
+        # "After training..."); here they go to the run's logger/summary
+        from movae_tpu.train.final_metrics import evaluate_generative_metrics
+
+        merged.max_fid_samples = a.max_gen_metrics_samples
+        test_loader = Loader(test_ds, a.batch_size, shuffle=False)
+        rng, sub = jax.random.split(rng)
+        finals = evaluate_generative_metrics(
+            model, state, test_loader, merged, prior, sub,
+            max_samples=a.max_gen_metrics_samples)
+        logger = results["logger"]
+        for k, v in finals.items():
+            logger.set_summary(f"final/{k}", v)
+            print(f"final/{k}: {v}")
+        logger.finish()
 
 
 if __name__ == "__main__":

@@ -26,43 +26,21 @@ from movae_tpu.train import prior as prior_lib
 from movae_tpu.train.figures import save_sample_grid
 from movae_tpu.train.final_metrics import generate_samples
 from movae_tpu.utils.logging import ExperimentLogger
-from train_prior_vqvae import load_vqvae
+from train_prior_vqvae import (build_prior_parser, load_vqvae,
+                               resolve_checkpoint)
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model_path", type=str, required=True)
-    p.add_argument("--dataset", type=str, default=None)
-    p.add_argument("--data_dir", type=str, default="./data")
-    p.add_argument("--save_root", type=str, default=None)
-    p.add_argument("--batch_size", type=int, default=128)
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--prior_type", type=str, default="pixelcnn",
-                   choices=["pixelcnn", "pixelsnail"])
-    p.add_argument("--pixelcnn_epochs", type=int, default=100)
-    p.add_argument("--pixelcnn_hidden_channels", type=int, default=128)
-    p.add_argument("--pixelcnn_num_layers", type=int, default=15)
-    p.add_argument("--pixelcnn_lr", type=float, default=3e-4)
-    p.add_argument("--pixelcnn_temperature", type=float, default=1.0)
-    p.add_argument("--pixelsnail_num_blocks", type=int, default=8)
-    p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
-    p.add_argument("--pixelsnail_num_heads", type=int, default=8)
-    p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
-    p.add_argument("--prior_use_lmdb_codes", action="store_true", default=True)
-    p.add_argument("--no_prior_lmdb_codes", action="store_false",
-                   dest="prior_use_lmdb_codes")
-    p.add_argument("--prior_force_extract_codes", action="store_true")
-    p.add_argument("--num_samples", type=int, default=16)
-    p.add_argument("--use_wandb", action="store_true")
-    a = p.parse_args()
+    a = build_prior_parser("vqvae2_checkpoint").parse_args()
 
+    ckpt_path = resolve_checkpoint(a)
     model, params, batch_stats, vq_args, train_ds, _ = load_vqvae(
-        a.model_path, a.dataset, a.data_dir)
+        ckpt_path, a.dataset, a.data_dir)
     if vq_args.arch.lower() not in ("vq_vae2", "gg_vq_vae2"):
         raise ValueError(
             f"{vq_args.arch} is not hierarchical; use train_prior_vqvae.py")
     save_root = a.save_root or os.path.dirname(
-        os.path.dirname(os.path.abspath(a.model_path)))
+        os.path.dirname(os.path.abspath(ckpt_path)))
 
     class _State:
         pass
