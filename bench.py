@@ -43,7 +43,8 @@ def bench_sampling(args):
 
     Per-pixel step latency dominates, so px/s scales ~linearly with batch —
     measured on v5e (grid 16x16): PixelCNN 51k px/s @ bs64 -> 197k @ bs256;
-    PixelSNAIL 39k @ bs64 -> 126k @ bs256."""
+    PixelSNAIL 39k @ bs64 -> 126k @ bs256. Grid 32x32 @ bs128: PixelCNN
+    131k px/s, PixelSNAIL 50k px/s."""
     from movae_tpu.models.pixelcnn import (PixelCNN, PixelSNAIL, sample_fast,
                                            sample_fast_snail)
 

@@ -93,7 +93,9 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
 
     def drain(pending):
         p_step, p_valid, p_metrics = pending
-        host = {k: float(v) for k, v in p_metrics.items()}
+        # one batched transfer for the whole metric dict — per-key float()
+        # would pay one device round-trip per metric
+        host = {k: float(v) for k, v in jax.device_get(p_metrics).items()}
         for k in meters:
             if k in host:
                 meters[k].update(host[k])
@@ -153,6 +155,7 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
     union = {}
 
     def drain(metrics, extras):
+        metrics, extras = jax.device_get((metrics, extras))
         for k in meters:
             meters[k].update(float(metrics[k]))
         for k, mask in extras.items():
