@@ -82,20 +82,17 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 timer: Optional[StepTimer] = None):
     """One epoch of the hot loop (reference train_epoch, main.py:125-235).
 
-    Metric host-fetches are pipelined one step deep: step N's metrics are
-    pulled to the host only after step N+1 has been dispatched, so logging
-    (a forced device sync in the reference, which calls ``.item()`` on every
-    loss every batch) overlaps device compute instead of stalling it.
+    Metric host-fetches are pipelined: device metric dicts are queued and
+    pulled to the host in groups of ``FETCH_GROUP`` steps with one batched
+    transfer (the reference calls ``.item()`` on every loss every batch — a
+    forced device sync each step), so logging overlaps device compute and
+    costs ~1 transfer round-trip per group instead of per metric.
     """
     meters = {k: AverageMeter() for k in
               list(objective_names) + ["total_loss"]}
     usage_meter = AverageMeter()
 
-    def drain(pending):
-        p_step, p_valid, p_metrics = pending
-        # one batched transfer for the whole metric dict — per-key float()
-        # would pay one device round-trip per metric
-        host = {k: float(v) for k, v in jax.device_get(p_metrics).items()}
+    def drain_one(p_step, p_valid, host):
         for k in meters:
             if k in host:
                 meters[k].update(host[k])
@@ -116,8 +113,19 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 log["train/codebook_usage_percentage"] = usage_meter.avg
             logger.log(log, step=p_step)
 
-    pending = None
+    def flush(pending):
+        if not pending:
+            return
+        # one batched transfer for the whole group of metric dicts
+        fetched = jax.device_get([m for _, _, m in pending])
+        for (p_step, p_valid, _), m in zip(pending, fetched):
+            drain_one(p_step, p_valid, {k: float(v) for k, v in m.items()})
+        pending.clear()
+
+    FETCH_GROUP = 8
+    pending = []
     n_images = 0
+    drained_any = False
     if timer is not None:
         timer.start()
     for imgs, _labels, n_valid in loader:
@@ -126,14 +134,13 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         state, metrics = step_fn(state, batch, sub)
         step += 1
         n_images += n_valid
-        if pending is not None:
-            drain(pending)
-            pending = None
-        if (log_every and (step % log_every == 0)
-                or meters["total_loss"].count == 0):
-            pending = (step, n_valid, metrics)
-    if pending is not None:
-        drain(pending)
+        if (log_every and (step % log_every == 0)) or not drained_any:
+            pending.append((step, n_valid, metrics))
+            drained_any = True
+        if len(pending) >= FETCH_GROUP:
+            flush(pending)
+    if pending:
+        flush(pending)
     elif timer is not None and n_images:
         # no pending fetch to act as the epoch-end barrier — force one
         # (a host fetch, not block_until_ready: on the axon TPU platform the
