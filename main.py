@@ -135,6 +135,11 @@ def build_parser() -> ArgumentParser:
                         help="resume from a last_checkpoint directory")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the first epoch")
+    parser.add_argument("--vq_ema", action="store_true",
+                        help="EMA-maintained codebook for arch=vq_vae "
+                             "(objectives become recon+commitment; the "
+                             "reference is loss-based only)")
+    parser.add_argument("--vq_ema_decay", type=float, default=0.99)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize forward activations in the "
                              "backward pass (large-image configs: trades "

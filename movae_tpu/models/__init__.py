@@ -166,10 +166,18 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch == "vq_vae":
         from movae_tpu.models.vq_vae import VQVAE
-        names = ("reconstruction_loss", "embedding_loss", "commitment_loss")
-        lw = _weights(lambda_weights, names,
-                      {"reconstruction_loss": 1.0, "embedding_loss": 1.0,
-                       "commitment_loss": 0.25})
+        vq_ema = bool(_get(args, "vq_ema", False))
+        if vq_ema:
+            names = ("reconstruction_loss", "commitment_loss")
+            lw = _weights(lambda_weights, names,
+                          {"reconstruction_loss": 1.0,
+                           "commitment_loss": 0.25})
+        else:
+            names = ("reconstruction_loss", "embedding_loss",
+                     "commitment_loss")
+            lw = _weights(lambda_weights, names,
+                          {"reconstruction_loss": 1.0, "embedding_loss": 1.0,
+                           "commitment_loss": 0.25})
         return VQVAE(embedding_dim=embedding_dim,
                      num_embeddings=num_embeddings,
                      hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
@@ -178,6 +186,8 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
                      input_size=input_size, in_channels=num_channels,
                      recons_objective=recons_objective,
                      recons_activation=recons_activation, lambda_weights=lw,
+                     vq_ema=vq_ema,
+                     vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
                      dtype=dtype)
 
     if arch.startswith("gg_vq_vae2") or arch == "gg_vq_vae2":

@@ -46,24 +46,63 @@ class ResidualLayer(nn.Module):
 
 
 class Codebook(nn.Module):
-    """Learnable codebook; init U(-1/K, 1/K) (vq_vae.py:24-25)."""
+    """Learnable codebook; init U(-1/K, 1/K) (vq_vae.py:24-25).
+
+    ``ema=True`` switches to the EMA-maintained codebook of van den Oord
+    2017 (appendix A.1): the codebook moves to the mutable ``batch_stats``
+    collection (it is state, not a gradient parameter) together with the
+    EMA cluster counts and embedding sums; :meth:`apply_ema` performs the
+    decay update in-step. The reference is loss-based only (vq_vae.py:51-52)
+    — this is the documented extension (BASELINE.md)."""
 
     num_embeddings: int
     embedding_dim: int
+    ema: bool = False
+    ema_decay: float = 0.99
 
     def setup(self):
         k = self.num_embeddings
-        self.embedding = self.param(
-            "embedding",
-            lambda key, shape: jax.random.uniform(
-                key, shape, jnp.float32, -1.0 / k, 1.0 / k),
-            (k, self.embedding_dim))
+
+        def init(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32,
+                                      -1.0 / k, 1.0 / k)
+
+        if self.ema:
+            self.embedding_var = self.variable(
+                "batch_stats", "embedding",
+                lambda: init(self.make_rng("params"),
+                             (k, self.embedding_dim)))
+            self.cluster_var = self.variable(
+                "batch_stats", "cluster_size",
+                lambda: jnp.zeros((k,), jnp.float32))
+            self.ema_embed_var = self.variable(
+                "batch_stats", "ema_embed",
+                lambda: jnp.array(self.embedding_var.value))
+        else:
+            self.embedding = self.param("embedding", init,
+                                        (k, self.embedding_dim))
+
+    def _emb(self) -> Array:
+        return self.embedding_var.value if self.ema else self.embedding
 
     def __call__(self) -> Array:
-        return self.embedding
+        return self._emb()
 
     def embed_code(self, code: Array) -> Array:
-        return jnp.take(self.embedding, code, axis=0)
+        return jnp.take(self._emb(), code, axis=0)
+
+    def apply_ema(self, z_flat: Array, inds: Array):
+        """EMA decay update from this batch's assignments (train only)."""
+        if not self.ema or self.is_initializing():
+            return
+        new_cb, new_cluster, new_sum = vq_ops.ema_codebook_update(
+            self.embedding_var.value, self.cluster_var.value,
+            self.ema_embed_var.value,
+            jax.lax.stop_gradient(z_flat.astype(jnp.float32)),
+            jax.lax.stop_gradient(inds), decay=self.ema_decay)
+        self.embedding_var.value = new_cb
+        self.cluster_var.value = new_cluster
+        self.ema_embed_var.value = new_sum
 
 
 class VQVAE(MOVAEModel):
@@ -83,10 +122,18 @@ class VQVAE(MOVAEModel):
     dtype: Any = jnp.float32
     use_pallas_vq: Optional[bool] = None
     perceptual_fn: Optional[Any] = None
+    vq_ema: bool = False
+    vq_ema_decay: float = 0.99
 
-    objective_names = (
-        "reconstruction_loss", "embedding_loss", "commitment_loss")
     feature_names = ("encoding",)
+
+    @property
+    def objective_names(self) -> Tuple[str, ...]:
+        if self.vq_ema:
+            # EMA maintains the codebook; the embedding loss has no gradient
+            # path and is dropped from the objective vector
+            return ("reconstruction_loss", "commitment_loss")
+        return ("reconstruction_loss", "embedding_loss", "commitment_loss")
 
     @property
     def latent_spatial_dim(self) -> int:
@@ -107,7 +154,9 @@ class VQVAE(MOVAEModel):
         ]
         self.enc_proj = nn.Conv(self.embedding_dim, (1, 1), dtype=self.dtype,
                                 name="enc_proj")
-        self.vq = Codebook(self.num_embeddings, self.embedding_dim, name="vq")
+        self.vq = Codebook(self.num_embeddings, self.embedding_dim,
+                           ema=self.vq_ema, ema_decay=self.vq_ema_decay,
+                           name="vq")
 
         self.dec_in = nn.Conv(hd[-1], (3, 3), padding="SAME",
                               dtype=self.dtype, name="dec_in")
@@ -160,6 +209,9 @@ class VQVAE(MOVAEModel):
         (encoding,) = features
         vq_out = vq_ops.vector_quantize(encoding, self.vq(),
                                         use_pallas=self.use_pallas_vq)
+        if self.vq_ema and train:
+            self.vq.apply_ema(encoding.reshape(-1, self.embedding_dim),
+                              vq_out["encoding_inds"])
         recons = self.decode(vq_out["quantized"], train=train)
         return {
             "recons": recons,

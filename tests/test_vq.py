@@ -116,3 +116,50 @@ def test_vqvae_codes_roundtrip():
     assert codes.shape == (2, 8, 8)
     imgs = model.apply(v, codes, method="decode_code")
     assert imgs.shape == (2, 32, 32, 3)
+
+
+def test_vqvae_ema_codebook_training():
+    """--vq_ema: codebook lives in batch_stats, moves via EMA (no gradient),
+    objectives reduce to recon+commitment, and training stays finite."""
+    import numpy as np
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import AggregatorConfig, init_state
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    args = dict(arch="vq_vae", embedding_dim=8, num_embeddings=16,
+                hidden_dims=(8,), num_residual_layers=1, batch_size=8,
+                dataset_size=64, vq_ema=True, vq_ema_decay=0.9)
+    model = get_network(16, 3, args)
+    assert model.objective_names == ("reconstruction_loss",
+                                     "commitment_loss")
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    assert "vq" not in params  # codebook is not a gradient parameter
+    cb0 = np.asarray(bs["vq"]["embedding"])
+
+    cfg = AggregatorConfig(name="upgrad", num_objectives=2)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    state = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1))
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, x, sub)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "embedding_loss" not in metrics
+    cb1 = np.asarray(state.batch_stats["vq"]["embedding"])
+    assert not np.allclose(cb0, cb1)  # EMA moved the codebook
+    # eval path + sampling still work with the stats-resident codebook
+    from movae_tpu.train.step import make_eval_step
+    em, extras, _ = jax.jit(make_eval_step(model))(
+        state.params, state.batch_stats, x, rng)
+    assert np.isfinite(float(em["total_loss"]))
+    samples = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, 2,
+        method="sample", rngs={"sample": rng})
+    assert samples.shape == (2, 16, 16, 3)
