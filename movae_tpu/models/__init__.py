@@ -210,11 +210,21 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch == "vq_vae2":
         from movae_tpu.models.vq_vae2 import VQVAE2
-        names = ("reconstruction_loss", "commitment_loss", "embedding_loss")
-        lw = _weights(lambda_weights, names,
-                      {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
-                       "embedding_loss": 0.25})
-        return VQVAE2(embedding_dim=embedding_dim,
+        vq_ema = bool(_get(args, "vq_ema", False))
+        if vq_ema:
+            names = ("reconstruction_loss", "commitment_loss")
+            lw = _weights(lambda_weights, names,
+                          {"reconstruction_loss": 1.0,
+                           "commitment_loss": 1.0})
+        else:
+            names = ("reconstruction_loss", "commitment_loss",
+                     "embedding_loss")
+            lw = _weights(lambda_weights, names,
+                          {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
+                           "embedding_loss": 0.25})
+        return VQVAE2(vq_ema=vq_ema,
+                      vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+                      embedding_dim=embedding_dim,
                       num_embeddings=num_embeddings,
                       hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
                       else (128, 256),

@@ -133,11 +133,18 @@ class VQVAE2(MOVAEModel):
     dtype: Any = jnp.float32
     use_pallas_vq: Optional[bool] = None
     perceptual_fn: Optional[Any] = None
+    vq_ema: bool = False
+    vq_ema_decay: float = 0.99
 
-    objective_names = (
-        "reconstruction_loss", "commitment_loss", "embedding_loss")
-    feature_names = ("encoding_top",
-                                                "encoding_bottom")
+    feature_names = ("encoding_top", "encoding_bottom")
+
+    @property
+    def objective_names(self) -> Tuple[str, ...]:
+        if self.vq_ema:
+            # both codebooks are EMA-maintained; the summed embedding loss
+            # has no gradient path and is dropped from the objective vector
+            return ("reconstruction_loss", "commitment_loss")
+        return ("reconstruction_loss", "commitment_loss", "embedding_loss")
 
     @property
     def latent_spatial_dim_bottom(self) -> int:
@@ -158,6 +165,7 @@ class VQVAE2(MOVAEModel):
                                        dtype=self.dtype,
                                        name="quantize_conv_t")
         self.vq_top = Codebook(self.num_embeddings, self.embedding_dim,
+                               ema=self.vq_ema, ema_decay=self.vq_ema_decay,
                                name="vq_top")
         self.dec_t = Decoder(self.embedding_dim, ch, nr, 32, stride=2,
                              dtype=self.dtype, name="dec_t")
@@ -165,6 +173,8 @@ class VQVAE2(MOVAEModel):
                                        dtype=self.dtype,
                                        name="quantize_conv_b")
         self.vq_bottom = Codebook(self.num_embeddings, self.embedding_dim,
+                                  ema=self.vq_ema,
+                                  ema_decay=self.vq_ema_decay,
                                   name="vq_bottom")
         self.upsample_t = nn.ConvTranspose(self.embedding_dim, (4, 4),
                                            strides=(2, 2), padding="SAME",
@@ -187,6 +197,9 @@ class VQVAE2(MOVAEModel):
             jnp.float32)
         vq_t = vq_ops.vector_quantize(qt_in, self.vq_top(),
                                       use_pallas=self.use_pallas_vq)
+        if self.vq_ema and train:
+            self.vq_top.apply_ema(qt_in.reshape(-1, self.embedding_dim),
+                                  vq_t["encoding_inds"])
         dec_t = self.dec_t(vq_t["quantized"])
         qb_in = self.quantize_conv_b(
             jnp.concatenate([dec_t.astype(self.dtype),
@@ -194,6 +207,9 @@ class VQVAE2(MOVAEModel):
             jnp.float32)
         vq_b = vq_ops.vector_quantize(qb_in, self.vq_bottom(),
                                       use_pallas=self.use_pallas_vq)
+        if self.vq_ema and train:
+            self.vq_bottom.apply_ema(qb_in.reshape(-1, self.embedding_dim),
+                                     vq_b["encoding_inds"])
         recons = self.decode(vq_t["quantized"], vq_b["quantized"],
                              train=train)
         return {

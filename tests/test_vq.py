@@ -163,3 +163,46 @@ def test_vqvae_ema_codebook_training():
         {"params": state.params, "batch_stats": state.batch_stats}, 2,
         method="sample", rngs={"sample": rng})
     assert samples.shape == (2, 16, 16, 3)
+
+
+def test_vqvae2_ema_codebooks_training():
+    """--vq_ema on the hierarchy: both codebooks EMA-maintained."""
+    import numpy as np
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import AggregatorConfig, init_state
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    args = dict(arch="vq_vae2", embedding_dim=8, num_embeddings=16,
+                hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                dataset_size=64, vq_ema=True)
+    model = get_network(16, 3, args)
+    assert model.objective_names == ("reconstruction_loss",
+                                     "commitment_loss")
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    assert "vq_top" not in params and "vq_bottom" not in params
+    cb0 = {k: np.asarray(bs[k]["embedding"]) for k in ("vq_top", "vq_bottom")}
+
+    cfg = AggregatorConfig(name="upgrad", num_objectives=2)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    state = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    for i in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, x, sub)
+    assert np.isfinite(float(metrics["total_loss"]))
+    for k in ("vq_top", "vq_bottom"):
+        assert not np.allclose(cb0[k],
+                               np.asarray(state.batch_stats[k]["embedding"]))
+    # decode_code works from the stats-resident codebooks
+    zt = jnp.zeros((2, 2, 2), jnp.int32)
+    zb = jnp.zeros((2, 4, 4), jnp.int32)
+    imgs = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats}, zt, zb,
+                       method="decode_code")
+    assert imgs.shape == (2, 16, 16, 3)
