@@ -135,6 +135,10 @@ def build_parser() -> ArgumentParser:
                         help="resume from a last_checkpoint directory")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the first epoch")
+    parser.add_argument("--model_partitions", type=int, default=1,
+                        help="tensor-parallel partitions over the mesh "
+                             "'model' axis (large weights split across "
+                             "chips; 1 = pure data parallelism)")
     parser.add_argument("--vq_ema", action="store_true",
                         help="EMA-maintained codebook for arch=vq_vae "
                              "(objectives become recon+commitment; the "

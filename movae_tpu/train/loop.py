@@ -205,7 +205,9 @@ def run_training(args) -> Dict[str, Any]:
               "objective; consider --normalize_inputs (main.py:1131-1138).")
 
     args.dataset_size = len(train_ds)
-    parallel = DataParallel()
+    from movae_tpu.parallel.mesh import make_mesh
+    num_model = int(getattr(args, "model_partitions", 1) or 1)
+    parallel = DataParallel(make_mesh(num_model=num_model))
     batch_size = parallel.pad_to_devices(args.batch_size)
 
     # hot-loop loaders ship raw uint8 (cast/normalize happens on-device in
@@ -251,9 +253,14 @@ def run_training(args) -> Dict[str, Any]:
             **{**agg_cfg.__dict__, "nashmtl_update_every": steps_per_epoch})
     args.aggregator = agg_cfg.name
 
+    # placement: params sharded over the 'model' axis when
+    # --model_partitions > 1 (tensor parallelism; replicated otherwise),
+    # everything else replicated; optimizer moments inherit the param layout
+    # because tx.init runs on the placed params.
+    params = parallel.shard_params(params)
+    batch_stats = parallel.replicate(batch_stats)
     state = TrainState.create(model.apply, params, batch_stats, tx,
-                              init_state(agg_cfg))
-    state = parallel.replicate(state)
+                              parallel.replicate(init_state(agg_cfg)))
 
     timestamp = time.strftime("%Y%m%d_%H%M%S")
     save_root = os.path.join(args.save_path, args.dataset, args.arch,
@@ -298,7 +305,7 @@ def run_training(args) -> Dict[str, Any]:
         payload = ckpt_lib.load_checkpoint(resume_from)
         sd = payload["model_state_dict"]
         state = state.replace(
-            params=jax.device_put(sd["params"], parallel.replicated),
+            params=parallel.shard_params(sd["params"]),
             batch_stats=jax.device_put(sd.get("batch_stats", {}),
                                        parallel.replicated))
         if payload.get("opt_state"):
