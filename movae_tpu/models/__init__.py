@@ -192,13 +192,18 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch.startswith("gg_vq_vae2") or arch == "gg_vq_vae2":
         from movae_tpu.models.gg_vq_vae2 import GGVQVAE2
-        names = ("reconstruction_loss", "commitment_loss", "embedding_loss",
+        vq_ema = bool(_get(args, "vq_ema", False))
+        emb = () if vq_ema else ("embedding_loss",)
+        names = ("reconstruction_loss", "commitment_loss", *emb,
                  "gradient_guided_loss", "edge_matching_loss")
-        lw = _weights(lambda_weights, names,
-                      {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
-                       "embedding_loss": 0.25, "gradient_guided_loss": 1.0,
-                       "edge_matching_loss": 1.0})
-        return GGVQVAE2(embedding_dim=embedding_dim,
+        defaults = {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
+                    "gradient_guided_loss": 1.0, "edge_matching_loss": 1.0}
+        if not vq_ema:
+            defaults["embedding_loss"] = 0.25
+        lw = _weights(lambda_weights, names, defaults)
+        return GGVQVAE2(vq_ema=vq_ema,
+                        vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+                        embedding_dim=embedding_dim,
                         num_embeddings=num_embeddings,
                         hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
                         else (128, 256),
@@ -238,19 +243,21 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         from movae_tpu.models.gg_vq_vae import GGVQVAE
         version = "v1" if arch in ("gg_vq_vae", "gg_vq_vae_v1") else arch.replace(
             "gg_vq_vae_", "")
-        if version == "v1":
-            names = ("reconstruction_loss", "gradient_guided_loss",
-                     "embedding_loss", "commitment_loss")
-            defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
-                        "embedding_loss": 1.0, "commitment_loss": 0.25}
-        else:
-            names = ("reconstruction_loss", "gradient_guided_loss",
-                     "embedding_loss", "commitment_loss", "edge_matching_loss")
-            defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
-                        "embedding_loss": 1.0, "commitment_loss": 0.25,
-                        "edge_matching_loss": 1.0}
+        vq_ema = bool(_get(args, "vq_ema", False))
+        emb = () if vq_ema else ("embedding_loss",)
+        names = ("reconstruction_loss", "gradient_guided_loss", *emb,
+                 "commitment_loss")
+        defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
+                    "commitment_loss": 0.25}
+        if not vq_ema:
+            defaults["embedding_loss"] = 1.0
+        if version != "v1":
+            names = names + ("edge_matching_loss",)
+            defaults["edge_matching_loss"] = 1.0
         lw = _weights(lambda_weights, names, defaults)
-        return GGVQVAE(embedding_dim=embedding_dim,
+        return GGVQVAE(vq_ema=vq_ema,
+                       vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+                       embedding_dim=embedding_dim,
                        num_embeddings=num_embeddings,
                        hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
                        else (128, 256),

@@ -30,11 +30,12 @@ class GGVQVAE(VQVAE):
 
     @property
     def objective_names(self) -> Tuple[str, ...]:
+        emb = () if self.vq_ema else ("embedding_loss",)
+        base = ("reconstruction_loss", "gradient_guided_loss",
+                *emb, "commitment_loss")
         if self.version == "v1":
-            return ("reconstruction_loss", "gradient_guided_loss",
-                    "embedding_loss", "commitment_loss")
-        return ("reconstruction_loss", "gradient_guided_loss",
-                "embedding_loss", "commitment_loss", "edge_matching_loss")
+            return base
+        return base + ("edge_matching_loss",)
 
     def _extra_loss(self, key: str, x: Array, outputs: Dict[str, Any]):
         if key == "gradient_guided_loss":

@@ -29,9 +29,11 @@ class GGVQVAE2(VQVAE2):
         ("edge_matching_loss", 1.0),
     )
 
-    objective_names = (
-        "reconstruction_loss", "commitment_loss", "embedding_loss",
-        "gradient_guided_loss", "edge_matching_loss")
+    @property
+    def objective_names(self):
+        emb = () if self.vq_ema else ("embedding_loss",)
+        return ("reconstruction_loss", "commitment_loss", *emb,
+                "gradient_guided_loss", "edge_matching_loss")
 
     def _extra_loss(self, key: str, x: Array, outputs: Dict[str, Any]):
         if key == "gradient_guided_loss":

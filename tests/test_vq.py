@@ -206,3 +206,31 @@ def test_vqvae2_ema_codebooks_training():
                         "batch_stats": state.batch_stats}, zt, zb,
                        method="decode_code")
     assert imgs.shape == (2, 16, 16, 3)
+
+
+@pytest.mark.parametrize("arch", ["gg_vq_vae_v3", "gg_vq_vae2"])
+def test_gg_variants_ema(arch):
+    """EMA option on the gradient-guided VQ families."""
+    import numpy as np
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import AggregatorConfig, init_state
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    args = dict(arch=arch, embedding_dim=8, num_embeddings=16,
+                hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                dataset_size=64, vq_ema=True)
+    model = get_network(16, 3, args)
+    assert "embedding_loss" not in model.objective_names
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3)
+    m = len(model.objective_names)
+    cfg = AggregatorConfig(name="upgrad", num_objectives=m)
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    state = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32))
+    state, metrics = step_fn(state, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
