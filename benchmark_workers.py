@@ -20,16 +20,16 @@ from movae_tpu.data import Loader, get_dataset
 
 
 def benchmark(dataset_name: str, data_dir: str, batch_sizes, num_batches: int,
-              num_runs: int, normalize: bool, shuffle: bool = True):
+              num_runs: int, normalize: bool, shuffle: bool = True,
+              warmup: int = 2):
     train_ds, _, input_size = get_dataset(dataset_name, data_dir,
                                           normalize=normalize)
     print(f"dataset={dataset_name} n={len(train_ds)} input_size={input_size}")
     results = []
     for bs in batch_sizes:
         loader = Loader(train_ds, bs, shuffle=shuffle, seed=0)
-        # warmup
         for i, _ in enumerate(loader):
-            if i >= 2:
+            if i >= warmup:
                 break
         times = []
         for _run in range(num_runs):
@@ -81,7 +81,7 @@ def main():
     runs = a.runs if a.runs else a.num_runs
     print_results(benchmark(a.dataset, a.data_dir, sizes,
                             a.num_batches, runs, a.normalize_inputs,
-                            shuffle=not a.no_shuffle))
+                            shuffle=not a.no_shuffle, warmup=a.warmup))
 
 
 if __name__ == "__main__":

@@ -71,7 +71,8 @@ def print_results_table(results: dict):
 
 def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
              data_dir: str = "./data", batch_size: int = 128,
-             max_fid_samples: int = 10000, skip_generative: bool = False):
+             max_fid_samples: int = 10000, skip_generative: bool = False,
+             max_gen_metrics_samples: int = 10000, seed: int = 0):
     model, params, batch_stats, args, train_ds, test_ds, normalize = (
         load_model_from_checkpoint(model_path, dataset, data_dir))
     parallel = DataParallel()
@@ -85,7 +86,7 @@ def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
     state.params = params
     state.batch_stats = batch_stats
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     eval_fn = jax.jit(make_eval_step(model))
     loss_meters, rng = evaluate_losses(eval_fn, state, test_loader, parallel,
                                        rng, model.objective_names,
@@ -102,11 +103,12 @@ def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
 
     if not skip_generative:
         args.batch_size = batch_size
+        args.max_gen_metrics_samples = max_gen_metrics_samples
         rng, sub = jax.random.split(rng)
         results.update({f"gen/{k}": v for k, v in
                         evaluate_generative_metrics(
                             model, state, test_loader, args, None, sub,
-                            max_samples=max_fid_samples).items()})
+                            max_samples=max_gen_metrics_samples).items()})
 
     print_results_table(results)
     return results
@@ -130,7 +132,9 @@ def main():
     p.add_argument("--num_workers", type=int, default=None, help="(ignored)")
     a = p.parse_args()
     results = evaluate(a.arch, a.dataset, a.model_path, a.data_dir,
-                       a.batch_size, a.max_fid_samples, a.skip_generative)
+                       a.batch_size, a.max_fid_samples, a.skip_generative,
+                       max_gen_metrics_samples=a.max_gen_metrics_samples,
+                       seed=a.seed)
     if a.out_json:
         with open(a.out_json, "w") as f:
             json.dump(results, f, indent=2)

@@ -24,32 +24,31 @@ def _native_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
+_EXPECTED_VERSION = 2
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.join(_native_dir(), "libbatch_ops.so")
+    # version-suffixed artifact: an ABI bump gets a fresh filename, so we
+    # never re-dlopen a path glibc has already deduped to a stale handle
+    # (and never relink a .so that is currently mapped)
+    name = f"libbatch_ops.v{_EXPECTED_VERSION}.so"
+    so = os.path.join(_native_dir(), name)
     if not os.path.exists(so):
         try:
-            subprocess.run(["sh", os.path.join(_native_dir(), "build.sh")],
-                           check=True, capture_output=True, timeout=120)
+            subprocess.run(
+                ["sh", os.path.join(_native_dir(), "build.sh"), name],
+                check=True, capture_output=True, timeout=120)
         except Exception:
             return None
     try:
-        lib = _bind(ctypes.CDLL(so))
-        if lib is None:
-            # stale .so from an older source revision — rebuild once
-            subprocess.run(["sh", os.path.join(_native_dir(), "build.sh")],
-                           check=True, capture_output=True, timeout=120)
-            lib = _bind(ctypes.CDLL(so))
-        _LIB = lib
+        _LIB = _bind(ctypes.CDLL(so))
     except Exception:
         _LIB = None
     return _LIB
-
-
-_EXPECTED_VERSION = 2
 
 
 def _bind(lib):

@@ -22,6 +22,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+    if num_model < 1 or len(devices) % num_model:
+        raise ValueError(
+            f"model_partitions={num_model} must divide the device count "
+            f"({len(devices)})")
     if num_data is None:
         num_data = len(devices) // num_model
     devs = np.asarray(devices[: num_data * num_model]).reshape(
@@ -45,11 +49,16 @@ class DataParallel:
         return self.mesh.devices.size
 
     def shard_batch(self, batch: Any):
+        """Accepts host numpy batches directly — callers should NOT
+        jnp.asarray first (that would transfer to the default device and,
+        multi-host, bounce back to host before the real sharded transfer)."""
         if jax.process_count() > 1:
             # multi-host: each process contributes its local slice of the
             # global batch (Loader(process_index=..., process_count=...))
+            if not isinstance(batch, np.ndarray):
+                batch = np.asarray(batch)
             return jax.make_array_from_process_local_data(
-                self.batch_sharding, np.asarray(batch))
+                self.batch_sharding, batch)
         return jax.device_put(batch, self.batch_sharding)
 
     def replicate(self, tree: Any):

@@ -93,6 +93,11 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     usage_meter = AverageMeter()
 
     def drain_one(p_step, p_valid, host):
+        if host.get("skipped_nonfinite"):
+            # the update was skipped in-graph; keep the NaN/inf losses out of
+            # the epoch meters too (the reference excludes skipped batches)
+            print(f"Step {p_step}: non-finite loss/grads — update skipped")
+            return
         for k in meters:
             if k in host:
                 meters[k].update(host[k])
@@ -100,8 +105,6 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             usage_meter.update(host["codebook_usage_percentage"], n=p_valid)
         if host["total_loss"] > 1e15:
             print(f"Step {p_step}: EXPLODING: total={host['total_loss']:.6e}")
-        if host.get("skipped_nonfinite"):
-            print(f"Step {p_step}: non-finite loss/grads — update skipped")
         if logger is not None and logger.active:
             log = {f"train/{k}": m.avg for k, m in meters.items()}
             log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
@@ -129,7 +132,7 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     if timer is not None:
         timer.start()
     for imgs, _labels, n_valid in loader:
-        batch = parallel.shard_batch(jnp.asarray(imgs))
+        batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         step += 1
@@ -141,12 +144,11 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             flush(pending)
     if pending:
         flush(pending)
-    elif timer is not None and n_images:
-        # no pending fetch to act as the epoch-end barrier — force one
-        # (a host fetch, not block_until_ready: on the axon TPU platform the
-        # latter can return before execution completes)
-        float(metrics["total_loss"])  # noqa: F821 — loop ran if n_images > 0
     if timer is not None and n_images:
+        # epoch-end barrier on the FINAL step (flushed fetches may lag it
+        # when log_every > 1). A host fetch, not block_until_ready: on the
+        # axon TPU platform the latter can return before execution completes.
+        float(metrics["total_loss"])  # noqa: F821 — loop ran if n_images > 0
         timer.stop(n_images)
     if usage_meter.count > 0:
         meters["codebook_usage_percentage"] = usage_meter
@@ -171,7 +173,7 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
 
     pending = None  # one-step-delayed host fetch (overlaps device compute)
     for imgs, _labels, n_valid in loader:
-        batch = parallel.shard_batch(jnp.asarray(imgs))
+        batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
                                      sub)
@@ -262,16 +264,22 @@ def run_training(args) -> Dict[str, Any]:
     state = TrainState.create(model.apply, params, batch_stats, tx,
                               parallel.replicate(init_state(agg_cfg)))
 
+    # multi-host: only process 0 owns run IO (save tree, wandb/local logs,
+    # figures, checkpoints) — other processes train silently
+    is_main = jax.process_index() == 0
     timestamp = time.strftime("%Y%m%d_%H%M%S")
     save_root = os.path.join(args.save_path, args.dataset, args.arch,
                              args.optimizer, agg_cfg.name, timestamp)
-    os.makedirs(os.path.join(save_root, "figures", "generated"), exist_ok=True)
-    os.makedirs(os.path.join(save_root, "figures", "reconstructed"),
-                exist_ok=True)
-    os.makedirs(os.path.join(save_root, "checkpoints"), exist_ok=True)
+    if is_main:
+        os.makedirs(os.path.join(save_root, "figures", "generated"),
+                    exist_ok=True)
+        os.makedirs(os.path.join(save_root, "figures", "reconstructed"),
+                    exist_ok=True)
+        os.makedirs(os.path.join(save_root, "checkpoints"), exist_ok=True)
 
     logger = ExperimentLogger(
-        use_wandb=getattr(args, "use_wandb", False), save_dir=save_root,
+        use_wandb=getattr(args, "use_wandb", False) and is_main,
+        save_dir=save_root if is_main else None,
         config=vars(args) if hasattr(args, "__dict__") else dict(args),
         project=getattr(args, "wandb_project", "mo-vae"),
         entity=getattr(args, "wandb_entity", None),
@@ -325,7 +333,7 @@ def run_training(args) -> Dict[str, Any]:
 
     # optional jax profiler trace of the first training epoch
     # (the reference has no tracing at all — SURVEY.md §5)
-    profile_dir = getattr(args, "profile_dir", None)
+    profile_dir = getattr(args, "profile_dir", None) if is_main else None
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
@@ -340,7 +348,8 @@ def run_training(args) -> Dict[str, Any]:
             pt = np.array([[meters[k].avg for k in model.objective_names]])
             log_dict["train/hv"] = hv_indicator(pt)
 
-        if epoch % getattr(args, "save_freq", 10) == 0 or epoch == args.epochs:
+        if is_main and (epoch % getattr(args, "save_freq", 10) == 0
+                        or epoch == args.epochs):
             _write_figures(model, state, test_loader, rng, save_root, epoch,
                            num_vis, normalize, logger, step,
                            train_ds=train_ds)
@@ -372,7 +381,8 @@ def run_training(args) -> Dict[str, Any]:
 
         # fault-tolerance checkpoint every save_freq epochs (resumable;
         # the reference only writes the final checkpoint, main.py:1422-1437)
-        if epoch % getattr(args, "save_freq", 10) == 0 and epoch < args.epochs:
+        if (is_main and epoch % getattr(args, "save_freq", 10) == 0
+                and epoch < args.epochs):
             ckpt_lib.save_checkpoint(
                 os.path.join(save_root, "checkpoints", "last_checkpoint"), {
                     "epoch": epoch, "step": step,
@@ -389,19 +399,21 @@ def run_training(args) -> Dict[str, Any]:
 
     # final checkpoint (payload keys per main.py:1422-1437)
     final_path = ckpt_lib.final_checkpoint_path(save_root)
-    ckpt_lib.save_checkpoint(final_path, {
-        "epoch": args.epochs,
-        "model_state_dict": {"params": jax.device_get(state.params),
-                             "batch_stats": jax.device_get(state.batch_stats)},
-        "args": {k: v for k, v in vars(args).items()
-                 if isinstance(v, (int, float, str, bool, list, dict,
-                                   type(None), tuple))},
-        "train_losses": train_losses,
-        "eval_losses": eval_losses,
-        "best_eval_loss": min((e.get("total_loss", np.inf)
-                               for e in eval_losses), default=None),
-    })
-    print(f"Saved final checkpoint to {final_path}")
+    if is_main:
+        ckpt_lib.save_checkpoint(final_path, {
+            "epoch": args.epochs,
+            "model_state_dict": {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)},
+            "args": {k: v for k, v in vars(args).items()
+                     if isinstance(v, (int, float, str, bool, list, dict,
+                                       type(None), tuple))},
+            "train_losses": train_losses,
+            "eval_losses": eval_losses,
+            "best_eval_loss": min((e.get("total_loss", np.inf)
+                                   for e in eval_losses), default=None),
+        })
+        print(f"Saved final checkpoint to {final_path}")
 
     results = {
         "save_root": save_root,

@@ -28,7 +28,16 @@ import numpy as np
 def cache_key(arch: str, dataset: str, num_embeddings: int,
               input_size: int) -> str:
     s = f"{arch}_{dataset}_{num_embeddings}_{input_size}"
-    return hashlib.md5(s.encode()).hexdigest()[:12]
+    key = hashlib.md5(s.encode()).hexdigest()[:12]
+    # multi-host: each process sweeps only its loader slice, so its cache
+    # holds a shard — key it as such rather than masquerading as the full set
+    try:
+        import jax
+        if jax.process_count() > 1:
+            key += f"_p{jax.process_index()}of{jax.process_count()}"
+    except Exception:  # pragma: no cover
+        pass
+    return key
 
 
 class CodeCache:

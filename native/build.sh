@@ -1,6 +1,10 @@
 #!/bin/sh
 # Build the native batch-assembly library. No external deps.
+# Optional $1: output filename (the python binding loads a version-suffixed
+# name, e.g. libbatch_ops.v2.so, so a rebuild is never dlopen-deduped
+# against a stale in-process handle of the same path).
 set -e
 cd "$(dirname "$0")"
-${CXX:-g++} -O3 -march=native -pthread -shared -fPIC -o libbatch_ops.so batch_ops.cpp
-echo "built $(pwd)/libbatch_ops.so"
+OUT="${1:-libbatch_ops.so}"
+${CXX:-g++} -O3 -march=native -pthread -shared -fPIC -o "$OUT" batch_ops.cpp
+echo "built $(pwd)/$OUT"

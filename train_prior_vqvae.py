@@ -126,7 +126,9 @@ def resolve_checkpoint(a) -> str:
         import wandb  # raises if unavailable — requires network + package
 
         api = wandb.Api()
-        run = api.run(f"{a.wandb_entity}/{a.wandb_project}/{a.wandb_id}")
+        path = (f"{a.wandb_entity}/{a.wandb_project}/{a.wandb_id}"
+                if a.wandb_entity else f"{a.wandb_project}/{a.wandb_id}")
+        run = api.run(path)
         dl = os.path.join("wandb_downloads", a.wandb_id)
         os.makedirs(dl, exist_ok=True)
         for f in run.files():
