@@ -69,6 +69,42 @@ def print_results_table(results: dict):
             print(f"{k:40s} {v}")
 
 
+def _find_prior(model_path: str, model, vq_args):
+    """Auto-load a trained prior living next to the model checkpoint
+    (<save_root>/<pixelcnn|pixelsnail>_prior/checkpoints/{best,final}_prior)
+    so gFID uses prior-driven sampling like the training pipeline; falls
+    back to None -> naive uniform-code sampling (reference evaluate.py:318)."""
+    import os
+
+    from movae_tpu.train import prior as prior_lib
+
+    arch = vq_args.arch.lower() if hasattr(vq_args, "arch") else ""
+    if not hasattr(model, "num_embeddings"):
+        return None
+    save_root = os.path.dirname(os.path.dirname(os.path.abspath(model_path)))
+    for prior_dir in ("pixelcnn_prior", "pixelsnail_prior"):
+        for name in ("best_prior", "final_prior"):
+            path = os.path.join(save_root, prior_dir, "checkpoints", name)
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                continue
+            try:
+                payload = ckpt_lib.load_checkpoint(path)
+                merged = SimpleNamespace(**{
+                    **vars(vq_args), **(payload.get("prior_args") or {})})
+                if "pixelsnail" in prior_dir:
+                    merged.prior_type = "pixelsnail"
+                hier = arch in ("vq_vae2", "gg_vq_vae2")
+                prior_model = prior_lib.build_prior(
+                    merged, model.num_embeddings, hier)
+                print(f"Using prior checkpoint {path} for generation")
+                return {"model": prior_model,
+                        "params": payload["model_state_dict"]["params"],
+                        "hierarchical": hier}
+            except Exception as e:  # pragma: no cover
+                print(f"prior load failed ({path}): {e}")
+    return None
+
+
 def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
              data_dir: str = "./data", batch_size: int = 128,
              max_fid_samples: int = 10000, skip_generative: bool = False,
@@ -104,10 +140,11 @@ def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
     if not skip_generative:
         args.batch_size = batch_size
         args.max_gen_metrics_samples = max_gen_metrics_samples
+        prior = _find_prior(model_path, model, args)
         rng, sub = jax.random.split(rng)
         results.update({f"gen/{k}": v for k, v in
                         evaluate_generative_metrics(
-                            model, state, test_loader, args, None, sub,
+                            model, state, test_loader, args, prior, sub,
                             max_samples=max_gen_metrics_samples).items()})
 
     print_results_table(results)

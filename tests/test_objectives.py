@@ -108,3 +108,79 @@ def test_registry_dispatch():
     assert fn is obj.bce_with_logits_per_pixel_mean and act == "none"
     with pytest.raises(ValueError):
         obj.get_recon_obj_and_activation("nope")
+
+
+# --- Sobel / GG edge losses vs independent torch implementations -----------
+
+def _torch_sobel(x_nhwc):
+    """Independent NCHW torch Sobel, mirroring the reference's buffers
+    (gg_vae.py:44-54): depthwise 3x3 cross-correlation, padding 1."""
+    kx = torch.tensor([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]])
+    ky = torch.tensor([[-1., -2., -1.], [0., 0., 0.], [1., 2., 1.]])
+    t = torch.tensor(x_nhwc).permute(0, 3, 1, 2)
+    c = t.shape[1]
+    gx = F.conv2d(t, kx.expand(c, 1, 3, 3), padding=1, groups=c)
+    gy = F.conv2d(t, ky.expand(c, 1, 3, 3), padding=1, groups=c)
+    return gx, gy
+
+
+def test_sobel_gradients_match_torch():
+    from movae_tpu.ops import sobel
+
+    x = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    jgx, jgy = sobel.sobel_gradients(jnp.asarray(x))
+    tgx, tgy = _torch_sobel(x)
+    np.testing.assert_allclose(np.asarray(jgx),
+                               tgx.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jgy),
+                               tgy.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_edge_weighted_pixel_loss_matches_torch():
+    """gradient_guided_loss: input-edge-magnitude-weighted MSE
+    (gg_vae.py:125-138), recomputed independently in torch."""
+    from movae_tpu.ops import sobel
+
+    x = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    r = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    ours = float(sobel.edge_weighted_pixel_loss(jnp.asarray(x),
+                                                jnp.asarray(r)))
+    gx, gy = _torch_sobel(x)
+    mag = torch.sqrt(gx ** 2 + gy ** 2 + 1e-8)
+    w = mag.max(dim=1).values
+    w = w / (w.max() + 1e-8)
+    pix = (torch.tensor(r).permute(0, 3, 1, 2)
+           - torch.tensor(x).permute(0, 3, 1, 2)) ** 2
+    theirs = (w.unsqueeze(1) * pix).mean()
+    np.testing.assert_allclose(ours, float(theirs), rtol=1e-5)
+
+
+def test_edge_matching_magnitude_matches_torch():
+    from movae_tpu.ops import sobel
+
+    x = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    r = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    ours = float(sobel.edge_matching_magnitude(jnp.asarray(x),
+                                               jnp.asarray(r)))
+    igx, igy = _torch_sobel(x)
+    rgx, rgy = _torch_sobel(r)
+    gt = torch.sqrt(igx ** 2 + igy ** 2 + 1e-8)
+    gp = torch.sqrt(rgx ** 2 + rgy ** 2 + 1e-8)
+    theirs = F.smooth_l1_loss(gp, gt)
+    np.testing.assert_allclose(ours, float(theirs), rtol=1e-5)
+
+
+def test_edge_matching_cosine_matches_torch():
+    from movae_tpu.ops import sobel
+
+    x = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    r = RNG.uniform(-1, 1, (2, 9, 9, 3)).astype(np.float32)
+    ours = float(sobel.edge_matching_cosine(jnp.asarray(x), jnp.asarray(r)))
+    igx, igy = _torch_sobel(x)
+    rgx, rgy = _torch_sobel(r)
+    gt = torch.stack([igx, igy], dim=-1)
+    gp = torch.stack([rgx, rgy], dim=-1)
+    cos = F.cosine_similarity(F.normalize(gt, dim=-1),
+                              F.normalize(gp, dim=-1), dim=-1)
+    theirs = 1.0 - cos.mean()
+    np.testing.assert_allclose(ours, float(theirs), rtol=1e-4)
