@@ -184,3 +184,59 @@ def test_edge_matching_cosine_matches_torch():
                               F.normalize(gp, dim=-1), dim=-1)
     theirs = 1.0 - cos.mean()
     np.testing.assert_allclose(ours, float(theirs), rtol=1e-4)
+
+
+def test_betatc_decomposition_matches_torch_oracle():
+    """BetaTCVAE's minibatch-stratified MI/TC/KLD decomposition vs an
+    independent torch re-implementation of the reference math
+    (betatc_vae.py:262-296), fed the same (z, mu, log_var)."""
+    import jax
+
+    from movae_tpu.models import get_network, init_model
+
+    B, D, N = 8, 6, 200
+    args = dict(arch="betatc_vae", latent_dim=D, batch_size=B,
+                dataset_size=N, anneal_steps=10,
+                loss_weights={"reconstruction_loss": 1.0, "mi_loss": 1.0,
+                              "tc_loss": 1.0, "kld": 1.0})
+    model = get_network(32, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 32, 3)
+    x = jnp.asarray(RNG.uniform(-1, 1, (B, 32, 32, 3)).astype(np.float32))
+    (loss_vec, loss_dict, outputs) = model.apply(
+        {"params": params, "batch_stats": bs}, x, train=False,
+        method="forward_with_losses",
+        rngs={"sample": jax.random.PRNGKey(1),
+              "dropout": jax.random.PRNGKey(2)})
+
+    z = torch.tensor(np.asarray(outputs["z"], np.float64))
+    mu = torch.tensor(np.asarray(outputs["mu"], np.float64))
+    lv = torch.tensor(np.asarray(outputs["log_var"], np.float64))
+
+    def ldg(x, m, v):
+        norm = -0.5 * (np.log(2 * np.pi) + v)
+        return norm - 0.5 * ((x - m) ** 2 * torch.exp(-v))
+
+    log_q_zx = ldg(z, mu, lv).sum(dim=1)
+    log_p_z = ldg(z, torch.zeros_like(z), torch.zeros_like(z)).sum(dim=1)
+    mat = ldg(z.view(B, 1, D), mu.view(1, B, D), lv.view(1, B, D))
+    strat = (N - B + 1) / (N * (B - 1))
+    iw = torch.full((B, B), 1.0 / (B - 1), dtype=torch.float64)
+    iw.view(-1)[::B] = 1.0 / N
+    iw.view(-1)[1::B] = strat
+    iw[B - 2, 0] = strat
+    mat = mat + iw.log().view(B, B, 1)
+    log_q_z = torch.logsumexp(mat.sum(2), dim=1)
+    log_prod_q_z = torch.logsumexp(mat, dim=1).sum(1)
+
+    np.testing.assert_allclose(float(loss_dict["mi_loss"]),
+                               float((log_q_zx - log_q_z).mean()), rtol=1e-4)
+    np.testing.assert_allclose(float(loss_dict["tc_loss"]),
+                               float((log_q_z - log_prod_q_z).mean()),
+                               rtol=1e-4, atol=1e-5)
+    # eval path: anneal = 1.0. The registry force-injects the kld lambda to
+    # batch/dataset_size regardless of loss_weights (reference
+    # models/__init__.py:50-55), so the logged kld carries that factor.
+    np.testing.assert_allclose(float(loss_dict["kld"]),
+                               (B / N) * float((log_prod_q_z
+                                                - log_p_z).mean()),
+                               rtol=1e-4)
