@@ -10,9 +10,16 @@ device selection is JAX-native (all local devices form the data mesh).
 from __future__ import annotations
 
 import json
+import os
 from argparse import ArgumentParser
 
-from movae_tpu.utils import set_seed
+# persistent XLA compilation cache: repeat runs of the same config skip the
+# (multi-minute) first-step compile. Opt out by setting the var to "".
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/movae_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from movae_tpu.utils import set_seed  # noqa: E402
 
 
 def build_parser() -> ArgumentParser:

@@ -166,15 +166,9 @@ def calculate_kid(real_images, fake_images, batch_size: int = 128,
     return kid_from_features(rf, ff, **kw)
 
 
-def calculate_inception_score(images, batch_size: int = 128,
-                              splits: int = 10):
-    """IS = exp(mean_splits KL(p(y|x) || p(y))) (metrics.py:835-914).
-    Returns (mean, std)."""
-    if len(images) == 0:
-        return float("nan"), float("nan")
-    _, logits = InceptionTower.get().extract(images, batch_size,
-                                             want_logits=True)
-    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+def inception_score_from_probs(probs: np.ndarray, splits: int = 10):
+    """IS = exp(mean_splits KL(p(y|x) || p(y))) over given class
+    probabilities (metrics.py:866-906). Returns (mean, std)."""
     n = len(probs)
     scores = []
     for i in range(splits):
@@ -187,6 +181,18 @@ def calculate_inception_score(images, batch_size: int = 128,
     if not scores:
         return float("nan"), float("nan")
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def calculate_inception_score(images, batch_size: int = 128,
+                              splits: int = 10):
+    """IS over images via the Inception logits tower (metrics.py:835-914).
+    Returns (mean, std)."""
+    if len(images) == 0:
+        return float("nan"), float("nan")
+    _, logits = InceptionTower.get().extract(images, batch_size,
+                                             want_logits=True)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    return inception_score_from_probs(probs, splits)
 
 
 def precision_recall_from_features(real_features: np.ndarray,
