@@ -70,6 +70,11 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     dtype = _get(args, "compute_dtype", jnp.float32)
     if isinstance(dtype, str):
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    vq_ema = bool(_get(args, "vq_ema", False))
+    vq_ema_decay = float(_get(args, "vq_ema_decay", 0.99))
+    # EMA maintains the codebooks; the gradient-free embedding loss leaves
+    # the objective vector for all VQ archs
+    emb = () if vq_ema else ("embedding_loss",)
 
     if recons_activation is None:
         recons_activation = "sigmoid" if recons_objective == "bce" else "tanh"
@@ -166,18 +171,11 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch == "vq_vae":
         from movae_tpu.models.vq_vae import VQVAE
-        vq_ema = bool(_get(args, "vq_ema", False))
-        if vq_ema:
-            names = ("reconstruction_loss", "commitment_loss")
-            lw = _weights(lambda_weights, names,
-                          {"reconstruction_loss": 1.0,
-                           "commitment_loss": 0.25})
-        else:
-            names = ("reconstruction_loss", "embedding_loss",
-                     "commitment_loss")
-            lw = _weights(lambda_weights, names,
-                          {"reconstruction_loss": 1.0, "embedding_loss": 1.0,
-                           "commitment_loss": 0.25})
+        names = ("reconstruction_loss", *emb, "commitment_loss")
+        defaults = {"reconstruction_loss": 1.0, "commitment_loss": 0.25}
+        if not vq_ema:
+            defaults["embedding_loss"] = 1.0
+        lw = _weights(lambda_weights, names, defaults)
         return VQVAE(embedding_dim=embedding_dim,
                      num_embeddings=num_embeddings,
                      hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
@@ -186,14 +184,11 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
                      input_size=input_size, in_channels=num_channels,
                      recons_objective=recons_objective,
                      recons_activation=recons_activation, lambda_weights=lw,
-                     vq_ema=vq_ema,
-                     vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+                     vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                      dtype=dtype)
 
     if arch.startswith("gg_vq_vae2") or arch == "gg_vq_vae2":
         from movae_tpu.models.gg_vq_vae2 import GGVQVAE2
-        vq_ema = bool(_get(args, "vq_ema", False))
-        emb = () if vq_ema else ("embedding_loss",)
         names = ("reconstruction_loss", "commitment_loss", *emb,
                  "gradient_guided_loss", "edge_matching_loss")
         defaults = {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
@@ -201,8 +196,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         if not vq_ema:
             defaults["embedding_loss"] = 0.25
         lw = _weights(lambda_weights, names, defaults)
-        return GGVQVAE2(vq_ema=vq_ema,
-                        vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+        return GGVQVAE2(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                         embedding_dim=embedding_dim,
                         num_embeddings=num_embeddings,
                         hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
@@ -215,20 +209,14 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch == "vq_vae2":
         from movae_tpu.models.vq_vae2 import VQVAE2
-        vq_ema = bool(_get(args, "vq_ema", False))
-        if vq_ema:
-            names = ("reconstruction_loss", "commitment_loss")
-            lw = _weights(lambda_weights, names,
-                          {"reconstruction_loss": 1.0,
-                           "commitment_loss": 1.0})
-        else:
-            names = ("reconstruction_loss", "commitment_loss",
-                     "embedding_loss")
-            lw = _weights(lambda_weights, names,
-                          {"reconstruction_loss": 1.0, "commitment_loss": 1.0,
-                           "embedding_loss": 0.25})
-        return VQVAE2(vq_ema=vq_ema,
-                      vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+        names = ("reconstruction_loss", "commitment_loss", "embedding_loss")
+        # NB: vq_vae2's pre-EMA order keeps embedding last
+        names = names[:-1] if vq_ema else names
+        defaults = {"reconstruction_loss": 1.0, "commitment_loss": 1.0}
+        if not vq_ema:
+            defaults["embedding_loss"] = 0.25
+        lw = _weights(lambda_weights, names, defaults)
+        return VQVAE2(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                       embedding_dim=embedding_dim,
                       num_embeddings=num_embeddings,
                       hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
@@ -243,8 +231,6 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         from movae_tpu.models.gg_vq_vae import GGVQVAE
         version = "v1" if arch in ("gg_vq_vae", "gg_vq_vae_v1") else arch.replace(
             "gg_vq_vae_", "")
-        vq_ema = bool(_get(args, "vq_ema", False))
-        emb = () if vq_ema else ("embedding_loss",)
         names = ("reconstruction_loss", "gradient_guided_loss", *emb,
                  "commitment_loss")
         defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
@@ -255,8 +241,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
             names = names + ("edge_matching_loss",)
             defaults["edge_matching_loss"] = 1.0
         lw = _weights(lambda_weights, names, defaults)
-        return GGVQVAE(vq_ema=vq_ema,
-                       vq_ema_decay=float(_get(args, "vq_ema_decay", 0.99)),
+        return GGVQVAE(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                        embedding_dim=embedding_dim,
                        num_embeddings=num_embeddings,
                        hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)

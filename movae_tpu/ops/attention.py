@@ -24,6 +24,7 @@ mesh-axis annotation, not a rewrite (SURVEY.md §5).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -77,8 +78,6 @@ def blockwise_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
 
 
 def _flash_ok(q: Array) -> bool:
-    import os
-
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

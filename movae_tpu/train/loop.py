@@ -25,7 +25,7 @@ from movae_tpu.data import Loader, get_dataset
 from movae_tpu.metrics.hv import build_hv_indicator
 from movae_tpu.models import get_network, init_model, total_trainable_params
 from movae_tpu.moo import AggregatorConfig, init_state
-from movae_tpu.parallel.mesh import DataParallel
+from movae_tpu.parallel.mesh import DataParallel, make_mesh
 from movae_tpu.train import checkpoint as ckpt_lib
 from movae_tpu.train import figures as fig_lib
 from movae_tpu.train.optim import build_optimizer, lr_schedule
@@ -207,7 +207,6 @@ def run_training(args) -> Dict[str, Any]:
               "objective; consider --normalize_inputs (main.py:1131-1138).")
 
     args.dataset_size = len(train_ds)
-    from movae_tpu.parallel.mesh import make_mesh
     num_model = int(getattr(args, "model_partitions", 1) or 1)
     parallel = DataParallel(make_mesh(num_model=num_model))
     batch_size = parallel.pad_to_devices(args.batch_size)
