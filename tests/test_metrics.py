@@ -167,3 +167,37 @@ def test_inception_score_matches_float64_oracle():
     got_mean, got_std = feat_lib.inception_score_from_probs(
         probs.astype(np.float32), splits=splits)
     np.testing.assert_allclose(got_mean, expected_mean, rtol=1e-4)
+
+
+def test_ssim_matches_float64_scipy_oracle():
+    """11x11 gaussian-window SSIM vs an independent float64 implementation
+    using scipy correlate2d (reference formula, metrics.py:14-80)."""
+    from scipy.signal import correlate2d
+
+    from movae_tpu.metrics.pixel import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+
+    g = np.exp(-((np.arange(11) - 5) ** 2) / (2 * 1.5 ** 2))
+    g = g / g.sum()
+    w = np.outer(g, g)
+
+    def blur(x):  # per image/channel, float64, SAME zero padding
+        out = np.empty_like(x)
+        for n in range(x.shape[0]):
+            for c in range(x.shape[-1]):
+                out[n, :, :, c] = correlate2d(x[n, :, :, c], w, mode="same")
+        return out
+
+    x, y = a.astype(np.float64), b.astype(np.float64)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = blur(x), blur(y)
+    s1 = blur(x * x) - mu1 ** 2
+    s2 = blur(y * y) - mu2 ** 2
+    s12 = blur(x * y) - mu1 * mu2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+    np.testing.assert_allclose(got, smap.mean(), rtol=1e-4)
