@@ -59,6 +59,10 @@ class Codebook(nn.Module):
     embedding_dim: int
     ema: bool = False
     ema_decay: float = 0.99
+    # dead-code restart: codes whose EMA cluster count decays below the
+    # threshold are re-seeded from random batch latents (standard remedy for
+    # EMA codebook collapse; the loss-based reference has no analog)
+    ema_restart_threshold: float = 0.01
 
     def setup(self):
         k = self.num_embeddings
@@ -92,14 +96,24 @@ class Codebook(nn.Module):
         return jnp.take(self._emb(), code, axis=0)
 
     def apply_ema(self, z_flat: Array, inds: Array):
-        """EMA decay update from this batch's assignments (train only)."""
+        """EMA decay update from this batch's assignments (train only),
+        plus dead-code restart."""
         if not self.ema or self.is_initializing():
             return
+        z_flat = jax.lax.stop_gradient(z_flat.astype(jnp.float32))
         new_cb, new_cluster, new_sum = vq_ops.ema_codebook_update(
             self.embedding_var.value, self.cluster_var.value,
-            self.ema_embed_var.value,
-            jax.lax.stop_gradient(z_flat.astype(jnp.float32)),
+            self.ema_embed_var.value, z_flat,
             jax.lax.stop_gradient(inds), decay=self.ema_decay)
+        if self.ema_restart_threshold > 0:
+            rows = jax.random.randint(self.make_rng("sample"),
+                                      (self.num_embeddings,), 0,
+                                      z_flat.shape[0])
+            seeds = z_flat[rows]
+            dead = new_cluster < self.ema_restart_threshold
+            new_cb = jnp.where(dead[:, None], seeds, new_cb)
+            new_sum = jnp.where(dead[:, None], seeds, new_sum)
+            new_cluster = jnp.where(dead, 1.0, new_cluster)
         self.embedding_var.value = new_cb
         self.cluster_var.value = new_cluster
         self.ema_embed_var.value = new_sum
