@@ -138,11 +138,11 @@ def evaluate_generative_metrics(model, state, loader, args,
         is_num = min(len(fake), getattr(args, "max_gen_metrics_samples",
                                         10000))
         is_mean, is_std = feat_lib.calculate_inception_score(fake[:is_num])
-        out["inception_score"] = is_mean
+        out["inception_score_mean"] = is_mean
         out["inception_score_std"] = is_std
     except Exception as e:  # pragma: no cover
         print(f"inception score failed: {e}")
-        out["inception_score"] = float("nan")
+        out["inception_score_mean"] = float("nan")
     return out
 
 
@@ -153,6 +153,10 @@ def run_final_metrics(results: Dict[str, Any], args,
     loader = results["test_loader"]
     rng = results.get("rng", jax.random.PRNGKey(0))
     finals = {}
+    # final per-objective eval losses under eval_<key> (reference
+    # main.py:1462 logs final/eval_* from the closing evaluate pass)
+    for k, v in (results.get("eval_losses") or [{}])[-1].items():
+        finals[f"eval_{k}"] = v
     finals.update(evaluate_recon_metrics(
         model, state, loader, rng,
         max_samples=getattr(args, "max_fid_samples", 10000)))
