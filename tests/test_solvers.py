@@ -167,3 +167,29 @@ def test_frank_wolfe_min_norm_property():
     for _ in range(200):
         w = rng.dirichlet(np.ones(4)).astype(np.float32)
         assert val <= float(w @ np.asarray(Gm) @ w) + 1e-3
+
+
+@pytest.mark.parametrize("m", [2, 3, 4, 5])
+def test_dual_cone_projection_kkt_random_gramians(m):
+    """Property test over random PSD Gramians: the projected weights w
+    satisfy the dual-cone KKT conditions — feasibility (G w >= 0),
+    nonnegative multipliers (mu = w - u >= 0), and complementary slackness
+    (mu_i (G w)_i = 0) — and the projection never increases the objective."""
+    from movae_tpu.moo.solvers import dual_cone_project_weights
+
+    rng = np.random.default_rng(m)
+    for trial in range(25):
+        A = rng.normal(size=(m, m + 2))
+        G = jnp.asarray((A @ A.T).astype(np.float32))
+        u = jnp.asarray(rng.uniform(0.1, 1.0, m).astype(np.float32))
+        w = np.asarray(dual_cone_project_weights(u, G))
+        Gn = np.asarray(G)
+        scale = np.trace(Gn) + 1.0
+        tol = 1e-4 * scale
+        mu = w - np.asarray(u)
+        Gw = Gn @ w
+        assert (Gw >= -tol).all(), (trial, Gw)
+        assert (mu >= -tol).all(), (trial, mu)
+        assert (np.abs(mu * Gw) <= tol * np.maximum(1.0, np.abs(mu)).max()
+                ).all(), (trial, mu * Gw)
+        assert w @ Gn @ w <= np.asarray(u) @ Gn @ np.asarray(u) + tol
