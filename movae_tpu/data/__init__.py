@@ -215,19 +215,78 @@ def _synthetic(size: int, n: int, seed: int = 0):
     return np.clip(imgs, 0, 255).astype(np.uint8), labels
 
 
-def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
-               center_crop: Optional[int] = None, limit: Optional[int] = None):
-    """Materialize an HF image dataset split into a uint8 array
-    (HFImageDataset equivalent, utils.py:122-142)."""
+def _materialize_memmap(path: str, n: int, item_fn):
+    """Build (or reopen) an on-disk uint8 image archive + int64 labels.
+
+    ``item_fn(i) -> (uint8 HWC image, label)``. The archive is written once
+    with constant host RAM (``open_memmap`` + per-item writes) and then
+    reopened as a **read-only memory map**: datasets far larger than RAM
+    (ImageNet-256 train is ~250 GB as one array) stream through the OS page
+    cache, the fused native gather reads straight from it, and repeated runs
+    skip the decode sweep entirely. Items whose shape differs from the first
+    are bicubic-resized to the archive shape (per-item transform semantics of
+    the reference HFImageDataset, utils/utils.py:122-142)."""
+    lbl_path = path + ".labels.npy"
+    if os.path.exists(path) and os.path.exists(lbl_path):
+        imgs = np.load(path, mmap_mode="r")
+        labels = np.load(lbl_path)
+        if len(imgs) == n and len(labels) == n:
+            return imgs, labels
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img0, lbl0 = item_fn(0)
+    img0 = np.asarray(img0, np.uint8)
+    tmp = path + ".tmp.npy"
+    out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8,
+                                    shape=(n,) + img0.shape)
+    labels = np.zeros((n,), np.int64)
+    out[0], labels[0] = img0, lbl0
+    for i in range(1, n):
+        img, lbl = item_fn(i)
+        img = np.asarray(img, np.uint8)
+        if img.shape != img0.shape:
+            from PIL import Image
+            img = np.asarray(Image.fromarray(img).resize(
+                (img0.shape[1], img0.shape[0]), Image.BICUBIC), np.uint8)
+        out[i], labels[i] = img, lbl
+    out.flush()
+    del out
+    np.save(lbl_path, labels)
+    os.replace(tmp, path)
+    return np.load(path, mmap_mode="r"), labels
+
+
+def _hf_load(repo: str, split: str):
     from datasets import load_dataset
+    return load_dataset(repo, split=split)
+
+
+def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
+               center_crop: Optional[int] = None, limit: Optional[int] = None,
+               data_dir: Optional[str] = None):
+    """Materialize an HF image dataset split into a uint8 array
+    (HFImageDataset equivalent, utils.py:122-142). With ``data_dir`` set the
+    decoded archive is cached under ``<data_dir>/movae_cache`` and served as
+    a read-only memmap (bounded host RAM; instant re-runs)."""
     from PIL import Image
 
-    ds = load_dataset(repo, split=split)
+    cache = None
+    if data_dir is not None:
+        # keyed by (repo, split, transform) like the reference's md5 LMDB
+        # key (vq_codes_lmdb.py:182-240) — a hit never touches HF at all
+        cache = os.path.join(
+            data_dir, "movae_cache",
+            f"{repo.replace('/', '_')}_{split}_{out_size or 0}"
+            f"_{center_crop or 0}_{limit or 0}.npy")
+        if os.path.exists(cache) and os.path.exists(cache + ".labels.npy"):
+            return np.load(cache, mmap_mode="r"), np.load(
+                cache + ".labels.npy")
+
+    ds = _hf_load(repo, split)
     n = len(ds) if limit is None else min(limit, len(ds))
     key = "image" if "image" in ds.column_names else ds.column_names[0]
-    out = None
-    labels = np.zeros((n,), np.int64)
-    for i in range(n):
+    has_label = "label" in ds.column_names
+
+    def item_fn(i):
         im = ds[i][key]
         if not isinstance(im, Image.Image):
             im = Image.fromarray(np.asarray(im))
@@ -238,12 +297,19 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
             im = im.crop((left, top, left + center_crop, top + center_crop))
         if out_size and im.size != (out_size, out_size):
             im = im.resize((out_size, out_size), Image.BICUBIC)
-        arr = np.asarray(im, np.uint8)
+        label = ds[i]["label"] if has_label else 0
+        return np.asarray(im, np.uint8), label
+
+    if cache is not None:
+        return _materialize_memmap(cache, n, item_fn)
+
+    out = None
+    labels = np.zeros((n,), np.int64)
+    for i in range(n):
+        arr, labels[i] = item_fn(i)
         if out is None:
             out = np.empty((n,) + arr.shape, np.uint8)
         out[i] = arr
-        if "label" in ds.column_names:
-            labels[i] = ds[i]["label"]
     return out, labels
 
 
@@ -273,8 +339,10 @@ def get_dataset(dataset_name: str, data_dir: str = "./data",
                 ArrayDataset(xte, yte, normalize=normalize), 32)
 
     if name == "imagenet":
-        xtr, ytr = _hf_images("benjamin-paine/imagenet-1k-256x256", "train")
-        xte, yte = _hf_images("benjamin-paine/imagenet-1k-256x256", "test")
+        xtr, ytr = _hf_images("benjamin-paine/imagenet-1k-256x256", "train",
+                              data_dir=data_dir)
+        xte, yte = _hf_images("benjamin-paine/imagenet-1k-256x256", "test",
+                              data_dir=data_dir)
         return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
                 ArrayDataset(xte, yte, normalize=normalize), 256)
 
@@ -287,18 +355,21 @@ def get_dataset(dataset_name: str, data_dir: str = "./data",
                 ArrayDataset(xte, yte, normalize=normalize), input_size)
 
     if name == "celeba-hq":
-        xtr, ytr = _hf_images("korexyz/celeba-hq-256x256", "train")
-        xte, yte = _hf_images("korexyz/celeba-hq-256x256", "validation")
+        xtr, ytr = _hf_images("korexyz/celeba-hq-256x256", "train",
+                              data_dir=data_dir)
+        xte, yte = _hf_images("korexyz/celeba-hq-256x256", "validation",
+                              data_dir=data_dir)
         return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize),
                 ArrayDataset(xte, yte, normalize=normalize), 256)
 
     if name == "oxford-flower-102":
         xtr, ytr = _hf_images("Donghyun99/Oxford-Flower-102", "train",
-                              out_size=300)
+                              out_size=300, data_dir=data_dir)
         xva, yva = _hf_images("Donghyun99/Oxford-Flower-102", "validation",
-                              out_size=300)
+                              out_size=300, data_dir=data_dir)
         xte, yte = _hf_images("Donghyun99/Oxford-Flower-102", "test",
-                              out_size=256, center_crop=None)
+                              out_size=256, center_crop=None,
+                              data_dir=data_dir)
         xtr = np.concatenate([xtr, xva])
         ytr = np.concatenate([ytr, yva])
         return (ArrayDataset(xtr, ytr, flip=True, normalize=normalize,
@@ -306,9 +377,13 @@ def get_dataset(dataset_name: str, data_dir: str = "./data",
                 ArrayDataset(xte, yte, normalize=normalize), 256)
 
     if name in ("animal-face", "afhq"):
-        x, y = _hf_images("huggan/AFHQ", "train", out_size=256)
+        x, y = _hf_images("huggan/AFHQ", "train", out_size=256,
+                          data_dir=data_dir)
+        # reference reuses the train split for test (utils.py:420-422); the
+        # memmap archive is read-only so sharing it between the two datasets
+        # is safe (no .copy(): that would pull the whole archive into RAM)
         return (ArrayDataset(x, y, flip=True, normalize=normalize),
-                ArrayDataset(x.copy(), y.copy(), normalize=normalize), 256)
+                ArrayDataset(x, np.array(y), normalize=normalize), 256)
 
     raise ValueError(f"Dataset {dataset_name} not supported")
 
@@ -332,11 +407,14 @@ def _load_celeba_folder(data_dir: str, split: str, crop: int, out: int):
             fname, sid = line.split()
             if int(sid) == split_id:
                 names.append(fname)
-    imgs = np.empty((len(names), out, out, 3), np.uint8)
-    for i, fname in enumerate(names):
-        im = Image.open(os.path.join(img_dir, fname)).convert("RGB")
+
+    def item_fn(i):
+        im = Image.open(os.path.join(img_dir, names[i])).convert("RGB")
         w, h = im.size
         left, top = (w - crop) // 2, (h - crop) // 2
         im = im.crop((left, top, left + crop, top + crop))
-        imgs[i] = np.asarray(im.resize((out, out), Image.BICUBIC), np.uint8)
-    return imgs, np.zeros((len(names),), np.int64)
+        return np.asarray(im.resize((out, out), Image.BICUBIC), np.uint8), 0
+
+    cache = os.path.join(data_dir, "movae_cache",
+                         f"celeba_{split}_{crop}_{out}_{len(names)}.npy")
+    return _materialize_memmap(cache, len(names), item_fn)

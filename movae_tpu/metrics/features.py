@@ -11,6 +11,7 @@ and batched on the accelerator.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -106,7 +107,12 @@ def fid_from_features(real_features: np.ndarray, fake_features: np.ndarray,
     sigma2 = np.atleast_2d(sigma2)
     diff = mu1 - mu2
     ssdiff = diff.dot(diff)
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    # scipy >= 1.16 deprecates disp=; inaccuracy surfaces as a warning +
+    # non-finite entries, which the eps-offset retry below already handles
+    # (metrics.py:594-600), so keep the old disp=False silence
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
