@@ -263,21 +263,31 @@ def _imtlg_alpha(G: Array) -> Array:
 
 
 def _nashmtl_solve(G: Array, niter: int) -> Array:
-    """NashMTL (Navon et al. 2022): find alpha>0 with alpha_i (G alpha)_i = 1
-    via a damped multiplicative fixed-point iteration (the reference uses
-    cvxpy; same first-order conditions)."""
+    """NashMTL (Navon et al. 2022): the Nash-bargaining weights solve
+    ``alpha > 0`` with ``(G alpha)_i = 1 / alpha_i`` — the first-order
+    conditions of the convex program ``min 0.5 a^T G a - sum_i log a_i``
+    (the reference solves a sequential cvxpy approximation of the same
+    conditions). Solved here with a damped Newton iteration: the Hessian
+    ``H = G + diag(1/a^2)`` is positive definite even for singular G, and a
+    fractional-to-boundary step cap keeps ``a`` strictly positive. Unlike a
+    multiplicative fixed point, this converges on *conflicting*-gradient
+    Gramians (negative off-diagonals) too."""
     m = G.shape[0]
-    Gn = G / jnp.clip(jnp.max(jnp.abs(G)), min=1e-12)
+    # scale for conditioning; if a solves for Gn = G/s then a/sqrt(s)
+    # solves for G (the KKT system pins the scale — no renormalization)
+    s = jnp.clip(jnp.max(jnp.abs(G)), min=1e-12)
+    Gn = G / s
 
-    def body(_, alpha):
-        f = jnp.clip(alpha * (Gn @ alpha), min=1e-12)
-        alpha = alpha / jnp.sqrt(f)
-        return jnp.clip(alpha, 1e-6, 1e6)
+    def body(_, a):
+        grad = Gn @ a - 1.0 / a
+        H = Gn + jnp.diag(1.0 / (a * a))
+        step = jnp.linalg.solve(H, grad)
+        ratio = jnp.where(step > 0, step / a, 0.0)
+        t = jnp.minimum(1.0, 0.99 / jnp.clip(jnp.max(ratio), min=1e-12))
+        return jnp.clip(a - t * step, min=1e-8)
 
-    alpha = jax.lax.fori_loop(0, niter, body, jnp.ones((m,), G.dtype))
-    # undo Gramian scaling: alpha solves for Gn; for G the solution scales by
-    # sqrt(max|G|) in 1/alpha terms — keep relative weights, normalized to sum m
-    return alpha * (m / jnp.clip(jnp.sum(alpha), min=1e-12))
+    a = jax.lax.fori_loop(0, niter, body, jnp.ones((m,), G.dtype))
+    return a / jnp.sqrt(s)
 
 
 # ---------------------------------------------------------------------------

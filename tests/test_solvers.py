@@ -193,3 +193,55 @@ def test_dual_cone_projection_kkt_random_gramians(m):
         assert (np.abs(mu * Gw) <= tol * np.maximum(1.0, np.abs(mu)).max()
                 ).all(), (trial, mu * Gw)
         assert w @ Gn @ w <= np.asarray(u) @ Gn @ np.asarray(u) + tol
+
+
+@pytest.mark.parametrize("m", [2, 3, 4, 5])
+def test_cagrad_matches_scipy_inner_solve(m):
+    """CAGrad's fixed-iteration mirror descent vs a scipy SLSQP solve of the
+    same inner problem min_{w in simplex} w^T G w0 + sqrt(phi) sqrt(w^T G w)
+    — the reference solves this with scipy.optimize.minimize (CAGrad paper
+    impl). Objective values must match to ~1e-3 relative on random Gramians."""
+    from scipy import optimize
+
+    rng = np.random.default_rng(100 + m)
+    for _ in range(20):
+        A = rng.normal(size=(m, m + 3)).astype(np.float64)
+        Gm = A @ A.T
+        w0 = np.full(m, 1.0 / m)
+        phi = 1.0 ** 2 * (w0 @ Gm @ w0)
+
+        def obj(w):
+            return w @ Gm @ w0 + np.sqrt(phi) * np.sqrt(
+                max(w @ Gm @ w, 1e-12))
+
+        res = optimize.minimize(
+            obj, w0, bounds=[(0.0, 1.0)] * m,
+            constraints={"type": "eq", "fun": lambda w: w.sum() - 1.0},
+            method="SLSQP")
+
+        c = cfg("cagrad", num_objectives=m, cagrad_iters=200)
+        alpha = np.asarray(weights(c, G_=jnp.asarray(Gm, jnp.float32),
+                                   losses=jnp.ones(m)))
+        # recover the inner w from alpha = w0 + (sqrt(phi)/||g_w||) w
+        w_ours = alpha - w0
+        w_ours = w_ours / max(w_ours.sum(), 1e-12)
+        ref, ours = obj(res.x), obj(w_ours)
+        scale = abs(ref) + np.trace(Gm) / m
+        assert ours <= ref + 2e-3 * scale, (m, ours, ref)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4, 5])
+def test_nashmtl_kkt_random_gramians(m):
+    """NashMTL first-order conditions alpha_i (G alpha)_i = const, alpha > 0
+    on random well-conditioned Gramians (the reference solves the same
+    conditions with cvxpy, nash_mtl.py)."""
+    rng = np.random.default_rng(200 + m)
+    for _ in range(20):
+        A = rng.normal(size=(m, m + 4)).astype(np.float32) + 0.5
+        Gm = jnp.asarray(A @ A.T)
+        c = cfg("nashmtl", num_objectives=m, nashmtl_optim_niter=200)
+        alpha = np.asarray(weights(c, G_=Gm, losses=jnp.ones(m)))
+        assert (alpha > 0).all()
+        f = alpha * np.asarray(Gm @ alpha)
+        # exact Nash condition: alpha_i (G alpha)_i = 1 for every i
+        np.testing.assert_allclose(f, np.ones(m), rtol=5e-2)
