@@ -155,7 +155,9 @@ class Loader:
             if n_valid < bs:
                 if self.drop_last:
                     return
-                pad = order[: bs - n_valid]
+                # wrap-pad to the static shape; np.resize repeats the order
+                # cyclically so datasets smaller than the pad still fill it
+                pad = np.resize(order, bs - n_valid)
                 idx = np.concatenate([idx, pad]) if n_valid else pad
             imgs, labels = self.dataset.get_batch(idx, rng, raw=self.raw)
             yield imgs, labels, n_valid

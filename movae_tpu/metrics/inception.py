@@ -185,15 +185,9 @@ def load_params(path: Optional[str] = None) -> Any:
     variables = model.init(jax.random.PRNGKey(20260816),
                            jnp.zeros((1, 299, 299, 3), jnp.float32))
     if path and os.path.exists(path):
-        flat = dict(np.load(path))
-        from flax import traverse_util
-        var_flat = traverse_util.flatten_dict(variables, sep="/")
-        for k in var_flat:
-            if k in flat:
-                var_flat[k] = jnp.asarray(flat[k])
-        variables = traverse_util.unflatten_dict(
-            {tuple(k.split("/")): v for k, v in var_flat.items()})
-        return variables
+        from movae_tpu.metrics.pretrained import merge_pretrained
+        return merge_pretrained(variables, dict(np.load(path)),
+                                f"InceptionV3 weights {path}")
     if not _WARNED:
         print("WARNING: no pretrained InceptionV3 weights found "
               "(set MOVAE_INCEPTION_WEIGHTS); using fixed random features — "

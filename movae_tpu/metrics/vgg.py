@@ -74,14 +74,9 @@ def load_params(path: Optional[str] = None):
     variables = model.init(jax.random.PRNGKey(20260816),
                            jnp.zeros((1, 64, 64, 3), jnp.float32))
     if path and os.path.exists(path):
-        from flax import traverse_util
-        flat = dict(np.load(path))
-        var_flat = traverse_util.flatten_dict(variables, sep="/")
-        for k in var_flat:
-            if k in flat:
-                var_flat[k] = jnp.asarray(flat[k])
-        return traverse_util.unflatten_dict(
-            {tuple(k.split("/")): v for k, v in var_flat.items()})
+        from movae_tpu.metrics.pretrained import merge_pretrained
+        return merge_pretrained(variables, dict(np.load(path)),
+                                f"VGG16 weights {path}")
     if not _WARNED:
         print("WARNING: no pretrained VGG16 weights (set MOVAE_VGG16_WEIGHTS);"
               " LPIPS/perceptual use fixed random features.")

@@ -178,8 +178,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         lw = _weights(lambda_weights, names, defaults)
         return VQVAE(embedding_dim=embedding_dim,
                      num_embeddings=num_embeddings,
-                     hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
-                     else (128, 256),
+                     hidden_dims=hidden_dims,
                      num_residual_layers=num_residual_layers,
                      input_size=input_size, in_channels=num_channels,
                      recons_objective=recons_objective,
@@ -199,8 +198,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         return GGVQVAE2(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                         embedding_dim=embedding_dim,
                         num_embeddings=num_embeddings,
-                        hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
-                        else (128, 256),
+                        hidden_dims=hidden_dims,
                         num_residual_layers=num_residual_layers,
                         input_size=input_size, in_channels=num_channels,
                         recons_objective=recons_objective,
@@ -212,15 +210,16 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         names = ("reconstruction_loss", "commitment_loss", "embedding_loss")
         # NB: vq_vae2's pre-EMA order keeps embedding last
         names = names[:-1] if vq_ema else names
+        # reference vq_vae2 defaults are ALL ones (vq_vae2.py:152) — unlike
+        # VQVAE's {embedding 1.0, commitment 0.25}
         defaults = {"reconstruction_loss": 1.0, "commitment_loss": 1.0}
         if not vq_ema:
-            defaults["embedding_loss"] = 0.25
+            defaults["embedding_loss"] = 1.0
         lw = _weights(lambda_weights, names, defaults)
         return VQVAE2(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                       embedding_dim=embedding_dim,
                       num_embeddings=num_embeddings,
-                      hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
-                      else (128, 256),
+                      hidden_dims=hidden_dims,
                       num_residual_layers=num_residual_layers,
                       input_size=input_size, in_channels=num_channels,
                       recons_objective=recons_objective,
@@ -231,8 +230,10 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         from movae_tpu.models.gg_vq_vae import GGVQVAE
         version = "v1" if arch in ("gg_vq_vae", "gg_vq_vae_v1") else arch.replace(
             "gg_vq_vae_", "")
-        names = ("reconstruction_loss", "gradient_guided_loss", *emb,
-                 "commitment_loss")
+        # reference objective-dict order (gg_vq_vae.py:63-89, list mapping
+        # gg_vq_vae.py:100-115): recon, embedding, commitment, gg[, edge]
+        names = ("reconstruction_loss", *emb, "commitment_loss",
+                 "gradient_guided_loss")
         defaults = {"reconstruction_loss": 1.0, "gradient_guided_loss": 1.0,
                     "commitment_loss": 0.25}
         if not vq_ema:
@@ -244,8 +245,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         return GGVQVAE(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                        embedding_dim=embedding_dim,
                        num_embeddings=num_embeddings,
-                       hidden_dims=hidden_dims if hidden_dims != (32, 64, 128, 256, 512)
-                       else (128, 256),
+                       hidden_dims=hidden_dims,
                        num_residual_layers=num_residual_layers,
                        input_size=input_size, in_channels=num_channels,
                        recons_objective=recons_objective,

@@ -21,18 +21,22 @@ Array = jax.Array
 
 class GGVQVAE(VQVAE):
     version: str = "v1"
+    # objective/lambda order follows the reference dict-insertion order
+    # (gg_vq_vae.py:63-89): reconstruction, embedding, commitment,
+    # gradient_guided[, edge_matching] — positional lambda lists, the
+    # aggregator task indices, and task_i_weight logging all depend on it
     lambda_weights: LambdaWeights = (
         ("reconstruction_loss", 1.0),
-        ("gradient_guided_loss", 1.0),
         ("embedding_loss", 1.0),
         ("commitment_loss", 0.25),
+        ("gradient_guided_loss", 1.0),
     )
 
     @property
     def objective_names(self) -> Tuple[str, ...]:
         emb = () if self.vq_ema else ("embedding_loss",)
-        base = ("reconstruction_loss", "gradient_guided_loss",
-                *emb, "commitment_loss")
+        base = ("reconstruction_loss", *emb, "commitment_loss",
+                "gradient_guided_loss")
         if self.version == "v1":
             return base
         return base + ("edge_matching_loss",)

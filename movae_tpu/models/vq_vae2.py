@@ -125,10 +125,12 @@ class VQVAE2(MOVAEModel):
     input_size: int = 64
     recons_activation: str = "tanh"
     recons_objective: str = "mse"
+    # reference default is ALL ones for VQ-VAE2 (vq_vae2.py:152), unlike
+    # VQVAE's commitment 0.25 (vq_vae.py default)
     lambda_weights: LambdaWeights = (
         ("reconstruction_loss", 1.0),
         ("commitment_loss", 1.0),
-        ("embedding_loss", 0.25),
+        ("embedding_loss", 1.0),
     )
     dtype: Any = jnp.float32
     use_pallas_vq: Optional[bool] = None

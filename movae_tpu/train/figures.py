@@ -56,8 +56,9 @@ def save_reconstruction_panel(originals: np.ndarray, recons: np.ndarray,
     """Two-row panel: originals on top, reconstructions below
     (generate_reconstructed_samples, main.py:557-656)."""
     n = len(originals)
-    fig, axes = plt.subplots(2, n, figsize=(2 * n, 4.2))
-    axes = np.atleast_2d(axes)
+    # squeeze=False keeps the (2, n) grid shape even at n == 1
+    # (np.atleast_2d would turn the squeezed (2,) vector into (1, 2))
+    fig, axes = plt.subplots(2, n, figsize=(2 * n, 4.2), squeeze=False)
     for i in range(n):
         axes[0, i].imshow(_to_display(originals[i], normalized))
         axes[0, i].axis("off")

@@ -163,23 +163,33 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
               list(objective_names) + ["total_loss"]}
     union = {}
 
-    def drain(metrics, extras):
+    def drain(metrics, extras, weight):
         metrics, extras = jax.device_get((metrics, extras))
         for k in meters:
-            meters[k].update(float(metrics[k]))
+            meters[k].update(float(metrics[k]), n=weight)
         for k, mask in extras.items():
             m = np.asarray(mask)
             union[k] = np.logical_or(union[k], m) if k in union else m
 
+    nd = parallel.mesh.shape["data"]
+    single_host = jax.process_count() == 1
     pending = None  # one-step-delayed host fetch (overlaps device compute)
     for imgs, _labels, n_valid in loader:
+        if single_host and n_valid < len(imgs):
+            # drop the loader's wrap padding from the tail batch before it
+            # contaminates the batch-mean losses: keep the smallest multiple
+            # of the data-axis size covering the valid rows (exact on one
+            # data shard, at most nd-1 duplicates otherwise; one extra jit
+            # specialization for the tail shape). The reference evaluates
+            # the ragged last torch batch exactly (main.py:238-332).
+            imgs = imgs[: ((n_valid + nd - 1) // nd) * nd]
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
                                      sub)
         if pending is not None:
             drain(*pending)
-        pending = (metrics, extras)
+        pending = (metrics, extras, n_valid)
     if pending is not None:
         drain(*pending)
     if union:

@@ -154,9 +154,15 @@ def make_train_step(
 
             def heads_fn(p, features, trunk_aux):
                 t_aux, trunk_bs = trunk_aux
+                # heads must run on the trunk-UPDATED statistics: flax
+                # returns the FULL mutable collection from apply, so running
+                # the heads on the stale `bs` would hand back stale encoder
+                # entries that win the later-keys-win merge below and erase
+                # the trunk's BatchNorm running-stat updates for the step
+                bs_after_trunk = _merge_collections(bs, trunk_bs)
                 (loss_vec, loss_dict, outputs), mut = model.apply(
-                    {"params": p, "batch_stats": bs}, features, t_aux, x,
-                    train=True, method="heads_with_losses",
+                    {"params": p, "batch_stats": bs_after_trunk}, features,
+                    t_aux, x, train=True, method="heads_with_losses",
                     mutable=["batch_stats"], rngs=rngs)
                 return loss_vec, (loss_dict, outputs,
                                   mut.get("batch_stats", {}))

@@ -201,3 +201,37 @@ def test_ssim_matches_float64_scipy_oracle():
     smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
         (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
     np.testing.assert_allclose(got, smap.mean(), rtol=1e-4)
+
+
+def test_merge_pretrained_strict():
+    """Pointing MOVAE_*_WEIGHTS at a wrong/partial npz must raise, not
+    silently fall back to random features (which would corrupt FID/IS/LPIPS
+    while looking like a successful load)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from flax import traverse_util
+
+    from movae_tpu.metrics.pretrained import merge_pretrained
+
+    variables = {"params": {"conv": {"kernel": jnp.zeros((3, 3, 1, 4)),
+                                     "bias": jnp.zeros((4,))}}}
+    flat = {k: np.asarray(v) for k, v in
+            traverse_util.flatten_dict(variables, sep="/").items()}
+
+    # complete file merges
+    merged = merge_pretrained(variables, dict(flat), "test")
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(variables)
+
+    # missing key -> error
+    partial = dict(flat)
+    partial.pop("params/conv/bias")
+    with _pytest.raises(ValueError, match="missing"):
+        merge_pretrained(variables, partial, "test")
+
+    # shape mismatch -> error
+    wrong = dict(flat)
+    wrong["params/conv/kernel"] = np.zeros((1, 1, 1, 4), np.float32)
+    with _pytest.raises(ValueError, match="shape"):
+        merge_pretrained(variables, wrong, "test")

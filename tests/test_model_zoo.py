@@ -109,3 +109,50 @@ def test_kld_weight_override():
     model = get_network(SIZE, 3, dict(BASE, arch="vae", batch_size=8,
                                       dataset_size=80))
     assert dict(model.lambda_weights)["kld_loss"] == pytest.approx(0.1)
+
+
+def test_reference_objective_orders_and_defaults():
+    """Objective order and default lambda weights must match the reference
+    dict-insertion orders: positional loss_weights lists, aggregator task
+    indices, and task_i_weight logging all key off them.
+
+    - GGVQVAE (gg_vq_vae.py:63-89): recon, embedding, commitment,
+      gradient_guided[, edge_matching]; defaults {1, 1, 0.25, 1[, 1]}.
+    - VQVAE2 (vq_vae2.py:141-152): recon, commitment, embedding — ALL ones
+      (unlike VQVAE's commitment 0.25).
+    """
+    m = get_network(SIZE, 3, dict(BASE, arch="gg_vq_vae"))
+    assert m.objective_names == ("reconstruction_loss", "embedding_loss",
+                                 "commitment_loss", "gradient_guided_loss")
+    assert dict(m.lambda_weights) == {
+        "reconstruction_loss": 1.0, "embedding_loss": 1.0,
+        "commitment_loss": 0.25, "gradient_guided_loss": 1.0}
+
+    m = get_network(SIZE, 3, dict(BASE, arch="gg_vq_vae_v3"))
+    assert m.objective_names == (
+        "reconstruction_loss", "embedding_loss", "commitment_loss",
+        "gradient_guided_loss", "edge_matching_loss")
+
+    # positional list form maps in reference order (gg_vq_vae.py:100-115)
+    m = get_network(SIZE, 3, dict(BASE, arch="gg_vq_vae",
+                                  loss_weights=[1.0, 2.0, 3.0, 4.0]))
+    assert dict(m.lambda_weights) == {
+        "reconstruction_loss": 1.0, "embedding_loss": 2.0,
+        "commitment_loss": 3.0, "gradient_guided_loss": 4.0}
+
+    m = get_network(SIZE, 3, dict(BASE, arch="vq_vae2"))
+    assert m.objective_names == ("reconstruction_loss", "commitment_loss",
+                                 "embedding_loss")
+    assert dict(m.lambda_weights) == {
+        "reconstruction_loss": 1.0, "commitment_loss": 1.0,
+        "embedding_loss": 1.0}
+
+
+def test_hidden_dims_passthrough():
+    """The CLI-default tuple must reach VQ models unchanged (the reference
+    registry passes args.hidden_dims straight through, models/__init__.py:23,
+    168) — it used to be silently rewritten to (128, 256)."""
+    m = get_network(64, 3, dict(BASE, arch="vq_vae",
+                                hidden_dims=(32, 64, 128, 256, 512)))
+    assert tuple(m.hidden_dims) == (32, 64, 128, 256, 512)
+    assert m.latent_spatial_dim == 64 // 2 ** 5

@@ -207,3 +207,71 @@ def test_run_training_with_model_partitions(tmp_path):
     shardings = [l.sharding for l in
                  _jax.tree_util.tree_leaves(results["state"].params)]
     assert any("model" in str(s.spec) for s in shardings)
+
+
+def test_loader_pad_with_dataset_smaller_than_batch():
+    """Wrap padding must fill the full static batch even when the dataset
+    has fewer samples than the pad needs (np.resize cycles the order)."""
+    from movae_tpu.data import ArrayDataset, Loader
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+    ds = ArrayDataset(imgs, normalize=False)
+    batches = list(Loader(ds, batch_size=16, shuffle=True, seed=3))
+    assert len(batches) == 1
+    x, _y, n_valid = batches[0]
+    assert x.shape == (16, 8, 8, 3)
+    assert n_valid == 5
+
+
+def test_reconstruction_panel_single_image(tmp_path):
+    """num_vis_samples=1 must still produce the two-row panel (squeezed
+    matplotlib axes used to IndexError and silently kill all figures)."""
+    from movae_tpu.train import figures as fig_lib
+
+    x = np.random.default_rng(0).uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    png = fig_lib.save_reconstruction_panel(x, x, str(tmp_path / "p.pdf"))
+    assert os.path.exists(png)
+
+
+def test_evaluate_excludes_tail_padding():
+    """evaluate() slices the loader's wrap padding off the tail batch (to a
+    multiple of the data-axis size) and weights batch means by n_valid."""
+    import jax
+    import jax.numpy as jnp
+
+    from movae_tpu.data import ArrayDataset, Loader
+    from movae_tpu.parallel.mesh import DataParallel
+    from movae_tpu.train.loop import evaluate
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (20, 8, 8, 3), dtype=np.uint8)
+    ds = ArrayDataset(imgs, normalize=False)
+    loader = Loader(ds, batch_size=16, shuffle=False, raw=True)
+    parallel = DataParallel()
+    nd = parallel.mesh.shape["data"]
+
+    seen = []
+
+    def eval_fn(params, batch_stats, batch, rng):
+        seen.append(batch.shape[0])
+        return {"total_loss": jnp.mean(batch.astype(jnp.float32))}, {}, {}
+
+    class S:
+        params = {}
+        batch_stats = {}
+
+    meters, _ = evaluate(eval_fn, S(), loader, parallel,
+                         jax.random.PRNGKey(0), [])
+    # first batch full (16); tail has 4 valid -> padded copy sliced to the
+    # next multiple of the data axis, not the full static 16
+    expected_tail = ((4 + nd - 1) // nd) * nd
+    assert seen == [16, expected_tail]
+    # batch means weighted by n_valid
+    m1 = float(np.mean(imgs[:16].astype(np.float32)))
+    # tail rows = the 4 valid images + wrap padding from the start of the
+    # order, sliced to the data-axis multiple
+    tail = np.concatenate([imgs[16:20], imgs[:expected_tail - 4]])
+    m2 = float(np.mean(tail.astype(np.float32)))
+    want = (16 * m1 + 4 * m2) / 20
+    assert meters["total_loss"].avg == pytest.approx(want, rel=1e-5)

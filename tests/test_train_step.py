@@ -253,3 +253,27 @@ def test_remat_matches_no_remat(agg):
                     jax.tree_util.tree_leaves(outs[1][0].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_feature_mode_updates_trunk_batch_stats():
+    """Regression: flax ``mutable=['batch_stats']`` returns the FULL
+    collection, so the heads apply (which never runs the encoder) used to
+    hand back stale encoder BatchNorm entries that erased the trunk's
+    running-stat updates in the later-keys-win merge. The feature-Jacobian
+    path must update encoder stats exactly like the sum path does."""
+    x = batch()
+    results = {}
+    for agg in ("sum", "upgrad"):
+        model, state, step_fn = build(tiny_args(), agg)
+        assert model.feature_names is not None  # upgrad takes feature mode
+        state2, _ = step_fn(state, x, jax.random.PRNGKey(1))
+        flat0 = jax.tree_util.tree_leaves_with_path(state.batch_stats)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(state2.batch_stats))
+        changed = {jax.tree_util.keystr(k)
+                   for k, v in flat0
+                   if not np.allclose(np.asarray(v),
+                                      np.asarray(flat1[tuple(k)]))}
+        results[agg] = changed
+        assert changed, f"{agg}: no batch_stats leaf changed"
+    # the feature path must update the same stats the sum path updates
+    assert results["upgrad"] == results["sum"]
