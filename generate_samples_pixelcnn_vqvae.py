@@ -28,7 +28,7 @@ from train_prior_vqvae import load_vqvae
 def load_models(model_path: str, prior_path: str, dataset=None,
                 data_dir="./data", prior_args=None):
     model, params, batch_stats, vq_args, _, _ = load_vqvae(
-        model_path, dataset, data_dir)
+        model_path, dataset, data_dir, need_data=False)
     hierarchical = vq_args.arch.lower() in ("vq_vae2", "gg_vq_vae2")
     prior_payload = ckpt_lib.load_checkpoint(prior_path)
     # precedence: VQ-run args < hyperparams echoed in the prior checkpoint

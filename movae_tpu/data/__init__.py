@@ -315,6 +315,24 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
     return out, labels
 
 
+def dataset_input_size(dataset_name: str) -> int:
+    """Image size for a dataset name WITHOUT loading any files — the sizes
+    are fixed per dataset in the reference (utils.py:144-426). Lets offline
+    tools (sample generators, checkpoint loaders) rebuild a model on a
+    machine that has the checkpoint but not the dataset."""
+    name = dataset_name.lower()
+    if name.startswith("synthetic") or name.startswith("fake"):
+        parts = name.split("-")
+        return int(parts[1]) if len(parts) > 1 else 32
+    if name in ("cifar10", "cifar100"):
+        return 32
+    if name == "celeba":
+        return 64
+    if name == "celeba-128":
+        return 128
+    return 256
+
+
 def get_dataset(dataset_name: str, data_dir: str = "./data",
                 normalize: bool = False):
     """Return (train_dataset, test_dataset, input_size) — the reference

@@ -275,3 +275,37 @@ def test_evaluate_excludes_tail_padding():
     m2 = float(np.mean(tail.astype(np.float32)))
     want = (16 * m1 + 4 * m2) / 20
     assert meters["total_loss"].avg == pytest.approx(want, rel=1e-5)
+
+
+def test_load_vqvae_without_dataset_files(tmp_path):
+    """Offline generators rebuild the model from the checkpoint alone when
+    the dataset files are missing (need_data=False); the prior trainer
+    (need_data=True) still gets the clear FileNotFoundError."""
+    import jax
+
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.train import checkpoint as ckpt_lib
+    from train_prior_vqvae import load_vqvae
+
+    args = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                hidden_dims=[8, 16], num_residual_layers=1, batch_size=4,
+                dataset="cifar10", dataset_size=50000)
+    model = get_network(32, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 32, 3)
+    ck = str(tmp_path / "ck")
+    ckpt_lib.save_checkpoint(ck, {
+        "epoch": 1,
+        "model_state_dict": {"params": jax.device_get(params),
+                             "batch_stats": jax.device_get(bs)},
+        "args": args})
+
+    nodata = str(tmp_path / "nodata")
+    with pytest.raises(FileNotFoundError):
+        load_vqvae(ck, data_dir=nodata)
+
+    model2, p2, _bs2, a2, train_ds, test_ds = load_vqvae(
+        ck, data_dir=nodata, need_data=False)
+    assert train_ds is None and test_ds is None
+    assert model2.input_size == 32          # from dataset_input_size
+    assert model2.num_embeddings == 32      # inferred from the codebook
+    assert a2.dataset_size == 50000

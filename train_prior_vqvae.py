@@ -32,7 +32,14 @@ from movae_tpu.train.final_metrics import generate_samples
 from movae_tpu.utils.logging import ExperimentLogger
 
 
-def load_vqvae(model_path: str, dataset: str = None, data_dir: str = "./data"):
+def load_vqvae(model_path: str, dataset: str = None, data_dir: str = "./data",
+               need_data: bool = True):
+    """``need_data=False`` (sample generators) rebuilds the model from the
+    checkpoint alone when the dataset files are absent — the reference
+    generator also works from checkpoints only
+    (generate_samples_pixelcnn_vqvae.py:48-105)."""
+    from movae_tpu.data import dataset_input_size
+
     payload = ckpt_lib.load_checkpoint(model_path)
     saved_args = payload.get("args", {})
     args = SimpleNamespace(**saved_args)
@@ -40,9 +47,16 @@ def load_vqvae(model_path: str, dataset: str = None, data_dir: str = "./data"):
         args.dataset = dataset
     args.data_dir = data_dir
     normalize = getattr(args, "normalize_inputs", False)
-    train_ds, test_ds, input_size = get_dataset(args.dataset, data_dir,
-                                                normalize)
-    args.dataset_size = len(train_ds)
+    try:
+        train_ds, test_ds, input_size = get_dataset(args.dataset, data_dir,
+                                                    normalize)
+        args.dataset_size = len(train_ds)
+    except FileNotFoundError:
+        if need_data:
+            raise
+        train_ds = test_ds = None
+        input_size = dataset_input_size(args.dataset)
+        args.dataset_size = getattr(args, "dataset_size", 50000) or 50000
     sd = payload["model_state_dict"]
     params = sd["params"]
     # infer K/D from the saved codebook, as the reference does
