@@ -139,7 +139,7 @@ def main():
     # warmup / compile. NB: use a host fetch as the sync barrier — on the
     # axon TPU platform block_until_ready can return before execution
     # completes, inflating throughput ~6x.
-    for i in range(args.warmup):
+    for i in range(max(args.warmup, 1)):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub)
     float(metrics["total_loss"])

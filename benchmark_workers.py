@@ -28,9 +28,12 @@ def benchmark(dataset_name: str, data_dir: str, batch_sizes, num_batches: int,
     results = []
     for bs in batch_sizes:
         loader = Loader(train_ds, bs, shuffle=shuffle, seed=0)
-        for i, _ in enumerate(loader):
-            if i >= warmup:
-                break
+        if warmup > 0:
+            # consume exactly `warmup` batches (the iterator yields before
+            # the count check, so guard the loop for warmup == 0)
+            for i, _ in enumerate(loader):
+                if i + 1 >= warmup:
+                    break
         times = []
         for _run in range(num_runs):
             t0 = time.perf_counter()

@@ -22,7 +22,7 @@ import numpy as np
 
 from movae_tpu.data import Loader, get_dataset
 from movae_tpu.metrics.hv import build_hv_indicator
-from movae_tpu.models import get_network, init_model
+from movae_tpu.models import get_network
 from movae_tpu.parallel.mesh import DataParallel
 from movae_tpu.train import checkpoint as ckpt_lib
 from movae_tpu.train.final_metrics import (
@@ -39,12 +39,21 @@ except Exception:  # pragma: no cover
 
 
 def load_model_from_checkpoint(model_path: str, dataset: str = None,
-                               data_dir: str = "./data"):
+                               data_dir: str = "./data", arch: str = None):
     """Rebuild model + state from a saved checkpoint directory
-    (reference evaluate.py:20-79)."""
+    (reference evaluate.py:20-79). ``arch`` is used when the checkpoint args
+    lack one, and a mismatch against the saved arch is warned about with the
+    checkpoint winning (reference evaluate.py:48-59)."""
     payload = ckpt_lib.load_checkpoint(model_path)
     saved_args = payload.get("args", {})
     args = SimpleNamespace(**saved_args)
+    if arch is not None:
+        saved_arch = getattr(args, "arch", None)
+        if saved_arch is not None and saved_arch.lower() != arch.lower():
+            print(f"Warning: checkpoint arch ({saved_arch}) does not match "
+                  f"provided arch ({arch}); using the checkpoint arch.")
+        else:
+            args.arch = arch
     if dataset is not None:
         args.dataset = dataset
     args.data_dir = data_dir
@@ -110,7 +119,7 @@ def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
              max_fid_samples: int = 10000, skip_generative: bool = False,
              max_gen_metrics_samples: int = 10000, seed: int = 0):
     model, params, batch_stats, args, train_ds, test_ds, normalize = (
-        load_model_from_checkpoint(model_path, dataset, data_dir))
+        load_model_from_checkpoint(model_path, dataset, data_dir, arch=arch))
     parallel = DataParallel()
     bs = parallel.pad_to_devices(batch_size)
     test_loader = Loader(test_ds, bs, shuffle=False)

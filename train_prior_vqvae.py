@@ -132,6 +132,26 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     return p
 
 
+def merge_cli_over_saved(vq_args, a) -> SimpleNamespace:
+    """Checkpoint-saved args overlaid with the CLI values the user actually
+    provided: argparse None defaults (e.g. --dataset) must NOT clobber saved
+    values — losing the saved dataset name would mis-key the VQ code cache
+    and force a full re-extraction sweep."""
+    cli = {k: v for k, v in vars(a).items() if v is not None}
+    merged = SimpleNamespace(**{**vars(vq_args), **cli})
+    merged.arch = vq_args.arch
+    return merged
+
+
+def prior_log_dir(save_root: str, a) -> str:
+    """The prior stage's log directory (<save_root>/<type>_prior, next to
+    its checkpoints)."""
+    name = ("pixelsnail_prior"
+            if "pixelsnail" in (getattr(a, "prior_type", "") or "").lower()
+            else "pixelcnn_prior")
+    return os.path.join(save_root, name)
+
+
 def resolve_checkpoint(a) -> str:
     """model_path directly, or download from a wandb run (--wandb_id)."""
     if a.model_path:
@@ -168,13 +188,14 @@ def main():
     state.params = params
     state.batch_stats = batch_stats
 
-    merged = SimpleNamespace(**{**vars(vq_args), **vars(a)})
-    merged.arch = vq_args.arch
+    merged = merge_cli_over_saved(vq_args, a)
     results = {
         "model": model, "state": state, "save_root": save_root,
         "train_loader": Loader(train_ds, a.batch_size, shuffle=True,
                                seed=a.seed),
-        "logger": ExperimentLogger(a.use_wandb, save_root,
+        # log under the prior's own directory so the original training
+        # run's wandb_local/config.json + summary.json stay intact
+        "logger": ExperimentLogger(a.use_wandb, prior_log_dir(save_root, a),
                                    config=vars(merged)),
     }
     prior = prior_lib.train_prior(results, merged)
@@ -191,19 +212,24 @@ def main():
         # post-training generative metrics refresh (the reference updates
         # the original wandb run's final/* values, train_prior_vqvae.py
         # "After training..."); here they go to the run's logger/summary
-        from movae_tpu.train.final_metrics import evaluate_generative_metrics
+        run_post_prior_metrics(model, state, test_ds, merged, prior, rng,
+                               a, results["logger"])
+    results["logger"].finish()
 
-        merged.max_fid_samples = a.max_gen_metrics_samples
-        test_loader = Loader(test_ds, a.batch_size, shuffle=False)
-        rng, sub = jax.random.split(rng)
-        finals = evaluate_generative_metrics(
-            model, state, test_loader, merged, prior, sub,
-            max_samples=a.max_gen_metrics_samples)
-        logger = results["logger"]
-        for k, v in finals.items():
-            logger.set_summary(f"final/{k}", v)
-            print(f"final/{k}: {v}")
-        logger.finish()
+
+def run_post_prior_metrics(model, state, test_ds, merged, prior, rng, a,
+                           logger):
+    from movae_tpu.train.final_metrics import evaluate_generative_metrics
+
+    merged.max_fid_samples = a.max_gen_metrics_samples
+    test_loader = Loader(test_ds, a.batch_size, shuffle=False)
+    rng, sub = jax.random.split(rng)
+    finals = evaluate_generative_metrics(
+        model, state, test_loader, merged, prior, sub,
+        max_samples=a.max_gen_metrics_samples)
+    for k, v in finals.items():
+        logger.set_summary(f"final/{k}", v)
+        print(f"final/{k}: {v}")
 
 
 if __name__ == "__main__":

@@ -15,9 +15,7 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
 import os
-from types import SimpleNamespace
 
 import jax
 
@@ -27,14 +25,15 @@ from movae_tpu.train.figures import save_sample_grid
 from movae_tpu.train.final_metrics import generate_samples
 from movae_tpu.utils.logging import ExperimentLogger
 from train_prior_vqvae import (build_prior_parser, load_vqvae,
-                               resolve_checkpoint)
+                               merge_cli_over_saved, prior_log_dir,
+                               resolve_checkpoint, run_post_prior_metrics)
 
 
 def main():
     a = build_prior_parser("vqvae2_checkpoint").parse_args()
 
     ckpt_path = resolve_checkpoint(a)
-    model, params, batch_stats, vq_args, train_ds, _ = load_vqvae(
+    model, params, batch_stats, vq_args, train_ds, test_ds = load_vqvae(
         ckpt_path, a.dataset, a.data_dir)
     if vq_args.arch.lower() not in ("vq_vae2", "gg_vq_vae2"):
         raise ValueError(
@@ -49,13 +48,14 @@ def main():
     state.params = params
     state.batch_stats = batch_stats
 
-    merged = SimpleNamespace(**{**vars(vq_args), **vars(a)})
-    merged.arch = vq_args.arch
+    merged = merge_cli_over_saved(vq_args, a)
     results = {
         "model": model, "state": state, "save_root": save_root,
         "train_loader": Loader(train_ds, a.batch_size, shuffle=True,
                                seed=a.seed),
-        "logger": ExperimentLogger(a.use_wandb, save_root,
+        # log under the prior's own directory so the original training
+        # run's wandb_local/config.json + summary.json stay intact
+        "logger": ExperimentLogger(a.use_wandb, prior_log_dir(save_root, a),
                                    config=vars(merged)),
     }
     prior = prior_lib.train_prior(results, merged)
@@ -66,6 +66,11 @@ def main():
         save_root, "figures", "generated", "prior_samples.pdf"),
         getattr(vq_args, "normalize_inputs", False))
     print(f"Saved hierarchical prior samples to {png}")
+
+    if a.max_gen_metrics_samples:
+        run_post_prior_metrics(model, state, test_ds, merged, prior, rng,
+                               a, results["logger"])
+    results["logger"].finish()
 
 
 if __name__ == "__main__":
