@@ -24,7 +24,7 @@ def _native_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
-_EXPECTED_VERSION = 2
+_EXPECTED_VERSION = 3
 
 
 def _load():
@@ -66,11 +66,25 @@ def _bind(lib):
     lib.gather_codes_i32.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64]
+    lib.set_num_threads.argtypes = [ctypes.c_int]
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_num_threads(n: int) -> bool:
+    """Cap the assembly worker-thread count (0 = hardware concurrency) —
+    the analog of the reference DataLoader's num_workers knob, swept by
+    benchmark_workers.py. Also settable via MOVAE_BATCH_THREADS before the
+    first batch. Returns False when the native library is unavailable (the
+    numpy fallback is single-threaded regardless)."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.set_num_threads(int(n))
+    return True
 
 
 def assemble_batch(images: np.ndarray, idx: np.ndarray,

@@ -14,18 +14,35 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
 
+// Worker-thread cap, settable at runtime (MOVAE_BATCH_THREADS or the
+// set_num_threads entry point below). 0 = use hardware_concurrency. This is
+// the analog of the reference DataLoader's num_workers knob
+// (reference benchmark_workers.py sweeps it; main.py:1144).
+int g_max_threads = -1;  // -1: not yet read from the environment
+
+int max_threads() {
+  if (g_max_threads < 0) {
+    const char* env = std::getenv("MOVAE_BATCH_THREADS");
+    g_max_threads = env ? std::max(0, std::atoi(env)) : 0;
+  }
+  return g_max_threads;
+}
+
 // Run fn(b) for b in [0, batch) across hardware threads. Each index writes
 // a disjoint output row, so the split is deterministic and race-free.
 template <typename Fn>
 void parallel_rows(int64_t batch, Fn fn) {
   unsigned hw = std::thread::hardware_concurrency();
-  int64_t nthreads = std::min<int64_t>(hw ? hw : 1, batch);
+  int64_t cap = max_threads();
+  if (cap == 0) cap = hw ? hw : 1;
+  int64_t nthreads = std::min<int64_t>(cap, batch);
   if (nthreads <= 1 || batch < 16) {
     for (int64_t b = 0; b < batch; ++b) fn(b);
     return;
@@ -130,6 +147,11 @@ void gather_codes_i32(const int32_t* codes, const int64_t* idx, int32_t* out,
   }
 }
 
-int batch_ops_version() { return 2; }
+// Cap the worker-thread count (0 = hardware_concurrency). Exposed so the
+// benchmark harness can sweep worker counts like the reference's
+// DataLoader num_workers sweep (reference benchmark_workers.py:14-165).
+void set_num_threads(int n) { g_max_threads = n < 0 ? 0 : n; }
+
+int batch_ops_version() { return 3; }
 
 }  // extern "C"
