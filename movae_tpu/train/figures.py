@@ -18,6 +18,17 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
+# The reference styles all figures with scienceplots (main.py:37,51:
+# plt.style.use(["science", "ieee", "no-latex"])). Use it when installed;
+# otherwise approximate the IEEE look (serif type, no grid) so panels match.
+try:  # pragma: no cover - depends on optional package
+    import scienceplots  # noqa: F401
+
+    plt.style.use(["science", "ieee", "no-latex"])
+except Exception:  # pragma: no cover
+    plt.rcParams.update({"font.family": "serif", "axes.grid": False,
+                         "figure.dpi": 100})
+
 
 def _to_display(img: np.ndarray, normalized: bool) -> np.ndarray:
     """Map model output range to [0,1] for display (denorm when inputs were
