@@ -237,7 +237,12 @@ def _materialize_memmap(path: str, n: int, item_fn):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     img0, lbl0 = item_fn(0)
     img0 = np.asarray(img0, np.uint8)
-    tmp = path + ".tmp.npy"
+    # per-process tmp names + atomic os.replace: concurrent runner.py
+    # subprocesses starting on the same dataset each build their own copy
+    # (identical content — item_fn is deterministic) and the cache is only
+    # ever visible fully-written; a shared tmp path would interleave writes
+    tmp = f"{path}.tmp.{os.getpid()}.npy"
+    lbl_tmp = f"{lbl_path}.tmp.{os.getpid()}.npy"
     out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8,
                                     shape=(n,) + img0.shape)
     labels = np.zeros((n,), np.int64)
@@ -252,7 +257,8 @@ def _materialize_memmap(path: str, n: int, item_fn):
         out[i], labels[i] = img, lbl
     out.flush()
     del out
-    np.save(lbl_path, labels)
+    np.save(lbl_tmp, labels)
+    os.replace(lbl_tmp, lbl_path)
     os.replace(tmp, path)
     return np.load(path, mmap_mode="r"), labels
 
@@ -264,11 +270,17 @@ def _hf_load(repo: str, split: str):
 
 def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
                center_crop: Optional[int] = None, limit: Optional[int] = None,
-               data_dir: Optional[str] = None):
+               data_dir: Optional[str] = None,
+               short_side: Optional[int] = None):
     """Materialize an HF image dataset split into a uint8 array
     (HFImageDataset equivalent, utils.py:122-142). With ``data_dir`` set the
     decoded archive is cached under ``<data_dir>/movae_cache`` and served as
-    a read-only memmap (bounded host RAM; instant re-runs)."""
+    a read-only memmap (bounded host RAM; instant re-runs).
+
+    ``short_side``: resize the shorter side to N and center-crop an N-square
+    — aspect-preserving storage for variable-size sources whose train
+    transform crops later (flowers). A plain ``out_size`` square resize would
+    squash e.g. a 500x667 photo before RandomResizedCrop ever sees it."""
     from PIL import Image
 
     cache = None
@@ -278,7 +290,8 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
         cache = os.path.join(
             data_dir, "movae_cache",
             f"{repo.replace('/', '_')}_{split}_{out_size or 0}"
-            f"_{center_crop or 0}_{limit or 0}.npy")
+            f"_{center_crop or 0}_{limit or 0}"
+            + (f"_ss{short_side}" if short_side else "") + ".npy")
         if os.path.exists(cache) and os.path.exists(cache + ".labels.npy"):
             return np.load(cache, mmap_mode="r"), np.load(
                 cache + ".labels.npy")
@@ -293,6 +306,14 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
         if not isinstance(im, Image.Image):
             im = Image.fromarray(np.asarray(im))
         im = im.convert("RGB")
+        if short_side:
+            w, h = im.size
+            s = short_side / min(w, h)
+            im = im.resize((max(short_side, round(w * s)),
+                            max(short_side, round(h * s))), Image.BICUBIC)
+            w, h = im.size
+            left, top = (w - short_side) // 2, (h - short_side) // 2
+            im = im.crop((left, top, left + short_side, top + short_side))
         if center_crop:
             w, h = im.size
             left, top = (w - center_crop) // 2, (h - center_crop) // 2
@@ -383,10 +404,14 @@ def get_dataset(dataset_name: str, data_dir: str = "./data",
                 ArrayDataset(xte, yte, normalize=normalize), 256)
 
     if name == "oxford-flower-102":
+        # train/val stored aspect-preserved (shorter side 300, center crop)
+        # so the RandomResizedCrop below samples undistorted content — the
+        # reference crops the original variable-size photos directly
+        # (utils.py:372-382); a square out_size resize would squash them
         xtr, ytr = _hf_images("Donghyun99/Oxford-Flower-102", "train",
-                              out_size=300, data_dir=data_dir)
+                              short_side=300, data_dir=data_dir)
         xva, yva = _hf_images("Donghyun99/Oxford-Flower-102", "validation",
-                              out_size=300, data_dir=data_dir)
+                              short_side=300, data_dir=data_dir)
         xte, yte = _hf_images("Donghyun99/Oxford-Flower-102", "test",
                               out_size=256, center_crop=None,
                               data_dir=data_dir)

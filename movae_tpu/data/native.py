@@ -37,15 +37,30 @@ def _load():
     # (and never relink a .so that is currently mapped)
     name = f"libbatch_ops.v{_EXPECTED_VERSION}.so"
     so = os.path.join(_native_dir(), name)
-    if not os.path.exists(so):
+
+    def build():
         try:
             subprocess.run(
                 ["sh", os.path.join(_native_dir(), "build.sh"), name],
                 check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
-            return None
+            return False
+
+    if not os.path.exists(so) and not build():
+        return None
     try:
         _LIB = _bind(ctypes.CDLL(so))
+    except OSError:
+        # a stale/corrupt artifact (e.g. from an interrupted build before
+        # the atomic-rename fix) would otherwise disable the fast path
+        # forever; rebuild once
+        _LIB = None
+        if build():
+            try:
+                _LIB = _bind(ctypes.CDLL(so))
+            except OSError:
+                _LIB = None
     except Exception:
         _LIB = None
     return _LIB

@@ -25,23 +25,36 @@ def _get(args, name, default=None):
     return getattr(args, name, default)
 
 
-def _weights(lambda_weights, names, defaults, kld_key=None, kld_value=None):
+def _weights(lambda_weights, names, defaults, kld_key=None, kld_value=None,
+             kld_force=True):
     """Normalize user weights; force the KL-type weight to batch/dataset size
-    as the reference registry does."""
+    as the reference registry does (models/__init__.py:50-55). With
+    ``kld_force=False`` the KL weight is only defaulted, never overridden —
+    the reference's setdefault semantics for recursive_cyclic_vae
+    (models/__init__.py:77)."""
     if isinstance(lambda_weights, Mapping):
         lw = dict(lambda_weights)
         if kld_key is not None:
-            lw[kld_key] = kld_value
+            if kld_force:
+                lw[kld_key] = kld_value
+            else:
+                lw.setdefault(kld_key, kld_value)
         return resolve_lambda_weights(names, lw, defaults)
     if lambda_weights is None:
         d = dict(defaults)
         if kld_key is not None:
             d[kld_key] = kld_value
         return resolve_lambda_weights(names, None, d)
-    # list form: positional per objective; kld slot overridden
+    # list form: positional per objective, validated strictly (the reference
+    # models raise on a length mismatch, e.g. vq_vae.py:195-196); the kld
+    # slot is overridden for the force-mode archs
     lw = list(lambda_weights)
+    if len(lw) != len(names):
+        raise ValueError(
+            f"requires {len(names)} lambda_weights {tuple(names)}, "
+            f"got {len(lw)}")
     items = dict(zip(names, lw))
-    if kld_key is not None:
+    if kld_key is not None and kld_force:
         items[kld_key] = kld_value
     return resolve_lambda_weights(names, items, defaults)
 
@@ -127,10 +140,12 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     if arch in ("recursive_cyclic_vae", "rc_vae"):
         from movae_tpu.models.recursive_cyclic_vae import RecursiveCyclicVAE
         names = ("reconstruction_loss", "recursive_kld_loss", "cycle_loss")
+        # setdefault semantics: a user-supplied recursive_kld weight is
+        # honored for this arch (reference models/__init__.py:77)
         lw = _weights(lambda_weights, names,
                       {"reconstruction_loss": 1.0,
                        "recursive_kld_loss": kld_w, "cycle_loss": kld_w},
-                      "recursive_kld_loss", kld_w)
+                      "recursive_kld_loss", kld_w, kld_force=False)
         return RecursiveCyclicVAE(
             latent_dim=latent_dim, hidden_dims=hidden_dims,
             input_size=input_size, in_channels=num_channels,

@@ -6,8 +6,9 @@ ImageNet/CelebA-HQ bottom codes L = (size/4)^2 = 4096, so B*heads*L^2 floats
 — tens of GB at training batch sizes. This module provides:
 
   * ``flash`` — the stock Pallas TPU flash-attention kernel
-    (jax.experimental.pallas.ops.tpu.flash_attention) when running on TPU
-    and the head dim is MXU-friendly (multiple of 128);
+    (jax.experimental.pallas.ops.tpu.flash_attention) when running on TPU;
+    sequences are zero-padded up to the kernel's 128-row tiling and the pad
+    rows sliced off (causality keeps pad keys out of every real query);
   * ``blockwise`` — an O(L * block) online-softmax scan over query blocks
     (works on any backend and head dim, rematerialized in the backward pass
     via jax.checkpoint);
@@ -86,19 +87,29 @@ def _flash_ok(q: Array) -> bool:
     # at d=16/64/128, L=4096: fwd+bwd ~68x faster than the rematerialized
     # blockwise scan — the fused backward kernel is the win); escape hatch
     # via MOVAE_NO_FLASH=1.
-    return (on_tpu and q.shape[2] % 128 == 0
-            and os.environ.get("MOVAE_NO_FLASH") != "1")
+    return on_tpu and os.environ.get("MOVAE_NO_FLASH") != "1"
 
 
 def causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
                      dense_threshold: int = 1024) -> Array:
     """Dispatch: dense for small L (cheapest to fuse), flash kernel on TPU
-    when shapes allow (fastest trainable path at long L), blockwise scan
-    otherwise (CPU fallback / test oracle)."""
+    (fastest trainable path at long L), blockwise scan otherwise (CPU
+    fallback / test oracle)."""
     L = q.shape[2]
     if L <= dense_threshold:
         return dense_causal_attention(q, k, v, sm_scale)
     if _flash_ok(q):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
+        # pad L up to the kernel's 128-row tiling (e.g. a 40x40 code grid,
+        # L=1600 -> 1664). Pad keys sit strictly in the future of every real
+        # query, so causal masking keeps them out of real outputs; pad query
+        # rows are sliced off (their cotangents are zero in the backward).
+        Lp = -(-L // 128) * 128
+        if Lp != L:
+            pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
+            out = fa.flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
+                                     jnp.pad(v, pad), causal=True,
+                                     sm_scale=sm_scale)
+            return out[:, :, :L]
         return fa.flash_attention(q, k, v, causal=True, sm_scale=sm_scale)
     return blockwise_causal_attention(q, k, v, sm_scale)

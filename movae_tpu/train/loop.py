@@ -105,6 +105,8 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             usage_meter.update(host["codebook_usage_percentage"], n=p_valid)
         if host["total_loss"] > 1e15:
             print(f"Step {p_step}: EXPLODING: total={host['total_loss']:.6e}")
+        if not (log_every and p_step % log_every == 0):
+            return  # meters updated; per-step wandb record skipped
         if logger is not None and logger.active:
             log = {f"train/{k}": m.avg for k, m in meters.items()}
             log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
@@ -128,7 +130,6 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     FETCH_GROUP = 8
     pending = []
     n_images = 0
-    drained_any = False
     if timer is not None:
         timer.start()
     for imgs, _labels, n_valid in loader:
@@ -137,9 +138,10 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         state, metrics = step_fn(state, batch, sub)
         step += 1
         n_images += n_valid
-        if (log_every and (step % log_every == 0)) or not drained_any:
-            pending.append((step, n_valid, metrics))
-            drained_any = True
+        # every step feeds the epoch meters (reference main.py:216-229
+        # updates its AverageMeters per batch); log_every only gates the
+        # per-step logger records inside drain_one
+        pending.append((step, n_valid, metrics))
         if len(pending) >= FETCH_GROUP:
             flush(pending)
     if pending:
@@ -172,24 +174,34 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
             union[k] = np.logical_or(union[k], m) if k in union else m
 
     nd = parallel.mesh.shape["data"]
-    single_host = jax.process_count() == 1
+    pc = jax.process_count()
+    n_ds = len(loader.dataset)
+    gb = loader.batch_size * loader.process_count
     pending = None  # one-step-delayed host fetch (overlaps device compute)
-    for imgs, _labels, n_valid in loader:
-        if single_host and n_valid < len(imgs):
+    for i, (imgs, _labels, n_valid) in enumerate(loader):
+        # global valid rows this batch: per-process n_valid multi-host (all
+        # processes walk the same seeded order, so the tail count is shared
+        # knowledge even though each sees only its interleaved slice)
+        gv = n_valid if pc == 1 else max(1, min(gb, n_ds - i * gb))
+        if gv < len(imgs) * pc:
             # drop the loader's wrap padding from the tail batch before it
             # contaminates the batch-mean losses: keep the smallest multiple
             # of the data-axis size covering the valid rows (exact on one
             # data shard, at most nd-1 duplicates otherwise; one extra jit
             # specialization for the tail shape). The reference evaluates
-            # the ragged last torch batch exactly (main.py:238-332).
-            imgs = imgs[: ((n_valid + nd - 1) // nd) * nd]
+            # the ragged last torch batch exactly (main.py:238-332). Every
+            # process trims to the same global shape, so the multi-host
+            # global-batch assembly stays consistent.
+            keep_g = ((gv + nd - 1) // nd) * nd
+            if keep_g % pc == 0 and 0 < keep_g // pc <= len(imgs):
+                imgs = imgs[: keep_g // pc]
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
                                      sub)
         if pending is not None:
             drain(*pending)
-        pending = (metrics, extras, n_valid)
+        pending = (metrics, extras, gv / pc)
     if pending is not None:
         drain(*pending)
     if union:

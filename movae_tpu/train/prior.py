@@ -156,6 +156,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     logger = results.get("logger")
     best_loss = float("inf")
     best_params = params
+    meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
+    meter.update(float("nan"))  # writes a (loss-less) final checkpoint
     for epoch in range(1, epochs + 1):
         meter = AverageMeter()
         pending = None  # one-step-delayed host fetch (overlaps compute)

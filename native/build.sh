@@ -6,5 +6,10 @@
 set -e
 cd "$(dirname "$0")"
 OUT="${1:-libbatch_ops.so}"
-${CXX:-g++} -O3 -march=native -pthread -shared -fPIC -o "$OUT" batch_ops.cpp
+# compile to a per-process tmp name and rename atomically: concurrent
+# first-use processes (runner.py launches one per chip) never dlopen a
+# half-written artifact
+TMP="$OUT.tmp.$$"
+${CXX:-g++} -O3 -march=native -pthread -shared -fPIC -o "$TMP" batch_ops.cpp
+mv -f "$TMP" "$OUT"
 echo "built $(pwd)/$OUT"

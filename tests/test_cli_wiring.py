@@ -130,3 +130,30 @@ def test_runner_file_list_collects_failures(tmp_path):
         env=env, capture_output=True, text=True, timeout=300)
     assert proc.returncode != 0
     assert "fail" in (proc.stdout + proc.stderr).lower()
+
+
+def test_prior_trainer_saved_args_precedence():
+    """Standalone prior trainer merge: explicitly-typed CLI flags beat
+    checkpoint-saved args, which beat argparse defaults — untouched defaults
+    (prior_type, hidden_channels, ...) must NOT clobber the saved prior
+    configuration (train_prior_vqvae.merge_cli_over_saved)."""
+    from types import SimpleNamespace
+
+    tp = importlib.import_module("train_prior_vqvae")
+    parser = tp.build_prior_parser()
+    argv = ["--model_path", "x", "--pixelcnn_num_layers", "7"]
+    a = parser.parse_args(argv)
+    explicit = tp.explicit_cli_args(parser, argv)
+    assert set(explicit) == {"model_path", "pixelcnn_num_layers"}
+
+    saved = SimpleNamespace(arch="vq_vae", dataset="cifar10",
+                            prior_type="pixelsnail",
+                            pixelcnn_hidden_channels=256,
+                            pixelcnn_num_layers=15, batch_size=256)
+    merged = tp.merge_cli_over_saved(saved, a, explicit)
+    assert merged.prior_type == "pixelsnail"          # saved beats default
+    assert merged.pixelcnn_hidden_channels == 256     # saved beats default
+    assert merged.pixelcnn_num_layers == 7            # explicit beats saved
+    assert merged.dataset == "cifar10"                # None default ignored
+    assert merged.batch_size == 256                   # saved beats default
+    assert merged.pixelcnn_epochs == 100              # default fills gaps

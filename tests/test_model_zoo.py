@@ -105,6 +105,31 @@ def test_lambda_weights_validation():
                                   loss_weights={"bogus": 1.0}))
 
 
+def test_lambda_weights_list_length_validated():
+    """Over/under-length positional lists must raise, as the reference
+    models do (vq_vae.py:195-196) — not silently truncate."""
+    with pytest.raises(ValueError):
+        get_network(SIZE, 3, dict(BASE, arch="vae",
+                                  loss_weights=[1.0, 2.0, 3.0]))
+    with pytest.raises(ValueError):
+        get_network(SIZE, 3, dict(BASE, arch="vq_vae",
+                                  loss_weights=[1.0, 2.0]))
+
+
+def test_recursive_cyclic_kld_setdefault():
+    """recursive_cyclic_vae honors a user recursive_kld weight (reference
+    models/__init__.py:77 uses setdefault), unlike vae which forces it."""
+    m = get_network(SIZE, 3, dict(
+        BASE, arch="recursive_cyclic_vae", batch_size=8, dataset_size=80,
+        loss_weights={"reconstruction_loss": 1.0,
+                      "recursive_kld_loss": 0.5, "cycle_loss": 0.1}))
+    assert dict(m.lambda_weights)["recursive_kld_loss"] == pytest.approx(0.5)
+    m2 = get_network(SIZE, 3, dict(
+        BASE, arch="vae", batch_size=8, dataset_size=80,
+        loss_weights={"reconstruction_loss": 1.0, "kld_loss": 0.5}))
+    assert dict(m2.lambda_weights)["kld_loss"] == pytest.approx(0.1)
+
+
 def test_kld_weight_override():
     model = get_network(SIZE, 3, dict(BASE, arch="vae", batch_size=8,
                                       dataset_size=80))

@@ -132,13 +132,29 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     return p
 
 
-def merge_cli_over_saved(vq_args, a) -> SimpleNamespace:
-    """Checkpoint-saved args overlaid with the CLI values the user actually
-    provided: argparse None defaults (e.g. --dataset) must NOT clobber saved
-    values — losing the saved dataset name would mis-key the VQ code cache
-    and force a full re-extraction sweep."""
-    cli = {k: v for k, v in vars(a).items() if v is not None}
-    merged = SimpleNamespace(**{**vars(vq_args), **cli})
+def explicit_cli_args(parser: argparse.ArgumentParser, argv=None) -> dict:
+    """Dests the user actually typed on the command line. Re-parses with all
+    defaults suppressed, so untouched flags are absent from the namespace."""
+    import copy
+
+    clone = copy.deepcopy(parser)
+    for action in clone._actions:
+        action.default = argparse.SUPPRESS
+    ns, _unknown = clone.parse_known_args(argv)
+    return vars(ns)
+
+
+def merge_cli_over_saved(vq_args, a, explicit: dict = None) -> SimpleNamespace:
+    """Precedence: explicitly-typed CLI flags > checkpoint-saved args > CLI
+    defaults. Argparse defaults must NOT clobber saved values: losing the
+    saved dataset name would mis-key the VQ code cache and force a full
+    re-extraction sweep, and losing saved prior hyperparameters
+    (prior_type/hidden_channels/...) would silently train a different prior
+    architecture than the original run's."""
+    if explicit is None:  # best-effort fallback: treat non-None as explicit
+        explicit = {k: v for k, v in vars(a).items() if v is not None}
+    defaults = {k: v for k, v in vars(a).items() if v is not None}
+    merged = SimpleNamespace(**{**defaults, **vars(vq_args), **explicit})
     merged.arch = vq_args.arch
     return merged
 
@@ -173,7 +189,8 @@ def resolve_checkpoint(a) -> str:
 
 
 def main():
-    a = build_prior_parser("vqvae_checkpoint").parse_args()
+    parser = build_prior_parser("vqvae_checkpoint")
+    a = parser.parse_args()
 
     ckpt_path = resolve_checkpoint(a)
     model, params, batch_stats, vq_args, train_ds, test_ds = load_vqvae(
@@ -188,32 +205,34 @@ def main():
     state.params = params
     state.batch_stats = batch_stats
 
-    merged = merge_cli_over_saved(vq_args, a)
+    merged = merge_cli_over_saved(vq_args, a, explicit_cli_args(parser))
     results = {
         "model": model, "state": state, "save_root": save_root,
-        "train_loader": Loader(train_ds, a.batch_size, shuffle=True,
-                               seed=a.seed),
+        "train_loader": Loader(train_ds, merged.batch_size, shuffle=True,
+                               seed=merged.seed),
         # log under the prior's own directory so the original training
         # run's wandb_local/config.json + summary.json stay intact
-        "logger": ExperimentLogger(a.use_wandb, prior_log_dir(save_root, a),
+        "logger": ExperimentLogger(a.use_wandb,
+                                   prior_log_dir(save_root, merged),
                                    config=vars(merged)),
     }
     prior = prior_lib.train_prior(results, merged)
 
     # sample grid through the trained prior
-    rng = jax.random.PRNGKey(a.seed + 7)
-    imgs = generate_samples(model, state, merged, prior, rng, a.num_samples)
+    rng = jax.random.PRNGKey(merged.seed + 7)
+    imgs = generate_samples(model, state, merged, prior, rng,
+                            merged.num_samples)
     png = save_sample_grid(imgs, os.path.join(
         save_root, "figures", "generated", "prior_samples.pdf"),
         getattr(vq_args, "normalize_inputs", False))
     print(f"Saved prior samples to {png}")
 
-    if a.max_gen_metrics_samples:
+    if getattr(merged, "max_gen_metrics_samples", 0):
         # post-training generative metrics refresh (the reference updates
         # the original wandb run's final/* values, train_prior_vqvae.py
         # "After training..."); here they go to the run's logger/summary
         run_post_prior_metrics(model, state, test_ds, merged, prior, rng,
-                               a, results["logger"])
+                               merged, results["logger"])
     results["logger"].finish()
 
 

@@ -24,13 +24,15 @@ from movae_tpu.train import prior as prior_lib
 from movae_tpu.train.figures import save_sample_grid
 from movae_tpu.train.final_metrics import generate_samples
 from movae_tpu.utils.logging import ExperimentLogger
-from train_prior_vqvae import (build_prior_parser, load_vqvae,
+from train_prior_vqvae import (build_prior_parser, explicit_cli_args,
+                               load_vqvae,
                                merge_cli_over_saved, prior_log_dir,
                                resolve_checkpoint, run_post_prior_metrics)
 
 
 def main():
-    a = build_prior_parser("vqvae2_checkpoint").parse_args()
+    parser = build_prior_parser("vqvae2_checkpoint")
+    a = parser.parse_args()
 
     ckpt_path = resolve_checkpoint(a)
     model, params, batch_stats, vq_args, train_ds, test_ds = load_vqvae(
@@ -48,28 +50,31 @@ def main():
     state.params = params
     state.batch_stats = batch_stats
 
-    merged = merge_cli_over_saved(vq_args, a)
+    merged = merge_cli_over_saved(vq_args, a,
+                                  explicit_cli_args(parser))
     results = {
         "model": model, "state": state, "save_root": save_root,
-        "train_loader": Loader(train_ds, a.batch_size, shuffle=True,
-                               seed=a.seed),
+        "train_loader": Loader(train_ds, merged.batch_size, shuffle=True,
+                               seed=merged.seed),
         # log under the prior's own directory so the original training
         # run's wandb_local/config.json + summary.json stay intact
-        "logger": ExperimentLogger(a.use_wandb, prior_log_dir(save_root, a),
+        "logger": ExperimentLogger(a.use_wandb,
+                                   prior_log_dir(save_root, merged),
                                    config=vars(merged)),
     }
     prior = prior_lib.train_prior(results, merged)
 
-    rng = jax.random.PRNGKey(a.seed + 7)
-    imgs = generate_samples(model, state, merged, prior, rng, a.num_samples)
+    rng = jax.random.PRNGKey(merged.seed + 7)
+    imgs = generate_samples(model, state, merged, prior, rng,
+                            merged.num_samples)
     png = save_sample_grid(imgs, os.path.join(
         save_root, "figures", "generated", "prior_samples.pdf"),
         getattr(vq_args, "normalize_inputs", False))
     print(f"Saved hierarchical prior samples to {png}")
 
-    if a.max_gen_metrics_samples:
+    if getattr(merged, "max_gen_metrics_samples", 0):
         run_post_prior_metrics(model, state, test_ds, merged, prior, rng,
-                               a, results["logger"])
+                               merged, results["logger"])
     results["logger"].finish()
 
 
