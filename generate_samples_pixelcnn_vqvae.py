@@ -13,6 +13,12 @@ from __future__ import annotations
 
 import argparse
 import os
+
+# persistent XLA compilation cache (shared with main.py): repeat runs skip
+# the first-compile cost. Opt out by setting the var to "".
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/movae_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 from types import SimpleNamespace
 
 import jax

@@ -330,3 +330,27 @@ def init_model(model: MOVAEModel, rng: jax.Array, input_size: int,
 
 def total_trainable_params(params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def model_summary(model: MOVAEModel, params) -> str:
+    """Per-module parameter table (the reference prints a torchsummary
+    table from model.print_model_summary(), vae.py:247-285 / main.py:1279-
+    1280; here the table is derived from the params pytree, grouped by the
+    top two module-path levels)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    groups = {}
+    for path, leaf in flat.items():
+        key = "/".join(str(p) for p in path[:2])
+        groups[key] = groups.get(key, 0) + int(leaf.size)
+    width = max([len(k) for k in groups] + [24])
+    lines = [f"{type(model).__name__} parameter summary",
+             "-" * (width + 16),
+             f"{'module':<{width}} {'params':>14}"]
+    for name in sorted(groups):
+        lines.append(f"{name:<{width}} {groups[name]:>14,}")
+    lines.append("-" * (width + 16))
+    lines.append(f"{'total trainable':<{width}} "
+                 f"{sum(groups.values()):>14,}")
+    return "\n".join(lines)

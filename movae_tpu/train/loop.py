@@ -23,7 +23,8 @@ import numpy as np
 
 from movae_tpu.data import Loader, get_dataset
 from movae_tpu.metrics.hv import build_hv_indicator
-from movae_tpu.models import get_network, init_model, total_trainable_params
+from movae_tpu.models import (get_network, init_model, model_summary,
+                              total_trainable_params)
 from movae_tpu.moo import AggregatorConfig, init_state
 from movae_tpu.parallel.mesh import DataParallel, make_mesh
 from movae_tpu.train import checkpoint as ckpt_lib
@@ -253,7 +254,9 @@ def run_training(args) -> Dict[str, Any]:
     params, batch_stats = init_model(model, init_rng, input_size, 3,
                                      batch_size=batch_size)
     args.total_params = total_trainable_params(params)
-    print(f"Model {args.arch}: {args.total_params:,} trainable params")
+    if jax.process_index() == 0:
+        # model summary table (reference main.py:1279-1280)
+        print(model_summary(model, params))
 
     for name, w in dict(model.lambda_weights).items():
         setattr(args, f"{name}_weight", w)
