@@ -96,6 +96,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "sampling"])
+    p.add_argument("--arch", type=str, default="vq_vae",
+                   help="any registry arch; vq_vae2 at --input_size 256 "
+                        "matches the CelebA-HQ/ImageNet acceptance configs")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialized backward (large-image configs)")
     p.add_argument("--agg", type=str, default="sum")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--input_size", type=int, default=32)
@@ -119,7 +124,7 @@ def main():
     from movae_tpu.train.step import make_train_step
 
     model_args = dict(
-        arch="vq_vae", embedding_dim=64, num_embeddings=512,
+        arch=args.arch, embedding_dim=64, num_embeddings=512,
         hidden_dims=(128, 256), num_residual_layers=2,
         batch_size=args.batch_size, dataset_size=50000,
         recons_objective="mse",
@@ -135,7 +140,8 @@ def main():
     parallel = DataParallel()
     state = parallel.replicate(
         TrainState.create(model.apply, params, bs, tx, init_state(cfg)))
-    step_fn = jax.jit(make_train_step(model, cfg, 1, 1), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1, remat=args.remat),
+                      donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     x_np = rng.uniform(-1, 1, (args.batch_size, args.input_size,
@@ -161,7 +167,7 @@ def main():
     n_chips = jax.device_count()
     images_per_sec_per_chip = args.steps * args.batch_size / dt / n_chips
     print(json.dumps({
-        "metric": f"vq_vae_train_images_per_sec_per_chip(agg={args.agg},"
+        "metric": f"{args.arch}_train_images_per_sec_per_chip(agg={args.agg},"
                   f"bs={args.batch_size},{args.dtype})",
         "value": round(images_per_sec_per_chip, 2),
         "unit": "images/sec/chip",

