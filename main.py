@@ -14,12 +14,13 @@ import os
 from argparse import ArgumentParser
 
 # persistent XLA compilation cache: repeat runs of the same config skip the
-# (multi-minute) first-step compile. Opt out by setting the var to "".
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/movae_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# (multi-minute) first-step compile (set via jax.config — env vars are too
+# late when a sitecustomize has already imported jax). Opt out with
+# JAX_COMPILATION_CACHE_DIR="".
+from movae_tpu.utils import (  # noqa: E402
+    enable_persistent_compilation_cache, set_seed)
 
-from movae_tpu.utils import set_seed  # noqa: E402
+enable_persistent_compilation_cache()
 
 
 def build_parser() -> ArgumentParser:

@@ -32,3 +32,31 @@ def set_seed(seed: int) -> None:
     randomness is explicit jax.random key threading derived from this seed."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def enable_persistent_compilation_cache(path: str = None) -> None:
+    """Turn on the persistent XLA compile cache so repeat runs of the same
+    program skip the (multi-minute) first compile — runner.py batch mode
+    launches a fresh interpreter per config and benefits most.
+
+    Set via ``jax.config.update`` rather than env vars: some environments
+    (e.g. a sitecustomize that registers a TPU plugin) import jax before
+    any CLI code runs, which makes env vars set by the CLI too late. The
+    ``JAX_COMPILATION_CACHE_DIR`` env var still takes precedence when set
+    before interpreter start; set it to "" to opt out entirely."""
+    import os
+
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env == "":
+        return
+    path = env or path or os.path.expanduser("~/.cache/movae_tpu_jax")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 2.0)))
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

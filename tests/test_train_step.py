@@ -277,3 +277,45 @@ def test_feature_mode_updates_trunk_batch_stats():
         assert changed, f"{agg}: no batch_stats leaf changed"
     # the feature path must update the same stats the sum path updates
     assert results["upgrad"] == results["sum"]
+
+
+def test_unrolled_and_vmapped_jacobians_agree(monkeypatch):
+    """The unrolled one-hot VJP path (constant cotangents, XLA dead-cone
+    pruning) must produce the same Jacobian/Gramian as the vmapped path used
+    for large m — on both engine modes."""
+    from movae_tpu.moo import engine
+
+    def full(p):
+        a = (p["w"] ** 2).sum()
+        b = (p["w"] * p["v"]).sum()
+        c = jnp.sin(p["v"]).sum()
+        return jnp.stack([a, b, c]), None
+
+    params = {"w": jnp.arange(1.0, 5.0), "v": jnp.array([0.5, -1.0, 2.0, 0.0])}
+    _, _, J_u, G_u = engine.full_jacobian(full, params, 3)
+    monkeypatch.setattr(engine, "_UNROLL_MAX", 0)
+    _, _, J_v, G_v = engine.full_jacobian(full, params, 3)
+    for ku in ("w", "v"):
+        np.testing.assert_allclose(np.asarray(J_u[ku]), np.asarray(J_v[ku]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(G_u), np.asarray(G_v), rtol=1e-6)
+
+    def trunk(p):
+        return jnp.tanh(p["w"]), (None, {})
+
+    def heads(p, f, aux):
+        l1 = (f ** 2).sum()
+        l2 = (p["v"] * f).sum()
+        return jnp.stack([l1, l2]), (None, None, {})
+
+    monkeypatch.setattr(engine, "_UNROLL_MAX", 8)
+    fj_u = engine.FeatureJacobian(trunk, heads, params, 2)
+    monkeypatch.setattr(engine, "_UNROLL_MAX", 0)
+    fj_v = engine.FeatureJacobian(trunk, heads, params, 2)
+    np.testing.assert_allclose(np.asarray(fj_u.G), np.asarray(fj_v.G),
+                               rtol=1e-6)
+    alpha = jnp.array([0.3, 0.7])
+    gu, gv = fj_u.grads(alpha), fj_v.grads(alpha)
+    for ku in ("w", "v"):
+        np.testing.assert_allclose(np.asarray(gu[ku]), np.asarray(gv[ku]),
+                                   rtol=1e-6)

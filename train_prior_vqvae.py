@@ -19,11 +19,12 @@ from __future__ import annotations
 import argparse
 import os
 
-# persistent XLA compilation cache (shared with main.py): repeat runs skip
-# the first-compile cost. Opt out by setting the var to "".
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/movae_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# persistent XLA compile cache: repeat runs skip the first-compile cost
+# (set via jax.config — env vars are too late when a sitecustomize has
+# already imported jax). Opt out with JAX_COMPILATION_CACHE_DIR="".
+from movae_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 from types import SimpleNamespace
 
 import jax
