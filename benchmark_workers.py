@@ -16,7 +16,6 @@ Usage:
 """
 
 import argparse
-import os
 
 # persistent XLA compile cache: repeat runs skip the first-compile cost
 # (set via jax.config — env vars are too late when a sitecustomize has

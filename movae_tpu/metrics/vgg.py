@@ -14,7 +14,7 @@ fallback (relative-only metric; see inception.py note).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

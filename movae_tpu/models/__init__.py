@@ -6,7 +6,7 @@ the kld-weight override to batch_size/dataset_size for VAE-family models
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence, Union
+from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ reconstruction + KL decomposition. Arch names gg_vae, gg_vae_v{2,3,5,6}.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 

@@ -8,7 +8,7 @@ dispatch table in movae_tpu.ops.sobel).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 

@@ -8,7 +8,7 @@ explicit 5-term loss at gg_vq_vae2.py:131-161).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 

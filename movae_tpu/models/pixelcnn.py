@@ -19,7 +19,6 @@ Codes are (B, H, W) int32; logits are NHWC (B, H, W, K).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

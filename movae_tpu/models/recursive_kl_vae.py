@@ -11,7 +11,7 @@ version uses a class-level global, recursive_kl_vae.py:41, 89-94).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

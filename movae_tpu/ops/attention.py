@@ -24,9 +24,7 @@ mesh-axis annotation, not a rewrite (SURVEY.md §5).
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,11 @@ best_prior/final_prior.
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from movae_tpu.models.pixelcnn import (

@@ -14,7 +14,6 @@ aggregation mode mirrors the reference dispatch (main.py:176-196):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

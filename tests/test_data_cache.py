@@ -9,7 +9,6 @@ the Loader/ArrayDataset behave identically over a memmap archive.
 """
 
 import numpy as np
-import pytest
 
 from movae_tpu.data import ArrayDataset, Loader, _materialize_memmap
 

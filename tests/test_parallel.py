@@ -4,7 +4,6 @@ xla_force_host_platform_device_count=8)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from movae_tpu.models import get_network, init_model
 from movae_tpu.moo import AggregatorConfig, init_state

@@ -5,7 +5,6 @@ distribution-identical to the reference's full-forward-per-pixel loop)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from movae_tpu.models.pixelcnn import (
     HierarchicalPixelCNN,
