@@ -73,14 +73,18 @@ def bench_sampling(args):
         fast = jax.jit(lambda r: sample_fast(model, params, r, b, h, w))
     rng = jax.random.PRNGKey(1)
     np.asarray(fast(rng))  # compile
-    t0 = time.perf_counter()
-    reps = max(args.steps // 10, 1)
+    # per-rep host-fetch sync + median: enqueue-then-fetch-once timing is
+    # unreliable on the tunneled axon platform (multi-x swings observed)
+    reps = max(args.steps // 10, 3)
+    times = []
     for i in range(reps):
         rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
         out = fast(sub)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-    px_per_sec = reps * b * h * w / dt
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    px_per_sec = b * h * w / dt
     print(json.dumps({
         "metric": f"{args.prior}_sample_px_per_sec(bs={b},grid={h}x{w},"
                   "cached-sampler)",

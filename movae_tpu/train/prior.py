@@ -99,7 +99,15 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     hierarchical = args.arch.lower() in ("vq_vae2", "gg_vq_vae2")
 
     epochs = getattr(args, "pixelcnn_epochs", 100)
-    batch_size = args.batch_size
+    # the prior stage trains data-parallel over the same mesh as the VQ
+    # stage: code batches sharded on 'data', prior params replicated, grad
+    # psum inserted by GSPMD (the reference prior stage is single-device,
+    # main.py:890-1051)
+    parallel = results.get("parallel")
+    if parallel is None:
+        from movae_tpu.parallel.mesh import DataParallel
+        parallel = DataParallel()
+    batch_size = parallel.pad_to_devices(args.batch_size)
     lr = getattr(args, "pixelcnn_lr", 3e-4)
 
     extract = extract_codes(model, state, None, hierarchical,
@@ -130,7 +138,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(sched, weight_decay=wd) if wd
                      else optax.adam(sched))
-    opt_state = tx.init(params)
+    params = parallel.replicate(params)
+    opt_state = tx.init(params)  # moments inherit the replicated layout
 
     @jax.jit
     def step(params, opt_state, batch, rng):
@@ -160,7 +169,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         meter = AverageMeter()
         pending = None  # one-step-delayed host fetch (overlaps compute)
         for batch_np, n_valid in loader:
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            batch = {k: parallel.shard_batch(v) for k, v in batch_np.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, out = step(params, opt_state, batch, sub)
             if pending is not None:

@@ -141,6 +141,8 @@ class CodeLoader:
             idx = order[start:start + bs]
             n_valid = len(idx)
             if n_valid < bs:
-                idx = np.concatenate([idx, order[: bs - n_valid]])
+                # np.resize wraps cyclically, so datasets smaller than the
+                # pad still fill the static shape
+                idx = np.concatenate([idx, np.resize(order, bs - n_valid)])
             yield ({k: np.asarray(v[idx]) for k, v in self.levels.items()},
                    n_valid)
