@@ -66,7 +66,11 @@ class InceptionTower:
 
     def extract(self, images: np.ndarray, batch_size: int = 128,
                 want_logits: bool = False):
-        """images: (N,H,W,C) float in [-1,1] or [0,1] (numpy or jax)."""
+        """images: (N,H,W,C) float, EXPECTED in [-1,1]: preprocessing
+        unconditionally denormalizes with x*0.5+0.5 exactly like the
+        reference (metrics.py:542), so [0,1] inputs (non-normalized BCE
+        runs) get compressed to [0.5,1] — a deliberate bug-for-bug parity
+        choice; the VGG/LPIPS tower auto-ranges instead (vgg.py)."""
         n = len(images)
         if n == 0:
             return (np.array([]), np.array([])) if want_logits else np.array([])

@@ -86,7 +86,6 @@ def load_params(path: Optional[str] = None):
 
 def convert_torch_weights(torch_state_dict, out_path: str):
     """torchvision vgg16 'features.N.weight' -> flax npz (run offline)."""
-    conv_names = [it[0] for it in _VGG_PLAN if it != "M"]
     idx_map = {}
     idx = 0
     for item in _VGG_PLAN:

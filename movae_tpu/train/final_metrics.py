@@ -22,6 +22,8 @@ from movae_tpu.models.pixelcnn import sample_hierarchical, sample_prior
 
 
 def collect_recons(model, state, loader, rng, max_samples: int):
+    """Returns (real, recons, advanced_rng) — callers must thread the
+    returned key onward so later passes don't reuse recon-batch keys."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
@@ -48,15 +50,25 @@ def collect_recons(model, state, loader, rng, max_samples: int):
 def evaluate_recon_metrics(model, state, loader, rng,
                            max_samples: int = 10000) -> Dict[str, float]:
     """rFID / PSNR / SSIM / LPIPS over test reconstructions
-    (main.py:376-463)."""
+    (main.py:376-463). Pixel metrics run in batches of 128 like the
+    reference (main.py:335 batch_size_metric): a single call over 10k
+    256px images would materialize tens of GB of SSIM intermediates."""
     real, rec, rng = collect_recons(model, state, loader, rng, max_samples)
     out: Dict[str, float] = {}
-    out["psnr"] = float(pixel_lib.psnr(jnp.asarray(real), jnp.asarray(rec)))
-    out["ssim"] = float(pixel_lib.ssim(jnp.asarray(real), jnp.asarray(rec)))
+    bs = 128
+    psnr_vals, ssim_vals = [], []
+    for i in range(0, len(real), bs):
+        a, b = jnp.asarray(real[i:i + bs]), jnp.asarray(rec[i:i + bs])
+        psnr_vals.append((float(pixel_lib.psnr(a, b)), len(a)))
+        ssim_vals.append((float(pixel_lib.ssim(a, b)), len(a)))
+    wavg = lambda vs: (float(np.average([v for v, _ in vs],  # noqa: E731
+                                        weights=[n for _, n in vs]))
+                       if vs else float("nan"))
+    out["psnr"] = wavg(psnr_vals)
+    out["ssim"] = wavg(ssim_vals)
     try:
         lpips_fn = make_lpips_fn()
         vals = []
-        bs = 128
         for i in range(0, len(real), bs):
             vals.append(float(lpips_fn(jnp.asarray(real[i:i + bs]),
                                        jnp.asarray(rec[i:i + bs]))))
@@ -143,6 +155,7 @@ def evaluate_generative_metrics(model, state, loader, args,
     except Exception as e:  # pragma: no cover
         print(f"inception score failed: {e}")
         out["inception_score_mean"] = float("nan")
+        out["inception_score_std"] = float("nan")
     return out
 
 
@@ -157,11 +170,16 @@ def run_final_metrics(results: Dict[str, Any], args,
     # main.py:1462 logs final/eval_* from the closing evaluate pass)
     for k, v in (results.get("eval_losses") or [{}])[-1].items():
         finals[f"eval_{k}"] = v
+    # independent keys up front: evaluate_recon_metrics consumes its key
+    # internally without returning the advanced state, so deriving the
+    # generative key by re-splitting `rng` would replay the first recon
+    # batch's sample key
+    recon_key = jax.random.fold_in(rng, 1)
+    gen_key = jax.random.fold_in(rng, 2)
     finals.update(evaluate_recon_metrics(
-        model, state, loader, rng,
+        model, state, loader, recon_key,
         max_samples=getattr(args, "max_fid_samples", 10000)))
-    rng, sub = jax.random.split(rng)
     finals.update(evaluate_generative_metrics(
-        model, state, loader, args, prior, sub,
+        model, state, loader, args, prior, gen_key,
         max_samples=getattr(args, "max_fid_samples", 10000)))
     return finals

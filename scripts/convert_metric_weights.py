@@ -19,6 +19,11 @@ tests/test_weight_converters.py.
 
 import argparse
 import os
+import sys
+
+# runnable as `python scripts/convert_metric_weights.py` from anywhere:
+# movae_tpu lives at the repo root, not on sys.path when cwd is scripts/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

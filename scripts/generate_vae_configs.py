@@ -43,24 +43,29 @@ AGG_NO_MGDA7 = [  # large-image datasets drop plain (unnormalized) MGDA
 ]
 
 # per-dataset training profile:
-# (aggs, seeds, epochs, batch, lr_vae, lr_vq, latent_dim, save/eval freq,
-#  num_vis, kld_weight = batch_size / train-set size)
+# (aggs, seeds, epochs, batch, lr_vae, lr_vq, latent_dim, VAE hidden_dims,
+#  save/eval freq, num_vis, kld_weight = batch_size / train-set size).
+# hidden_dims follow the reference tree per dataset: cifar100 VAE is
+# [32,64,128] and celeba-hq [32,64,128,256,512,1024]
+# (/root/reference/configs/<ds>/vae/*/mse/config_1.yaml).
+DIMS5 = [32, 64, 128, 256, 512]
 DATASETS = {
     "cifar100": dict(aggs=AGG_FULL8, seeds=SEEDS3, epochs=200, batch=256,
-                     lr_vae="1e-4", lr_vq="1e-3", latent=128, freq=20,
-                     vis=9, kld=0.00512),
+                     lr_vae="1e-4", lr_vq="1e-3", latent=128,
+                     vae_dims=[32, 64, 128], freq=20, vis=9, kld=0.00512),
     "celeba-hq": dict(aggs=AGG_FULL8, seeds=SEEDS1, epochs=400, batch=128,
-                      lr_vae="1e-4", lr_vq="1e-4", latent=512, freq=50,
-                      vis=4, kld=0.004),
+                      lr_vae="1e-4", lr_vq="1e-4", latent=512,
+                      vae_dims=DIMS5 + [1024], freq=50, vis=4, kld=0.004),
     "imagenet": dict(aggs=AGG_FULL8, seeds=SEEDS1, epochs=20, batch=128,
-                     lr_vae="1e-4", lr_vq="1e-4", latent=4096, freq=10,
-                     vis=4, kld=0.0001),
+                     lr_vae="1e-4", lr_vq="1e-4", latent=4096,
+                     vae_dims=DIMS5, freq=10, vis=4, kld=0.0001),
     "animal-face": dict(aggs=AGG_NO_MGDA7, seeds=SEEDS3, epochs=1000,
                         batch=128, lr_vae="1e-4", lr_vq="1e-4", latent=4096,
-                        freq=100, vis=4, kld=0.01587),
+                        vae_dims=DIMS5, freq=100, vis=4, kld=0.01587),
     "oxford-flower-102": dict(aggs=AGG_NO_MGDA7, seeds=SEEDS3, epochs=1000,
                               batch=128, lr_vae="1e-4", lr_vq="1e-4",
-                              latent=4096, freq=100, vis=4, kld=0.1255),
+                              latent=4096, vae_dims=DIMS5, freq=100, vis=4,
+                              kld=0.1255),
 }
 
 # arch -> (family, extra objective keys beyond the family's base set)
@@ -103,8 +108,8 @@ def render(dataset, arch, agg_val, agg_folder, obj, act, norm, seed_val):
     family, extra = ARCH_FAMILIES[arch]
     if family == "vae":
         weights = [("reconstruction_loss", 1.0), ("kld_loss", prof["kld"])]
-        model_lines = (f"latent_dim: {prof['latent']}\n"
-                       "hidden_dims:\n- 32\n- 64\n- 128\n- 256\n- 512")
+        dims = "".join(f"\n- {d}" for d in prof["vae_dims"])
+        model_lines = f"latent_dim: {prof['latent']}\nhidden_dims:{dims}"
         lr = prof["lr_vae"]
         tag = f"{prof['latent']}d"
     else:  # vq / vq2
