@@ -269,6 +269,9 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
 
     if arch == "sphere_encoder":
         from movae_tpu.models.sphere_encoder import SphereEncoder
+        l_pr = _get(args, "lambda_pix_recon", 1.0)
+        l_pc = _get(args, "lambda_pix_con", 0.5)
+        l_lc = _get(args, "lambda_lat_con", 0.1)
         return SphereEncoder(
             latent_dim=latent_dim, hidden_dims=hidden_dims,
             input_size=input_size, in_channels=num_channels,
@@ -278,9 +281,12 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
             sigma_mix_prob=_get(args, "sigma_mix_prob", 0.0),
             sigma_mix_angle_min_deg=_get(args, "sigma_mix_angle_min_deg", None),
             sigma_mix_angle_max_deg=_get(args, "sigma_mix_angle_max_deg", None),
-            lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
-            lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
-            lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            lambda_pix_recon=l_pr, lambda_pix_con=l_pc, lambda_lat_con=l_lc,
+            # keep the echoed lambda_weights in sync with the lambda_* args
+            # actually applied in loss_terms (run_training persists them
+            # into checkpoints/wandb config)
+            lambda_weights=(("pix_recon", l_pr), ("pix_con", l_pc),
+                            ("lat_con", l_lc)),
             use_perceptual=use_perceptual,
             perceptual_fn=perceptual() if use_perceptual else None,
             dtype=dtype)
@@ -307,9 +313,11 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
             sigma_mix_prob=_get(args, "sigma_mix_prob", 0.0),
             sigma_mix_angle_min_deg=_get(args, "sigma_mix_angle_min_deg", None),
             sigma_mix_angle_max_deg=_get(args, "sigma_mix_angle_max_deg", None),
-            lambda_pix_recon=_get(args, "lambda_pix_recon", 1.0),
-            lambda_pix_con=_get(args, "lambda_pix_con", 0.5),
-            lambda_lat_con=_get(args, "lambda_lat_con", 0.1),
+            lambda_pix_recon=(l_pr := _get(args, "lambda_pix_recon", 1.0)),
+            lambda_pix_con=(l_pc := _get(args, "lambda_pix_con", 0.5)),
+            lambda_lat_con=(l_lc := _get(args, "lambda_lat_con", 0.1)),
+            lambda_weights=(("pix_recon", l_pr), ("pix_con", l_pc),
+                            ("lat_con", l_lc)),
             use_perceptual=use_perceptual,
             perceptual_fn=perceptual() if use_perceptual else None,
             dtype=dtype)

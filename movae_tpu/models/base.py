@@ -86,27 +86,6 @@ def resolve_activation(name: Optional[str]):
     raise ValueError(f"recons_activation {name} not supported")
 
 
-class NormFactory:
-    """Norm layer factory matching the reference's layer_norm flag
-    (vae.py:98-105): 'batch' | 'layer' | 'none'."""
-
-    @staticmethod
-    def make(kind: str, train: bool, name: Optional[str] = None):
-        kind = (kind or "none").lower()
-        if kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,  # torch BatchNorm2d momentum=0.1 == flax 0.9
-                epsilon=1e-5,
-                name=name,
-            )
-        if kind == "layer":
-            return nn.LayerNorm(name=name)
-        if kind == "none":
-            return lambda x: x
-        raise ValueError(f"Layer norm {kind} not supported")
-
-
 class MOVAEModel(nn.Module):
     """Abstract base (see module docstring for the contract)."""
 

@@ -125,9 +125,11 @@ class CausalAttention(nn.Module):
         q, k, v = split(self.q_proj(xf)), split(self.k_proj(xf)), split(
             self.v_proj(xf))
         sm_scale = 1.0 / float(hd) ** 0.5
-        if self.dropout > 0.0 and train:
+        if self.dropout > 0.0 and train and L <= 1024:
             # reference semantics: dropout on attention weights
-            # (pixelcnn_prior.py:126-127) — requires the dense matrix
+            # (pixelcnn_prior.py:126-127) — requires the dense L x L matrix,
+            # so it is restricted to short sequences where dense is the
+            # dispatch anyway (ops/attention.py dense_threshold)
             attn = jnp.einsum("bnld,bnmd->bnlm", q, k) * sm_scale
             causal = jnp.tril(jnp.ones((L, L), bool))
             attn = jnp.where(causal[None, None], attn, -jnp.inf)
@@ -135,9 +137,16 @@ class CausalAttention(nn.Module):
             attn = self.drop(attn, deterministic=False)
             out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
         else:
-            # memory-scalable path (flash kernel / blockwise scan for long L)
+            # memory-scalable path (flash kernel / blockwise scan for long
+            # L). Attention-weight dropout would force the dense O(L^2)
+            # matrix (B*H*4096^2 floats at the ImageNet bottom level — OOM,
+            # and the exact pattern the flash kernel exists to avoid), so at
+            # long L the regularization is applied to the attention OUTPUT
+            # instead — the standard flash-compatible approximation.
             from movae_tpu.ops.attention import causal_attention
             out = causal_attention(q, k, v, sm_scale)
+            if self.dropout > 0.0 and train:
+                out = self.drop(out, deterministic=False)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, nh * hd)
         return self.out_proj(out).reshape(b, h, w, c)
 

@@ -127,6 +127,19 @@ class SphereEncoder(VAE):
         z = self.encode_to_vector(x, train=train)
         return (self._spherify_noisy(z),)
 
+    def trunk(self, x: Array, train: bool = True):
+        # feature_names=None keeps the MOO engine on the full-parameter
+        # path (reference sphere_encoder.py:138); the inherited VAE.trunk
+        # would unpack encode()'s 1-tuple as (mu, log_var) — fail loudly
+        # instead of propagating garbage if anyone routes here.
+        raise NotImplementedError(
+            "SphereEncoder has no trunk/heads split (feature_names=None); "
+            "use forward_with_losses / the full-parameter Jacobian path")
+
+    def heads_with_losses(self, features, trunk_aux, x, train: bool = True):
+        raise NotImplementedError(
+            "SphereEncoder has no trunk/heads split (feature_names=None)")
+
     # --- forward (training noise schedule) -----------------------------------
     def __call__(self, x: Array, train: bool = False) -> Dict[str, Any]:
         b = x.shape[0]

@@ -258,12 +258,26 @@ class VQVAE2(MOVAEModel):
 
     # --- code extraction & generation ----------------------------------------
     def get_code_indices_pair(self, x: Array) -> Tuple[Array, Array]:
-        """(top, bottom) code grids for prior training."""
-        out = self(x, train=False)
+        """(top, bottom) code grids for prior training. Runs only the
+        encoder path (enc_b/enc_t, both quantizers, and dec_t — which the
+        bottom quantizer conditions on) and skips the full stride-4 image
+        decoder, roughly halving the extraction-sweep FLOPs."""
+        (enc_t, enc_b), _ = self.trunk(x, train=False)
+        qt_in = self.quantize_conv_t(enc_t.astype(self.dtype)).astype(
+            jnp.float32)
+        vq_t = vq_ops.vector_quantize(qt_in, self.vq_top(),
+                                      use_pallas=self.use_pallas_vq)
+        dec_t = self.dec_t(vq_t["quantized"])
+        qb_in = self.quantize_conv_b(
+            jnp.concatenate([dec_t.astype(self.dtype),
+                             enc_b.astype(self.dtype)], axis=-1)).astype(
+            jnp.float32)
+        vq_b = vq_ops.vector_quantize(qb_in, self.vq_bottom(),
+                                      use_pallas=self.use_pallas_vq)
         b = x.shape[0]
         st, sb = self.latent_spatial_dim_top, self.latent_spatial_dim_bottom
-        return (out["encoding_inds_top"].reshape(b, st, st),
-                out["encoding_inds_bottom"].reshape(b, sb, sb))
+        return (vq_t["encoding_inds"].reshape(b, st, st),
+                vq_b["encoding_inds"].reshape(b, sb, sb))
 
     def decode_code(self, code_t: Array, code_b: Array) -> Array:
         quant_t = self.vq_top.embed_code(code_t)

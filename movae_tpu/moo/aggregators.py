@@ -79,12 +79,6 @@ class AggregatorConfig:
     def is_sum(self) -> bool:
         return self.name in ("sum", None)
 
-    @property
-    def needs_losses(self) -> bool:
-        return (self.name in ("mgda_gn", "mgda_lgn")
-                or (self.name in ("mgda", "comfort")
-                    and self.mgda_norm_type in ("loss", "loss+")))
-
     def pref(self) -> Array:
         m = self.num_objectives
         if self.pref_vector is None:

@@ -151,7 +151,14 @@ def dual_cone_project_weights(u: Array, G: Array) -> Array:
     masks = jnp.asarray(_all_masks(m), dtype=G.dtype)  # (2^m, m)
     Gu = G @ u
     tr = jnp.trace(G)
-    tol = 1e-6 * (tr + 1.0)
+    # feasibility tolerances must match each constraint's scale: mu lives in
+    # weight space (O(1) regardless of gradient norms), the reduced gradient
+    # G(u+mu) in squared-gradient space (O(trace G)). A single trace-scaled
+    # tol would accept mu = -u (w = 0, objective 0) as "feasible" whenever
+    # trace(G) > ~1e6 — collapsing the UPGrad/DualProj update to a no-op on
+    # large-norm Gramians.
+    tol_mu = 1e-6 * (1.0 + jnp.sum(jnp.abs(u)))
+    tol_g = 1e-6 * (tr + 1.0)
 
     def solve_mask(s):
         # Masked system: A = s_i s_j G_ij + (1-s_i) delta_ij ; b = -s * Gu
@@ -162,11 +169,12 @@ def dual_cone_project_weights(u: Array, G: Array) -> Array:
         w = u + mu
         Gw = G @ w
         # violations: mu_S < 0, or reduced gradient < 0 off-support
-        viol = jnp.sum(jnp.clip(-mu, min=0.0)) + jnp.sum(
-            (1.0 - s) * jnp.clip(-Gw, min=0.0)
-        )
+        viol_mu = jnp.sum(jnp.clip(-mu, min=0.0))
+        viol_g = jnp.sum((1.0 - s) * jnp.clip(-Gw, min=0.0))
         obj = w @ Gw
-        bad = jnp.logical_or(jnp.any(jnp.isnan(mu)), viol > tol)
+        bad = jnp.logical_or(
+            jnp.any(jnp.isnan(mu)),
+            jnp.logical_or(viol_mu > tol_mu, viol_g > tol_g))
         score = jnp.where(bad, jnp.inf, obj)
         return w, score
 

@@ -274,7 +274,11 @@ def run_training(args) -> Dict[str, Any]:
 
     m = len(model.objective_names)
     agg_cfg = aggregator_config_from_args(args, m)
-    if agg_cfg.name == "nashmtl":
+    if (agg_cfg.name == "nashmtl"
+            and not getattr(args, "nashmtl_update_every", None)):
+        # reference default: recompute Nash weights once per epoch
+        # (update_weights_every=len(train_loader), main.py:1230-1235); an
+        # explicit args value wins
         agg_cfg = AggregatorConfig(
             **{**agg_cfg.__dict__, "nashmtl_update_every": steps_per_epoch})
     args.aggregator = agg_cfg.name
@@ -326,7 +330,6 @@ def run_training(args) -> Dict[str, Any]:
     train_losses, eval_losses = [], []
     log_every = getattr(args, "log_every", 1)
     num_vis = getattr(args, "num_vis_samples", 4)
-    best_eval_loss = float("inf")
     start_epoch = 1
 
     # mid-training resume (absent in the reference, which restarts from
@@ -392,8 +395,6 @@ def run_training(args) -> Dict[str, Any]:
             loss_line = ", ".join(f"{k}: {v.avg:.6e}"
                                   for k, v in eval_meters.items())
             print(f"Epoch {epoch}/{args.epochs} eval: {loss_line}")
-            best_eval_loss = min(best_eval_loss,
-                                 eval_meters["total_loss"].avg)
 
         if logger.active and log_dict:
             logger.log(log_dict, step=step)

@@ -68,7 +68,7 @@ def prior_args_echo(args) -> Dict[str, Any]:
     return {k: getattr(args, k) for k in keys if hasattr(args, k)}
 
 
-def extract_codes(model, state, loader, hierarchical: bool,
+def extract_codes(model, state, hierarchical: bool,
                   normalize_inputs: bool = False):
     """Jitted frozen-VQ code extraction sweep (vq_codes_lmdb.py:58-99).
     Accepts raw-uint8 loader batches (cast/normalize happens in-jit, see
@@ -110,7 +110,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     batch_size = parallel.pad_to_devices(args.batch_size)
     lr = getattr(args, "pixelcnn_lr", 3e-4)
 
-    extract = extract_codes(model, state, None, hierarchical,
+    extract = extract_codes(model, state, hierarchical,
                             normalize_inputs=results.get("normalize", False))
     levels, cached = get_or_extract_codes(
         extract, results["train_loader"], save_root, args.arch, args.dataset,

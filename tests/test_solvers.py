@@ -245,3 +245,23 @@ def test_nashmtl_kkt_random_gramians(m):
         f = alpha * np.asarray(Gm @ alpha)
         # exact Nash condition: alpha_i (G alpha)_i = 1 for every i
         np.testing.assert_allclose(f, np.ones(m), rtol=5e-2)
+
+
+def test_dual_cone_projection_scale_invariant():
+    """The dual-cone projection minimizer is invariant to scaling G by any
+    c > 0. A single trace-scaled feasibility tolerance used to accept the
+    infeasible w=0 candidate on large-norm Gramians (trace ~> 1e6),
+    collapsing UPGrad/DualProj to a no-op step."""
+    from movae_tpu.moo.solvers import dual_cone_project_weights
+
+    rng = np.random.default_rng(7)
+    for m in (2, 3, 5):
+        A = rng.normal(size=(m, m + 2))
+        G = A @ A.T
+        u = np.full((m,), 1.0 / m)
+        w1 = np.asarray(dual_cone_project_weights(jnp.asarray(u),
+                                                  jnp.asarray(G)))
+        w2 = np.asarray(dual_cone_project_weights(jnp.asarray(u),
+                                                  jnp.asarray(G * 1e8)))
+        np.testing.assert_allclose(w1, w2, rtol=1e-4, atol=1e-6)
+        assert np.linalg.norm(w2) > 1e-3  # not the collapsed w=0 solution
