@@ -57,3 +57,24 @@ def test_dispatch_long_sequence_uses_blockwise():
     ref = dense_causal_attention(q, k, v, 0.35)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_causal_attention_long_L_dropout_branch():
+    """With dropout>0 and train=True at L>1024, CausalAttention must route
+    through the memory-scalable path with dropout applied to the attention
+    OUTPUT (attention-weight dropout would materialize the dense L^2 matrix
+    the flash kernel exists to avoid)."""
+    from movae_tpu.models.pixelcnn import CausalAttention
+
+    attn = CausalAttention(channels=16, num_heads=2, dropout=0.2)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 34, 34, 16)).astype(np.float32))  # L=1156 > 1024
+    params = attn.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    out = attn.apply(params, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # dropout actually fires: some outputs exactly zero w.h.p.
+    eval_out = attn.apply(params, x, train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(eval_out))
