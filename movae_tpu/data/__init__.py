@@ -55,6 +55,11 @@ class ArrayDataset:
         """``raw=True`` emits uint8 (gather + aug only) so the float cast +
         normalize run on-device inside the jitted step — the host->device
         transfer is then 4x smaller (the hot-loop path)."""
+        if self.random_resized_crop is not None and rng is None:
+            # the crop is part of the dataset's transform contract (flowers
+            # stores 300px archives for a 256px model) — never skip it just
+            # because the caller wants a deterministic batch (figure panels)
+            rng = np.random.default_rng(0)
         if self.random_resized_crop is None or rng is None:
             # fused native path: gather (+ f32 + normalize unless raw) + flip
             from movae_tpu.data import native
@@ -149,12 +154,16 @@ class Loader:
         bs = self.batch_size
         gb = bs * self.process_count
         for start in range(0, n, gb):
+            if self.drop_last and n - start < gb:
+                # drop the GLOBAL tail, not the per-process slice: the
+                # interleaved shards of a partial tail can differ in length
+                # across processes, which would desync multi-host step
+                # counts (one host enters a collective the other skipped)
+                return
             idx = order[start:start + gb][self.process_index::
                                           self.process_count]
             n_valid = len(idx)
             if n_valid < bs:
-                if self.drop_last:
-                    return
                 # wrap-pad to the static shape; np.resize repeats the order
                 # cyclically so datasets smaller than the pad still fill it
                 pad = np.resize(order, bs - n_valid)
@@ -302,7 +311,10 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
     has_label = "label" in ds.column_names
 
     def item_fn(i):
-        im = ds[i][key]
+        # fetch the row ONCE: every ds[i] decodes the Image feature, so a
+        # second index would double the archive-build decode cost
+        row = ds[i]
+        im = row[key]
         if not isinstance(im, Image.Image):
             im = Image.fromarray(np.asarray(im))
         im = im.convert("RGB")
@@ -320,7 +332,7 @@ def _hf_images(repo: str, split: str, out_size: Optional[int] = None,
             im = im.crop((left, top, left + center_crop, top + center_crop))
         if out_size and im.size != (out_size, out_size):
             im = im.resize((out_size, out_size), Image.BICUBIC)
-        label = ds[i]["label"] if has_label else 0
+        label = row["label"] if has_label else 0
         return np.asarray(im, np.uint8), label
 
     if cache is not None:

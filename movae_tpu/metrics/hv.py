@@ -71,20 +71,21 @@ def build_hv_indicator(
     hv_ref: Union[None, Sequence[float], Dict[str, float]] = None,
     default_ref: float = 1.1,
 ) -> Optional[HVIndicator]:
-    """Reference-point resolution as in main.py:659-692: per-objective dict,
-    positional list, or the 1.1 default for every objective."""
+    """Reference-point resolution as in main.py:659-692: needs >= 2
+    objectives (else None); a dict fills missing keys with 1.1; a
+    wrong-length list falls back to all-1.1 (never disables HV)."""
     keys = list(objective_keys)
     m = len(keys)
+    if m < 2:
+        return None
     if hv_ref is None:
         ref = np.full((m,), default_ref)
     elif isinstance(hv_ref, dict):
-        try:
-            ref = np.asarray([float(hv_ref[k]) for k in keys])
-        except KeyError:
-            return None
+        ref = np.asarray([float(hv_ref.get(k, default_ref)) for k in keys])
     else:
         vals = list(hv_ref)
         if len(vals) != m:
-            return None
-        ref = np.asarray([float(v) for v in vals])
+            ref = np.full((m,), default_ref)
+        else:
+            ref = np.asarray([float(v) for v in vals])
     return HVIndicator(ref)

@@ -184,7 +184,13 @@ def load_params(path: Optional[str] = None) -> Any:
     model = InceptionV3()
     variables = model.init(jax.random.PRNGKey(20260816),
                            jnp.zeros((1, 299, 299, 3), jnp.float32))
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            # a set-but-wrong path must be an error, not a silent fall back
+            # to random features (all FID/IS/KID would be quietly
+            # meaningless while the user believes weights are loaded)
+            raise FileNotFoundError(
+                f"MOVAE_INCEPTION_WEIGHTS points at a missing file: {path}")
         from movae_tpu.metrics.pretrained import merge_pretrained
         return merge_pretrained(variables, dict(np.load(path)),
                                 f"InceptionV3 weights {path}")

@@ -73,7 +73,12 @@ def load_params(path: Optional[str] = None):
     model = VGG16Features()
     variables = model.init(jax.random.PRNGKey(20260816),
                            jnp.zeros((1, 64, 64, 3), jnp.float32))
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            # set-but-wrong path = error, not a silent random-feature
+            # fallback (see inception.load_params)
+            raise FileNotFoundError(
+                f"MOVAE_VGG16_WEIGHTS points at a missing file: {path}")
         from movae_tpu.metrics.pretrained import merge_pretrained
         return merge_pretrained(variables, dict(np.load(path)),
                                 f"VGG16 weights {path}")

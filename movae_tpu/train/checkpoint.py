@@ -44,10 +44,13 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
 
 
 def _json_default(o):
-    if hasattr(o, "item"):
-        return o.item()
+    # tolist before item: .item() raises on multi-element arrays, which
+    # would abort the metadata write after the orbax arrays were already
+    # saved (checkpoint dir left without meta.json)
     if hasattr(o, "tolist"):
         return o.tolist()
+    if hasattr(o, "item"):
+        return o.item()
     return str(o)
 
 

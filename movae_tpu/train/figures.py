@@ -39,6 +39,17 @@ def _to_display(img: np.ndarray, normalized: bool) -> np.ndarray:
     return np.clip(img, 0.0, 1.0)
 
 
+def _save_fig(fig, path: str) -> str:
+    """Write the PDF + a PNG twin (quick viewing / logger upload); returns
+    the PNG path."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    png = os.path.splitext(path)[0] + ".png"
+    fig.savefig(png, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return png
+
+
 def save_sample_grid(images: np.ndarray, path: str, normalized: bool = False,
                      ncols: Optional[int] = None, titles=None):
     """Save an image grid (NHWC) as a PDF (+PNG twin for quick viewing)."""
@@ -54,12 +65,7 @@ def save_sample_grid(images: np.ndarray, path: str, normalized: bool = False,
             if titles is not None and i < len(titles):
                 ax.set_title(titles[i], fontsize=6)
     fig.tight_layout()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fig.savefig(path, bbox_inches="tight")
-    png = os.path.splitext(path)[0] + ".png"
-    fig.savefig(png, dpi=80, bbox_inches="tight")
-    plt.close(fig)
-    return png
+    return _save_fig(fig, path)
 
 
 def save_reconstruction_panel(originals: np.ndarray, recons: np.ndarray,
@@ -78,9 +84,4 @@ def save_reconstruction_panel(originals: np.ndarray, recons: np.ndarray,
     axes[0, 0].set_title("original", fontsize=8, loc="left")
     axes[1, 0].set_title("reconstruction", fontsize=8, loc="left")
     fig.tight_layout()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fig.savefig(path, bbox_inches="tight")
-    png = os.path.splitext(path)[0] + ".png"
-    fig.savefig(png, dpi=80, bbox_inches="tight")
-    plt.close(fig)
-    return png
+    return _save_fig(fig, path)

@@ -83,7 +83,11 @@ def build_optimizer(
     elif name == "rmsprop":
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+        # torch RMSprop divides by (sqrt(nu) + eps); optax's default puts
+        # eps inside the sqrt, which shrinks early/flat-gradient steps by
+        # up to 1e4x relative to the reference
+        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8,
+                                        eps_in_sqrt=False))
         parts.append(optax.scale_by_learning_rate(schedule))
     else:
         raise ValueError(f"Optimizer {name} not supported")

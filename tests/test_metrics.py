@@ -256,3 +256,14 @@ def test_batched_pixel_metrics_match_full_set():
             ws.append(len(a[i:i + 4]))
         batched = float(np.average(vals, weights=ws))
         assert abs(full - batched) < 1e-4, (fn.__name__, full, batched)
+
+
+def test_hv_ref_fallbacks_match_reference():
+    """Reference main.py:676-691: <2 objectives -> None; a dict fills
+    missing keys with 1.1; a wrong-length list falls back to all-1.1 —
+    never silently disabling HV."""
+    assert hv_lib.build_hv_indicator(["a"], None) is None
+    ind = hv_lib.build_hv_indicator(["a", "b"], {"a": 2.0})
+    np.testing.assert_allclose(ind.ref_point, [2.0, 1.1])
+    ind2 = hv_lib.build_hv_indicator(["a", "b"], [2.0, 2.0, 2.0])
+    np.testing.assert_allclose(ind2.ref_point, [1.1, 1.1])

@@ -240,3 +240,30 @@ def test_betatc_decomposition_matches_torch_oracle():
                                (B / N) * float((log_prod_q_z
                                                 - log_p_z).mean()),
                                rtol=1e-4)
+
+
+def test_rmsprop_matches_torch_semantics():
+    """torch RMSprop updates with g / (sqrt(nu) + eps); optax's default
+    puts eps inside the sqrt (up to 1e4x smaller early steps). A few steps
+    on a quadratic must track torch.optim.RMSprop closely."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from movae_tpu.train.optim import build_optimizer
+
+    w_t = torch.tensor([1.0, -2.0, 3.0], requires_grad=True)
+    opt_t = torch.optim.RMSprop([w_t], lr=1e-2, alpha=0.99, eps=1e-8)
+    tx = build_optimizer("rmsprop", lambda i: 1e-2)
+    w_j = jnp.asarray([1.0, -2.0, 3.0])
+    state = tx.init(w_j)
+    for _ in range(5):
+        opt_t.zero_grad()
+        (w_t ** 2).sum().backward()
+        opt_t.step()
+        g = 2.0 * w_j
+        updates, state = tx.update(g, state, w_j)
+        w_j = optax.apply_updates(w_j, updates)
+    np.testing.assert_allclose(np.asarray(w_j),
+                               w_t.detach().numpy(), rtol=1e-5, atol=1e-6)
