@@ -265,3 +265,37 @@ def test_dual_cone_projection_scale_invariant():
                                                   jnp.asarray(G * 1e8)))
         np.testing.assert_allclose(w1, w2, rtol=1e-4, atol=1e-6)
         assert np.linalg.norm(w2) > 1e-3  # not the collapsed w=0 solution
+
+
+@pytest.mark.parametrize("agg", [
+    "mean", "upgrad", "nupgrad", "dualproj", "mgda", "mgda_ln", "mgda_gn",
+    "mgda_lgn", "aligned_mtl", "aligned_mtl_median", "aligned_mtl_rmse",
+    "cagrad", "imtlg", "pcgrad", "comfort"])
+def test_aggregator_descent_property_random_gramians(agg):
+    """For every Gramian-level aggregator: finite alpha and a non-ascent
+    combined direction, i.e. alpha^T G alpha >= 0 (g = alpha^T J has
+    non-negative squared norm computed through G) and — for the cone-based
+    and MGDA families — alpha^T G e_i compatibility isn't required, but the
+    weights themselves must be finite across random PSD Gramians of varied
+    conditioning and scale."""
+    import jax
+
+    from movae_tpu.moo.aggregators import AggregatorConfig, compute_weights
+    from movae_tpu.moo.aggregators import init_state
+
+    rng = np.random.default_rng(hash(agg) % 2**32)
+    for trial in range(5):
+        m = int(rng.integers(2, 6))
+        A = rng.normal(size=(m, m + 1)) * (10.0 ** rng.integers(-3, 4))
+        G = jnp.asarray(A @ A.T, jnp.float32)
+        losses = jnp.asarray(np.abs(rng.normal(size=(m,))) + 0.1,
+                             jnp.float32)
+        cfg = AggregatorConfig(name=agg, num_objectives=m)
+        alpha, _ = compute_weights(cfg, G, losses,
+                                   jax.random.PRNGKey(trial),
+                                   init_state(cfg),
+                                   beta=jnp.asarray(0.5, jnp.float32))
+        alpha = np.asarray(alpha)
+        assert np.all(np.isfinite(alpha)), (agg, m, alpha)
+        quad = float(alpha @ np.asarray(G) @ alpha)
+        assert quad >= -1e-3 * (1 + abs(quad)), (agg, quad)
