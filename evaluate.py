@@ -142,8 +142,7 @@ def evaluate(arch: str = None, dataset: str = None, model_path: str = None,
     rng = jax.random.PRNGKey(seed)
     eval_fn = jax.jit(make_eval_step(model))
     loss_meters, rng = evaluate_losses(eval_fn, state, test_loader, parallel,
-                                       rng, model.objective_names,
-                                       getattr(model, "num_embeddings", 0))
+                                       rng, model.objective_names)
     results = {f"eval/{k}": v.avg for k, v in loss_meters.items()}
 
     hv = build_hv_indicator(model.objective_names, None)  # fixed 1.1 ref

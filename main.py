@@ -183,6 +183,12 @@ def parse_args(argv=None):
 def main(args):
     from movae_tpu.train.loop import is_vq_model, run_training
 
+    if getattr(args, "num_workers", 0):
+        # the reference's DataLoader worker count maps onto the native
+        # batch-assembly thread cap (0/unset = hardware concurrency)
+        from movae_tpu.data import native
+        native.set_num_threads(args.num_workers)
+
     results = run_training(args)
     logger = results["logger"]
     prior = None

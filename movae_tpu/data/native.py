@@ -24,7 +24,7 @@ def _native_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
-_EXPECTED_VERSION = 3
+_EXPECTED_VERSION = 4
 
 
 def _load():

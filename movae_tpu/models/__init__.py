@@ -26,12 +26,16 @@ def _get(args, name, default=None):
 
 
 def _weights(lambda_weights, names, defaults, kld_key=None, kld_value=None,
-             kld_force=True):
+             kld_force=True, kld_list_override=None):
     """Normalize user weights; force the KL-type weight to batch/dataset size
     as the reference registry does (models/__init__.py:50-55). With
     ``kld_force=False`` the KL weight is only defaulted, never overridden —
     the reference's setdefault semantics for recursive_cyclic_vae
-    (models/__init__.py:77)."""
+    (models/__init__.py:77). ``kld_list_override`` controls the positional
+    list form separately: the reference overrides the KL slot of a list for
+    vae/betatc but passes gg_vae/recursive_kl lists through untouched."""
+    if kld_list_override is None:
+        kld_list_override = kld_force
     if isinstance(lambda_weights, Mapping):
         lw = dict(lambda_weights)
         if kld_key is not None:
@@ -46,15 +50,14 @@ def _weights(lambda_weights, names, defaults, kld_key=None, kld_value=None,
             d[kld_key] = kld_value
         return resolve_lambda_weights(names, None, d)
     # list form: positional per objective, validated strictly (the reference
-    # models raise on a length mismatch, e.g. vq_vae.py:195-196); the kld
-    # slot is overridden for the force-mode archs
+    # models raise on a length mismatch, e.g. vq_vae.py:195-196)
     lw = list(lambda_weights)
     if len(lw) != len(names):
         raise ValueError(
             f"requires {len(names)} lambda_weights {tuple(names)}, "
             f"got {len(lw)}")
     items = dict(zip(names, lw))
-    if kld_key is not None and kld_force:
+    if kld_key is not None and kld_list_override:
         items[kld_key] = kld_value
     return resolve_lambda_weights(names, items, defaults)
 
@@ -113,9 +116,11 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     if arch in ("recursive_kl_vae",):
         from movae_tpu.models.recursive_kl_vae import RecursiveKLVAE
         names = ("reconstruction_loss", "recursive_kld_loss")
+        # reference overrides the KL weight only for dict input here; a
+        # positional list passes through (models/__init__.py:58-65)
         lw = _weights(lambda_weights, names,
                       {"reconstruction_loss": 1.0, "recursive_kld_loss": kld_w},
-                      "recursive_kld_loss", kld_w)
+                      "recursive_kld_loss", kld_w, kld_list_override=False)
         return RecursiveKLVAE(
             latent_dim=latent_dim, hidden_dims=hidden_dims,
             input_size=input_size, in_channels=num_channels,
@@ -174,10 +179,13 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         version = 1 if arch == "gg_vae" else int(arch.rsplit("v", 1)[-1])
         names = ("reconstruction_loss", "kld_loss", "gradient_guided_loss",
                  "edge_matching_loss")
+        # dict input gets the KL override; positional lists pass through
+        # (reference gg_vae branch, models/__init__.py)
         lw = _weights(lambda_weights, names,
                       {"reconstruction_loss": 1.0, "kld_loss": kld_w,
                        "gradient_guided_loss": 1.0,
-                       "edge_matching_loss": 1.0}, "kld_loss", kld_w)
+                       "edge_matching_loss": 1.0}, "kld_loss", kld_w,
+                      kld_list_override=False)
         return GGVAE(latent_dim=latent_dim, hidden_dims=hidden_dims,
                      input_size=input_size, in_channels=num_channels,
                      layer_norm=layer_norm, recons_objective=recons_objective,
@@ -225,11 +233,13 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
         names = ("reconstruction_loss", "commitment_loss", "embedding_loss")
         # NB: vq_vae2's pre-EMA order keeps embedding last
         names = names[:-1] if vq_ema else names
-        # reference vq_vae2 defaults are ALL ones (vq_vae2.py:152) — unlike
-        # VQVAE's {embedding 1.0, commitment 0.25}
+        # reference REGISTRY default: {recon 1.0, commitment 1.0,
+        # embedding 0.25} (models/__init__.py vq_vae2 branch) — every
+        # reference run goes through the registry, so its default wins over
+        # the VQVAE2 class's all-ones fallback (vq_vae2.py:152)
         defaults = {"reconstruction_loss": 1.0, "commitment_loss": 1.0}
         if not vq_ema:
-            defaults["embedding_loss"] = 1.0
+            defaults["embedding_loss"] = 0.25
         lw = _weights(lambda_weights, names, defaults)
         return VQVAE2(vq_ema=vq_ema, vq_ema_decay=vq_ema_decay,
                       embedding_dim=embedding_dim,

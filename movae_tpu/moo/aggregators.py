@@ -311,7 +311,10 @@ def compute_weights(
     if name in ("jd_sum",):
         return jnp.ones((m,), jnp.float32), state
     if name == "mean":
-        return w, state
+        # fixed 1/m, ignoring pref_weights: the reference dispatch builds
+        # torchjd Mean() with no pref_vector (main.py:1191-1244); weighted
+        # preferences act through the UPGrad-family aggregators instead
+        return jnp.full((m,), 1.0 / m, jnp.float32), state
     if name == "upgrad":
         return _upgrad_alpha(G, w, cfg.reg_eps), state
     if name == "nupgrad":

@@ -131,9 +131,22 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     FETCH_GROUP = 8
     pending = []
     n_images = 0
+    nd = parallel.mesh.shape["data"]
+    pc = jax.process_count()
+    n_ds = len(loader.dataset)
+    gb = loader.batch_size * loader.process_count
     if timer is not None:
         timer.start()
-    for imgs, _labels, n_valid in loader:
+    for i, (imgs, _labels, n_valid) in enumerate(loader):
+        # drop the wrap padding from the tail batch before it contributes
+        # duplicate-image gradients (the reference trains the ragged last
+        # torch batch exactly, main.py:125-235); same global-shape trim as
+        # evaluate() below — one extra jit specialization for the tail
+        gv = n_valid if pc == 1 else max(1, min(gb, n_ds - i * gb))
+        if gv < len(imgs) * pc:
+            keep_g = ((gv + nd - 1) // nd) * nd
+            if keep_g % pc == 0 and 0 < keep_g // pc <= len(imgs):
+                imgs = imgs[: keep_g // pc]
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
@@ -158,8 +171,7 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     return state, meters, step, rng
 
 
-def evaluate(eval_fn, state, loader, parallel, rng, objective_names,
-             num_embeddings: int = 0):
+def evaluate(eval_fn, state, loader, parallel, rng, objective_names):
     """Eval losses + exact codebook usage over the full set
     (reference evaluate, main.py:238-332)."""
     meters = {k: AverageMeter() for k in
@@ -251,8 +263,11 @@ def run_training(args) -> Dict[str, Any]:
     model = get_network(input_size, 3, args)
     rng = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
     rng, init_rng = jax.random.split(rng)
+    # init on a tiny batch: param shapes are batch-independent, and a
+    # full-global-batch init forward would run unsharded on one device
+    # (OOM risk at 256px pod-scale batches) before the mesh placement
     params, batch_stats = init_model(model, init_rng, input_size, 3,
-                                     batch_size=batch_size)
+                                     batch_size=2)
     args.total_params = total_trainable_params(params)
     if jax.process_index() == 0:
         # model summary table (reference main.py:1279-1280)
@@ -382,9 +397,9 @@ def run_training(args) -> Dict[str, Any]:
                            train_ds=train_ds)
 
         if epoch % getattr(args, "eval_freq", 1) == 0:
-            eval_meters, rng = evaluate(eval_fn, state, eval_loader, parallel,
-                                        rng, model.objective_names,
-                                        getattr(model, "num_embeddings", 0))
+            eval_meters, rng = evaluate(eval_fn, state, eval_loader,
+                                        parallel, rng,
+                                        model.objective_names)
             eval_losses.append({k: v.avg for k, v in eval_meters.items()})
             for k, v in eval_meters.items():
                 log_dict[f"eval/{k}"] = v.avg

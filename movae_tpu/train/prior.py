@@ -117,8 +117,15 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         model.num_embeddings, model.input_size, hierarchical,
         force_extract=getattr(args, "prior_force_extract_codes", False),
         use_cache=getattr(args, "prior_use_lmdb_codes", True))
+    pc = jax.process_count()
+    # multi-host: per-host code shards can differ by a few samples; force an
+    # identical per-host step count so the cross-host grad psum never
+    # deadlocks on a host that ran one extra batch
+    epoch_len = (-(-int(getattr(args, "dataset_size", 0) or 0) // pc)
+                 if pc > 1 else None)
     loader = CodeLoader(levels, batch_size, shuffle=True,
-                        seed=getattr(args, "seed", 0) or 0)
+                        seed=getattr(args, "seed", 0) or 0,
+                        epoch_len=epoch_len)
 
     prior = build_prior(args, model.num_embeddings, hierarchical)
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
@@ -161,6 +168,11 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         return params, opt_state, out
 
     logger = results.get("logger")
+    # multi-host: only process 0 writes prior checkpoints/figures (the
+    # loss is identical on every process — metrics come out of the psum'd
+    # step — so gating IO loses nothing); concurrent saves to a shared
+    # directory would race
+    is_main = jax.process_index() == 0
     best_loss = float("inf")
     best_params = params
     meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
@@ -182,15 +194,19 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         if meter.avg < best_loss:
             best_loss = meter.avg
             best_params = jax.device_get(params)
-            ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(
-                save_root, getattr(args, "prior_type", "pixelcnn")), {
-                "epoch": epoch, "model_state_dict": {"params": best_params},
-                "loss": best_loss, "prior_args": prior_args_echo(args)})
+            if is_main:
+                ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(
+                    save_root, getattr(args, "prior_type", "pixelcnn")), {
+                    "epoch": epoch,
+                    "model_state_dict": {"params": best_params},
+                    "loss": best_loss,
+                    "prior_args": prior_args_echo(args)})
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
         sample_every = getattr(args, "prior_sample_every", 0) or 0
-        if sample_every and (epoch % sample_every == 0 or epoch == epochs):
+        if (is_main and sample_every
+                and (epoch % sample_every == 0 or epoch == epochs)):
             # periodic sample grid through the current prior (reference
             # train_prior_vqvae.py --sample_every)
             try:
@@ -209,10 +225,11 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
             except Exception as e:  # pragma: no cover
                 print(f"prior sample figure failed: {e}")
 
-    ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
-        save_root, getattr(args, "prior_type", "pixelcnn")), {
-        "epoch": epochs,
-        "model_state_dict": {"params": jax.device_get(params)},
-        "loss": meter.avg, "prior_args": prior_args_echo(args)})
+    if is_main:
+        ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
+            save_root, getattr(args, "prior_type", "pixelcnn")), {
+            "epoch": epochs,
+            "model_state_dict": {"params": jax.device_get(params)},
+            "loss": meter.avg, "prior_args": prior_args_echo(args)})
     return {"model": prior, "params": best_params,
             "hierarchical": hierarchical}

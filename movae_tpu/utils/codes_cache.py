@@ -24,6 +24,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from movae_tpu.data import native
+
 
 def cache_key(arch: str, dataset: str, num_embeddings: int,
               input_size: int) -> str:
@@ -118,31 +120,44 @@ def get_or_extract_codes(
 
 
 class CodeLoader:
-    """Static-shape batch iterator over cached codes."""
+    """Static-shape batch iterator over cached codes.
+
+    ``epoch_len`` (multi-host): force every host to yield
+    ``ceil(epoch_len / batch_size)`` batches regardless of its local shard
+    size — per-host shards can differ by a few samples, and a host running
+    extra steps into cross-host collectives would deadlock the others. The
+    extra rows wrap over the local shard."""
 
     def __init__(self, levels: Dict[str, np.ndarray], batch_size: int,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 epoch_len: Optional[int] = None):
         self.levels = levels
         self.n = next(iter(levels.values())).shape[0]
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.epoch_len = max(epoch_len, self.n) if epoch_len else None
 
     def __len__(self):
-        return (self.n + self.batch_size - 1) // self.batch_size
+        n_eff = self.epoch_len or self.n
+        return (n_eff + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         rng = np.random.default_rng((self.seed, self.epoch))
         order = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        if self.epoch_len and self.epoch_len > self.n:
+            order = np.resize(order, self.epoch_len)
         self.epoch += 1
         bs = self.batch_size
-        for start in range(0, self.n, bs):
+        for start in range(0, len(order), bs):
             idx = order[start:start + bs]
             n_valid = len(idx)
             if n_valid < bs:
                 # np.resize wraps cyclically, so datasets smaller than the
                 # pad still fill the static shape
                 idx = np.concatenate([idx, np.resize(order, bs - n_valid)])
-            yield ({k: np.asarray(v[idx]) for k, v in self.levels.items()},
-                   n_valid)
+            # threaded native gather for int32 archives (reads straight
+            # from the memory-mapped code store; numpy fallback inside)
+            yield ({k: native.gather_codes(v, idx)
+                    for k, v in self.levels.items()}, n_valid)

@@ -136,15 +136,16 @@ void assemble_batch_u8_raw(const uint8_t* images, const int64_t* idx,
   });
 }
 
-// Gather rows of an int32 code archive (prior training batches).
+// Gather rows of an int32 code archive (prior training batches) — rows may
+// page-fault in from a memory-mapped store, so spread them across threads.
 //   codes : (N, H, W) int32; idx : (B,) int64; out : (B, H, W) int32
 void gather_codes_i32(const int32_t* codes, const int64_t* idx, int32_t* out,
                       int64_t batch, int64_t elems_per_sample) {
-  for (int64_t b = 0; b < batch; ++b) {
+  parallel_rows(batch, [=](int64_t b) {
     std::memcpy(out + b * elems_per_sample,
                 codes + idx[b] * elems_per_sample,
                 sizeof(int32_t) * elems_per_sample);
-  }
+  });
 }
 
 // Cap the worker-thread count (0 = hardware_concurrency). Exposed so the
@@ -152,6 +153,6 @@ void gather_codes_i32(const int32_t* codes, const int64_t* idx, int32_t* out,
 // DataLoader num_workers sweep (reference benchmark_workers.py:14-165).
 void set_num_threads(int n) { g_max_threads = n < 0 ? 0 : n; }
 
-int batch_ops_version() { return 3; }
+int batch_ops_version() { return 4; }
 
 }  // extern "C"

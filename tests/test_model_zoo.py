@@ -143,8 +143,10 @@ def test_reference_objective_orders_and_defaults():
 
     - GGVQVAE (gg_vq_vae.py:63-89): recon, embedding, commitment,
       gradient_guided[, edge_matching]; defaults {1, 1, 0.25, 1[, 1]}.
-    - VQVAE2 (vq_vae2.py:141-152): recon, commitment, embedding — ALL ones
-      (unlike VQVAE's commitment 0.25).
+    - VQVAE2: the reference REGISTRY default (models/__init__.py vq_vae2
+      branch) is {recon 1.0, commitment 1.0, embedding 0.25} — every
+      reference run goes through the registry, so its default wins over
+      the VQVAE2 class's all-ones fallback.
     """
     m = get_network(SIZE, 3, dict(BASE, arch="gg_vq_vae"))
     assert m.objective_names == ("reconstruction_loss", "embedding_loss",
@@ -170,7 +172,14 @@ def test_reference_objective_orders_and_defaults():
                                  "embedding_loss")
     assert dict(m.lambda_weights) == {
         "reconstruction_loss": 1.0, "commitment_loss": 1.0,
-        "embedding_loss": 1.0}
+        "embedding_loss": 0.25}
+
+    # gg_vae: a positional list keeps the user's KL weight (the reference
+    # overrides the KL slot only for dict input on this arch)
+    m = get_network(SIZE, 3, dict(BASE, arch="gg_vae", batch_size=8,
+                                  dataset_size=80,
+                                  loss_weights=[1.0, 0.01, 1.0, 1.0]))
+    assert dict(m.lambda_weights)["kld_loss"] == pytest.approx(0.01)
 
 
 def test_hidden_dims_passthrough():
