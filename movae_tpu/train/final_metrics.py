@@ -50,22 +50,21 @@ def collect_recons(model, state, loader, rng, max_samples: int):
 def evaluate_recon_metrics(model, state, loader, rng,
                            max_samples: int = 10000) -> Dict[str, float]:
     """rFID / PSNR / SSIM / LPIPS over test reconstructions
-    (main.py:376-463). Pixel metrics run in batches of 128 like the
-    reference (main.py:335 batch_size_metric): a single call over 10k
-    256px images would materialize tens of GB of SSIM intermediates."""
+    (main.py:376-463). Pixel metrics run in batches of 128 with an
+    UNWEIGHTED mean over per-batch values, exactly like the reference
+    (_compute_recon_metrics_from_tensors, main.py:335-367) — a single call
+    over 10k 256px images would materialize tens of GB of SSIM
+    intermediates."""
     real, rec, rng = collect_recons(model, state, loader, rng, max_samples)
     out: Dict[str, float] = {}
     bs = 128
     psnr_vals, ssim_vals = [], []
     for i in range(0, len(real), bs):
         a, b = jnp.asarray(real[i:i + bs]), jnp.asarray(rec[i:i + bs])
-        psnr_vals.append((float(pixel_lib.psnr(a, b)), len(a)))
-        ssim_vals.append((float(pixel_lib.ssim(a, b)), len(a)))
-    wavg = lambda vs: (float(np.average([v for v, _ in vs],  # noqa: E731
-                                        weights=[n for _, n in vs]))
-                       if vs else float("nan"))
-    out["psnr"] = wavg(psnr_vals)
-    out["ssim"] = wavg(ssim_vals)
+        psnr_vals.append(float(pixel_lib.psnr(a, b)))
+        ssim_vals.append(float(pixel_lib.ssim(a, b)))
+    out["psnr"] = float(np.mean(psnr_vals)) if psnr_vals else float("nan")
+    out["ssim"] = float(np.mean(ssim_vals)) if ssim_vals else float("nan")
     try:
         lpips_fn = make_lpips_fn()
         vals = []

@@ -78,6 +78,21 @@ def aggregator_config_from_args(args, num_objectives: int) -> AggregatorConfig:
     )
 
 
+def _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb):
+    """Drop the loader's wrap padding from a tail batch, keeping the
+    smallest multiple of the data-axis size covering the valid rows (exact
+    on one data shard, at most nd-1 duplicates otherwise; one extra jit
+    specialization for the tail shape). Every process computes the same
+    global shape, so multi-host global-batch assembly stays consistent.
+    Returns (possibly shortened imgs, global_valid_rows)."""
+    gv = n_valid if pc == 1 else max(1, min(gb, n_ds - i * gb))
+    if gv < len(imgs) * pc:
+        keep_g = ((gv + nd - 1) // nd) * nd
+        if keep_g % pc == 0 and 0 < keep_g // pc <= len(imgs):
+            imgs = imgs[: keep_g // pc]
+    return imgs, gv
+
+
 def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 objective_names, log_every: int = 1,
                 timer: Optional[StepTimer] = None):
@@ -140,13 +155,8 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     for i, (imgs, _labels, n_valid) in enumerate(loader):
         # drop the wrap padding from the tail batch before it contributes
         # duplicate-image gradients (the reference trains the ragged last
-        # torch batch exactly, main.py:125-235); same global-shape trim as
-        # evaluate() below — one extra jit specialization for the tail
-        gv = n_valid if pc == 1 else max(1, min(gb, n_ds - i * gb))
-        if gv < len(imgs) * pc:
-            keep_g = ((gv + nd - 1) // nd) * nd
-            if keep_g % pc == 0 and 0 < keep_g // pc <= len(imgs):
-                imgs = imgs[: keep_g // pc]
+        # torch batch exactly, main.py:125-235)
+        imgs, _gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
@@ -192,22 +202,9 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names):
     gb = loader.batch_size * loader.process_count
     pending = None  # one-step-delayed host fetch (overlaps device compute)
     for i, (imgs, _labels, n_valid) in enumerate(loader):
-        # global valid rows this batch: per-process n_valid multi-host (all
-        # processes walk the same seeded order, so the tail count is shared
-        # knowledge even though each sees only its interleaved slice)
-        gv = n_valid if pc == 1 else max(1, min(gb, n_ds - i * gb))
-        if gv < len(imgs) * pc:
-            # drop the loader's wrap padding from the tail batch before it
-            # contaminates the batch-mean losses: keep the smallest multiple
-            # of the data-axis size covering the valid rows (exact on one
-            # data shard, at most nd-1 duplicates otherwise; one extra jit
-            # specialization for the tail shape). The reference evaluates
-            # the ragged last torch batch exactly (main.py:238-332). Every
-            # process trims to the same global shape, so the multi-host
-            # global-batch assembly stays consistent.
-            keep_g = ((gv + nd - 1) // nd) * nd
-            if keep_g % pc == 0 and 0 < keep_g // pc <= len(imgs):
-                imgs = imgs[: keep_g // pc]
+        # exact ragged-tail evaluation (reference main.py:238-332): shared
+        # trim logic with train_epoch
+        imgs, gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
         metrics, extras, _ = eval_fn(state.params, state.batch_stats, batch,
@@ -390,11 +387,14 @@ def run_training(args) -> Dict[str, Any]:
             pt = np.array([[meters[k].avg for k in model.objective_names]])
             log_dict["train/hv"] = hv_indicator(pt)
 
-        if is_main and (epoch % getattr(args, "save_freq", 10) == 0
-                        or epoch == args.epochs):
+        if (epoch % getattr(args, "save_freq", 10) == 0
+                or epoch == args.epochs):
+            # every process runs the figure forwards (the model params live
+            # on the global mesh — a lone process entering that computation
+            # would hang the others); only process 0 writes files
             _write_figures(model, state, test_loader, rng, save_root, epoch,
                            num_vis, normalize, logger, step,
-                           train_ds=train_ds)
+                           train_ds=train_ds, save=is_main)
 
         if epoch % getattr(args, "eval_freq", 1) == 0:
             eval_meters, rng = evaluate(eval_fn, state, eval_loader,
@@ -473,19 +473,23 @@ def run_training(args) -> Dict[str, Any]:
 
 
 def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
-                   normalized, logger, step, train_ds=None):
+                   normalized, logger, step, train_ds=None, save=True):
     """Per-epoch sample + reconstruction figures, filenames as in the
     reference (main.py:1331-1366: epoch_NNNN_random_samples.pdf plus
-    test/train reconstruction panels)."""
+    test/train reconstruction panels). ``save=False`` (non-main processes)
+    runs the forwards — identical inputs on every process keep the
+    global-mesh computation in lockstep — but skips file/logger IO."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     try:
         samples = model.apply(variables, num_vis, method="sample",
                               rngs={"sample": rng})
-        png = fig_lib.save_sample_grid(
-            np.asarray(jax.device_get(samples)),
-            os.path.join(save_root, "figures", "generated",
-                         f"epoch_{epoch:04d}_random_samples.pdf"), normalized)
-        logger.log_image("samples/generated", png, step=step)
+        if save:
+            png = fig_lib.save_sample_grid(
+                np.asarray(jax.device_get(samples)),
+                os.path.join(save_root, "figures", "generated",
+                             f"epoch_{epoch:04d}_random_samples.pdf"),
+                normalized)
+            logger.log_image("samples/generated", png, step=step)
     except Exception as e:  # pragma: no cover
         print(f"figure generation failed: {e}")
 
@@ -493,6 +497,8 @@ def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
         x = jnp.asarray(x_np[:num_vis])
         out = model.apply(variables, x, train=False,
                           rngs={"sample": rng, "dropout": rng})
+        if not save:
+            return
         png = fig_lib.save_reconstruction_panel(
             np.asarray(x), np.asarray(jax.device_get(out["recons"])),
             os.path.join(save_root, "figures", "reconstructed",

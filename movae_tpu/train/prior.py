@@ -118,12 +118,14 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         force_extract=getattr(args, "prior_force_extract_codes", False),
         use_cache=getattr(args, "prior_use_lmdb_codes", True))
     pc = jax.process_count()
-    # multi-host: per-host code shards can differ by a few samples; force an
-    # identical per-host step count so the cross-host grad psum never
-    # deadlocks on a host that ran one extra batch
+    # multi-host: args.batch_size is the GLOBAL batch (as in run_training) —
+    # each host loads its 1/pc slice; per-host code shards can differ by a
+    # few samples, so force an identical per-host step count too, or the
+    # cross-host grad psum deadlocks on a host that ran one extra batch
+    local_bs = batch_size // pc if pc > 1 else batch_size
     epoch_len = (-(-int(getattr(args, "dataset_size", 0) or 0) // pc)
                  if pc > 1 else None)
-    loader = CodeLoader(levels, batch_size, shuffle=True,
+    loader = CodeLoader(levels, local_bs, shuffle=True,
                         seed=getattr(args, "seed", 0) or 0,
                         epoch_len=epoch_len)
 
@@ -205,10 +207,12 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
         sample_every = getattr(args, "prior_sample_every", 0) or 0
-        if (is_main and sample_every
-                and (epoch % sample_every == 0 or epoch == epochs)):
+        if sample_every and (epoch % sample_every == 0 or epoch == epochs):
             # periodic sample grid through the current prior (reference
-            # train_prior_vqvae.py --sample_every)
+            # train_prior_vqvae.py --sample_every). EVERY process runs the
+            # generation — the VQ decode goes through global-mesh params,
+            # and a lone process entering that computation would hang the
+            # others — but only process 0 writes the figure.
             try:
                 from movae_tpu.train import figures as fig_lib
                 from movae_tpu.train.final_metrics import generate_samples
@@ -218,10 +222,11 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
                 n = min(getattr(args, "num_samples", 16), 16)
                 imgs = generate_samples(model, state, args, cur, rng, n,
                                         batch=n)
-                fig_lib.save_sample_grid(imgs, os.path.join(
-                    save_root, "figures", "generated",
-                    f"prior_epoch_{epoch:04d}.pdf"),
-                    getattr(args, "normalize_inputs", False))
+                if is_main:
+                    fig_lib.save_sample_grid(imgs, os.path.join(
+                        save_root, "figures", "generated",
+                        f"prior_epoch_{epoch:04d}.pdf"),
+                        getattr(args, "normalize_inputs", False))
             except Exception as e:  # pragma: no cover
                 print(f"prior sample figure failed: {e}")
 

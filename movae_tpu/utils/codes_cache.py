@@ -152,11 +152,14 @@ class CodeLoader:
         bs = self.batch_size
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
-            n_valid = len(idx)
-            if n_valid < bs:
+            # rows past the local shard size are epoch_len wrap duplicates:
+            # report only genuinely-new rows as valid so loss meters don't
+            # double-weight them
+            n_valid = int(np.clip(self.n - start, 0, len(idx)))
+            if len(idx) < bs:
                 # np.resize wraps cyclically, so datasets smaller than the
                 # pad still fill the static shape
-                idx = np.concatenate([idx, np.resize(order, bs - n_valid)])
+                idx = np.concatenate([idx, np.resize(order, bs - len(idx))])
             # threaded native gather for int32 archives (reads straight
             # from the memory-mapped code store; numpy fallback inside)
             yield ({k: native.gather_codes(v, idx)

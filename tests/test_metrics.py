@@ -238,24 +238,21 @@ def test_merge_pretrained_strict():
 
 
 def test_batched_pixel_metrics_match_full_set():
-    """evaluate_recon_metrics batches PSNR/SSIM in chunks of 128 with
-    valid-count weighting; per-image-mean metrics must make the batched
-    weighted average equal the single-call value."""
+    """evaluate_recon_metrics batches PSNR/SSIM in chunks with an
+    UNWEIGHTED mean over per-batch values (reference
+    _compute_recon_metrics_from_tensors, main.py:335-367); for equal-size
+    chunks that equals the single-call value for per-image-mean metrics."""
     import jax.numpy as jnp
     from movae_tpu.metrics import pixel
 
     rng = np.random.default_rng(0)
-    a = rng.uniform(0, 1, (10, 16, 16, 3)).astype(np.float32)
+    a = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
     b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
     for fn in (pixel.psnr, pixel.ssim):
         full = float(fn(jnp.asarray(a), jnp.asarray(b)))
-        vals, ws = [], []
-        for i in range(0, 10, 4):  # ragged batches: 4, 4, 2
-            vals.append(float(fn(jnp.asarray(a[i:i + 4]),
-                                 jnp.asarray(b[i:i + 4]))))
-            ws.append(len(a[i:i + 4]))
-        batched = float(np.average(vals, weights=ws))
-        assert abs(full - batched) < 1e-4, (fn.__name__, full, batched)
+        vals = [float(fn(jnp.asarray(a[i:i + 4]), jnp.asarray(b[i:i + 4])))
+                for i in range(0, 8, 4)]
+        assert abs(full - float(np.mean(vals))) < 1e-4, (fn.__name__,)
 
 
 def test_hv_ref_fallbacks_match_reference():
