@@ -207,15 +207,19 @@ def main(args):
 
             try:
                 n = getattr(args, "num_vis_samples", 4)
+                # every process runs the generation (global-mesh VQ decode);
+                # only process 0 writes the figure
                 imgs = generate_samples(
                     results["model"], results["state"], args, prior,
                     jax.random.PRNGKey((args.seed or 0) + 2), n, batch=n)
-                png = fig_lib.save_sample_grid(
-                    np.asarray(imgs),
-                    os.path.join(results["save_root"], "figures", "generated",
-                                 "final_random_samples_with_prior.pdf"),
-                    results["normalize"])
-                logger.log_image("samples/final_with_prior", png)
+                if jax.process_index() == 0:
+                    png = fig_lib.save_sample_grid(
+                        np.asarray(imgs),
+                        os.path.join(results["save_root"], "figures",
+                                     "generated",
+                                     "final_random_samples_with_prior.pdf"),
+                        results["normalize"])
+                    logger.log_image("samples/final_with_prior", png)
             except Exception as e:  # pragma: no cover
                 print(f"final prior sample figure failed: {e}")
 

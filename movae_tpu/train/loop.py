@@ -507,7 +507,10 @@ def _write_figures(model, state, test_loader, rng, save_root, epoch, num_vis,
         logger.log_image(f"samples/reconstructed_{split}", png, step=step)
 
     try:
-        imgs, _, _ = next(iter(test_loader))
+        # fetch only the rows the panel uses (a full test batch of 256px
+        # floats costs ~100s of MB of host assembly per process per epoch)
+        test_ds = test_loader.dataset
+        imgs, _ = test_ds.get_batch(np.arange(min(num_vis, len(test_ds))))
         recon_panel(imgs, "test")
     except Exception as e:  # pragma: no cover
         print(f"test reconstruction figure failed: {e}")

@@ -179,16 +179,25 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     best_params = params
     meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
     meter.update(float("nan"))  # writes a (loss-less) final checkpoint
+    n_global = int(getattr(args, "dataset_size", 0) or 0)
     for epoch in range(1, epochs + 1):
         meter = AverageMeter()
         pending = None  # one-step-delayed host fetch (overlaps compute)
-        for batch_np, n_valid in loader:
+        for bi, (batch_np, n_valid) in enumerate(loader):
             batch = {k: parallel.shard_batch(v) for k, v in batch_np.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, out = step(params, opt_state, batch, sub)
+            if pc > 1 and n_global:
+                # host-INVARIANT weight from the global counts: per-host
+                # n_valid differs with shard sizes, which would make
+                # meter.avg (and the best-checkpoint choice) diverge
+                # across hosts even though the psum'd loss is identical
+                w = max(1, min(batch_size, n_global - bi * batch_size)) / pc
+            else:
+                w = n_valid
             if pending is not None:
                 meter.update(float(pending[0]["total_loss"]), n=pending[1])
-            pending = (out, n_valid)
+            pending = (out, w)
         if pending is not None:
             meter.update(float(pending[0]["total_loss"]), n=pending[1])
         if logger is not None and logger.active:

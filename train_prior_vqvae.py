@@ -215,8 +215,14 @@ def main():
     merged = merge_cli_over_saved(vq_args, a, explicit_cli_args(parser))
     results = {
         "model": model, "state": state, "save_root": save_root,
-        "train_loader": Loader(train_ds, merged.batch_size, shuffle=True,
-                               seed=merged.seed),
+        # process-sharded like run_training: each host extracts its 1/pc
+        # code shard (train_prior treats batch_size as the global batch)
+        "train_loader": Loader(
+            train_ds,
+            merged.batch_size // max(jax.process_count(), 1),
+            shuffle=True, seed=merged.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count()),
         # log under the prior's own directory so the original training
         # run's wandb_local/config.json + summary.json stay intact
         "logger": ExperimentLogger(a.use_wandb,

@@ -61,8 +61,13 @@ def main():
                                   explicit_cli_args(parser))
     results = {
         "model": model, "state": state, "save_root": save_root,
-        "train_loader": Loader(train_ds, merged.batch_size, shuffle=True,
-                               seed=merged.seed),
+        # process-sharded like run_training (see train_prior_vqvae.py)
+        "train_loader": Loader(
+            train_ds,
+            merged.batch_size // max(jax.process_count(), 1),
+            shuffle=True, seed=merged.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count()),
         # log under the prior's own directory so the original training
         # run's wandb_local/config.json + summary.json stay intact
         "logger": ExperimentLogger(a.use_wandb,
