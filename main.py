@@ -63,8 +63,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--hidden_dims", type=int, nargs="+",
                         default=[32, 64, 128, 256, 512])
     parser.add_argument("--num_residual_layers", type=int, default=2)
-    parser.add_argument("--recons_objective", type=str, default="mse",
+    # default None (not "mse") so old-style --recons_dist configs can map
+    # through get_network's back-compat path (reference
+    # models/__init__.py:25-38); unset resolves to mse there.
+    parser.add_argument("--recons_objective", type=str, default=None,
                         choices=["mse", "bce", "l1", "smooth_l1", "perceptual"])
+    parser.add_argument("--recons_dist", type=str, default="gaussian",
+                        choices=["gaussian", "bernoulli", "laplacian"])
+    parser.add_argument("--recons_reduction", type=str, default="mean")
     parser.add_argument("--recons_activation", type=str, default=None,
                         choices=["tanh", "sigmoid", "none"])
     parser.add_argument("--loss_weights", type=str, nargs="*", default=None,
@@ -175,6 +181,11 @@ def parse_args(argv=None):
     args.loss_weights = parse_json_or_list(args.loss_weights)
     args.pref_weights = parse_json_or_list(args.pref_weights)
     args.hv_ref = parse_json_or_list(args.hv_ref)
+    if args.recons_objective is None:
+        # back-compat: recons_dist (+ unused recons_reduction) implies the
+        # objective (reference models/__init__.py:25-38); unset -> mse
+        args.recons_objective = {"bernoulli": "bce", "laplacian": "l1"}.get(
+            args.recons_dist, "mse")
     if args.seed is not None:
         set_seed(args.seed)
     return args

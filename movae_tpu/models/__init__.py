@@ -75,7 +75,16 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     num_residual_layers = _get(args, "num_residual_layers", 2)
     layer_norm = _get(args, "layer_norm", "batch")
     recons_objective = (_get(args, "recons_objective", None)
-                        or _get(args, "recons_obj", None) or "mse").lower()
+                        or _get(args, "recons_obj", None))
+    if recons_objective is None:
+        # Back-compat: old configs/checkpoints carry recons_dist (+ the
+        # unused-there recons_reduction) instead of recons_objective
+        # (reference models/__init__.py:25-38: bernoulli->bce,
+        # gaussian->mse, laplacian->l1, unknown->mse).
+        recons_objective = {"bernoulli": "bce", "gaussian": "mse",
+                            "laplacian": "l1"}.get(
+            _get(args, "recons_dist", "gaussian"), "mse")
+    recons_objective = recons_objective.lower()
     recons_activation = _get(args, "recons_activation", None)
     lambda_weights = (_get(args, "loss_weights", None)
                       or _get(args, "lambda_weights", None))

@@ -190,3 +190,42 @@ def test_hidden_dims_passthrough():
                                 hidden_dims=(32, 64, 128, 256, 512)))
     assert tuple(m.hidden_dims) == (32, 64, 128, 256, 512)
     assert m.latent_spatial_dim == 64 // 2 ** 5
+
+
+def test_recons_dist_backcompat_mapping():
+    """Old-style recons_dist(+recons_reduction) configs resolve to the
+    mapped objective when recons_objective is unset (reference
+    models/__init__.py:25-38)."""
+    base = {k: v for k, v in BASE.items() if k != "recons_objective"}
+    for dist, reduction, expect in [("bernoulli", "mean", "bce"),
+                                    ("bernoulli", "sum", "bce"),
+                                    ("gaussian", "mean", "mse"),
+                                    ("gaussian", "sum", "mse"),
+                                    ("laplacian", "mean", "l1"),
+                                    ("laplacian", "sum", "l1"),
+                                    ("weibull", "mean", "mse")]:
+        m = get_network(SIZE, 3, dict(base, arch="vae", recons_dist=dist,
+                                      recons_reduction=reduction))
+        assert m.recons_objective == expect, (dist, reduction)
+    # explicit recons_objective always wins over recons_dist
+    m = get_network(SIZE, 3, dict(base, arch="vae", recons_objective="l1",
+                                  recons_dist="bernoulli"))
+    assert m.recons_objective == "l1"
+    # unset everything -> mse
+    m = get_network(SIZE, 3, dict(base, arch="vae"))
+    assert m.recons_objective == "mse"
+
+
+def test_recons_dist_backcompat_cli():
+    """main.py accepts --recons_dist and resolves args.recons_objective at
+    parse time (so loop-level consumers see a concrete objective)."""
+    import main as main_cli
+    args = main_cli.parse_args(["--recons_dist", "bernoulli"])
+    assert args.recons_objective == "bce"
+    args = main_cli.parse_args(["--recons_dist", "laplacian"])
+    assert args.recons_objective == "l1"
+    args = main_cli.parse_args([])
+    assert args.recons_objective == "mse"
+    args = main_cli.parse_args(["--recons_dist", "bernoulli",
+                                "--recons_objective", "mse"])
+    assert args.recons_objective == "mse"
