@@ -298,19 +298,30 @@ class HierarchicalPixelCNN(nn.Module):
     num_layers: int = 15
     dtype: Any = jnp.float32
 
+    @nn.nowrap
+    def make_top_module(self) -> "PixelCNN":
+        """Unbound twin of ``prior_top`` — the single config source for
+        both setup() and the standalone samplers (sample_hierarchical)."""
+        return PixelCNN(self.num_embeddings, self.embedding_dim,
+                        self.hidden_channels, self.num_layers,
+                        dtype=self.dtype)
+
+    @nn.nowrap
+    def make_bottom_module(self) -> "PixelCNN":
+        """Unbound twin of ``prior_bottom``."""
+        return PixelCNN(self.num_embeddings, self.embedding_dim,
+                        self.hidden_channels, self.num_layers,
+                        conditional_channels=self.embedding_dim,
+                        dtype=self.dtype)
+
     def setup(self):
-        self.prior_top = PixelCNN(self.num_embeddings, self.embedding_dim,
-                                  self.hidden_channels, self.num_layers,
-                                  dtype=self.dtype, name="prior_top")
+        self.prior_top = self.make_top_module()
         self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
                                       name="embedding_top")
         self.upsample_top = nn.ConvTranspose(
             self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
             dtype=self.dtype, name="upsample_top")
-        self.prior_bottom = PixelCNN(
-            self.num_embeddings, self.embedding_dim, self.hidden_channels,
-            self.num_layers, conditional_channels=self.embedding_dim,
-            dtype=self.dtype, name="prior_bottom")
+        self.prior_bottom = self.make_bottom_module()
 
     def condition_from_top(self, z_top: Array) -> Array:
         return self.upsample_top(self.embedding_top(z_top))
@@ -347,21 +358,31 @@ class HierarchicalPixelSNAIL(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
 
-    def setup(self):
-        self.prior_top = PixelSNAIL(
+    @nn.nowrap
+    def make_top_module(self) -> "PixelSNAIL":
+        """Unbound twin of ``prior_top`` — the single config source for
+        both setup() and the standalone samplers (sample_hierarchical)."""
+        return PixelSNAIL(
             self.num_embeddings, self.embedding_dim, self.hidden_channels,
             self.num_blocks_top, self.num_res_blocks_per_layer,
-            self.num_heads, dropout=self.dropout, dtype=self.dtype,
-            name="prior_top")
+            self.num_heads, dropout=self.dropout, dtype=self.dtype)
+
+    @nn.nowrap
+    def make_bottom_module(self) -> "PixelCNN":
+        """Unbound twin of ``prior_bottom``."""
+        return PixelCNN(
+            self.num_embeddings, self.embedding_dim, self.hidden_channels,
+            self.num_layers_bottom, conditional_channels=self.embedding_dim,
+            dtype=self.dtype)
+
+    def setup(self):
+        self.prior_top = self.make_top_module()
         self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
                                       name="embedding_top")
         self.upsample_top = nn.ConvTranspose(
             self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
             dtype=self.dtype, name="upsample_top")
-        self.prior_bottom = PixelCNN(
-            self.num_embeddings, self.embedding_dim, self.hidden_channels,
-            self.num_layers_bottom, conditional_channels=self.embedding_dim,
-            dtype=self.dtype, name="prior_bottom")
+        self.prior_bottom = self.make_bottom_module()
 
     def condition_from_top(self, z_top: Array) -> Array:
         return self.upsample_top(self.embedding_top(z_top))
@@ -711,27 +732,17 @@ def sample_hierarchical(model, params, rng, batch_size: int,
                         fast: bool = True) -> Tuple[Array, Array]:
     """Sample z_top then z_bottom | z_top (pixelcnn_prior.py:410-416)."""
     rng_t, rng_b = jax.random.split(rng)
-    # module clones bound to the sub-param trees
-    if isinstance(model, HierarchicalPixelSNAIL):
-        top = PixelSNAIL(model.num_embeddings, model.embedding_dim,
-                         model.hidden_channels, model.num_blocks_top,
-                         model.num_res_blocks_per_layer, model.num_heads,
-                         dropout=model.dropout, dtype=model.dtype)
-    else:
-        top = PixelCNN(model.num_embeddings, model.embedding_dim,
-                       model.hidden_channels, model.num_layers,
-                       dtype=model.dtype)
+    # sampler modules come from the hierarchical module's own factories —
+    # the same definitions setup() binds — so non-default sub-module
+    # configs (num_layers_bottom, num_blocks_top, ...) can never drift
+    # from the parameters being sampled
+    top = model.make_top_module()
     z_top = sample_prior(top, params["prior_top"], rng_t, batch_size,
                          top_shape[0], top_shape[1], temperature=temperature,
                          fast=fast)
     cond = model.apply({"params": params}, z_top,
                        method="condition_from_top")
-    bottom = PixelCNN(model.num_embeddings, model.embedding_dim,
-                      model.hidden_channels,
-                      getattr(model, "num_layers",
-                              getattr(model, "num_layers_bottom", 15)),
-                      conditional_channels=model.embedding_dim,
-                      dtype=model.dtype)
+    bottom = model.make_bottom_module()
     z_bottom = sample_prior(bottom, params["prior_bottom"], rng_b, batch_size,
                             bottom_shape[0], bottom_shape[1], condition=cond,
                             temperature=temperature, fast=fast)
