@@ -29,6 +29,12 @@ from flax import linen as nn
 
 Array = jax.Array
 
+# Longest raster sequence for which attention uses the dense L x L matrix
+# (and with it the reference's attention-WEIGHT dropout semantics,
+# pixelcnn_prior.py:126-127); beyond it the flash/blockwise path applies
+# dropout to the attention OUTPUT instead. Shared with warn_long_seq_dropout.
+DENSE_ATTENTION_MAX_L = 1024
+
 
 def make_conv_mask(kh: int, kw: int, cin: int, cout: int,
                    mask_type: str) -> np.ndarray:
@@ -125,7 +131,7 @@ class CausalAttention(nn.Module):
         q, k, v = split(self.q_proj(xf)), split(self.k_proj(xf)), split(
             self.v_proj(xf))
         sm_scale = 1.0 / float(hd) ** 0.5
-        if self.dropout > 0.0 and train and L <= 1024:
+        if self.dropout > 0.0 and train and L <= DENSE_ATTENTION_MAX_L:
             # reference semantics: dropout on attention weights
             # (pixelcnn_prior.py:126-127) — requires the dense L x L matrix,
             # so it is restricted to short sequences where dense is the
@@ -708,6 +714,24 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
     samples, _, _, _, _, _ = jax.lax.fori_loop(
         0, L, body, (samples0, in_cache0, c1_cache0, k_cache0, v_cache0, rng))
     return samples
+
+
+def warn_long_seq_dropout(model, h: int, w: int) -> None:
+    """One-time construction-site notice when a PixelSNAIL-family prior will
+    train with dropout>0 on a grid whose raster length exceeds the dense
+    attention threshold: the reference regularizes the attention WEIGHTS
+    (pixelcnn_prior.py:126-127), while the flash path regularizes the
+    attention OUTPUT — users comparing val-CE against reference runs should
+    know the semantics changed (ADVICE r1)."""
+    L = h * w
+    dropout = float(getattr(model, "dropout", 0.0) or 0.0)
+    has_attention = isinstance(model, (PixelSNAIL, HierarchicalPixelSNAIL))
+    if has_attention and dropout > 0.0 and L > DENSE_ATTENTION_MAX_L:
+        print(f"Note: attention grid {h}x{w} (L={L}) exceeds the dense "
+              f"threshold ({DENSE_ATTENTION_MAX_L}); dropout={dropout} is "
+              "applied to the attention output (flash-compatible), not the "
+              "attention weights as in the reference (pixelcnn_prior.py:"
+              "126-127).")
 
 
 def sample_prior(model, params, rng, batch_size, height, width,

@@ -147,15 +147,23 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     pending = []
     n_images = 0
     nd = parallel.mesh.shape["data"]
-    pc = jax.process_count()
+    # tail math must follow the loader's OWN sharding (an unsharded loader
+    # under multi-host JAX would otherwise mis-weight the tail); training
+    # loaders are built process-sharded, assert the assumption
+    pc = loader.process_count
+    assert pc == jax.process_count(), (
+        f"train loader shards over {pc} processes but jax runs "
+        f"{jax.process_count()}")
     n_ds = len(loader.dataset)
     gb = loader.batch_size * loader.process_count
     if timer is not None:
         timer.start()
     for i, (imgs, _labels, n_valid) in enumerate(loader):
         # drop the wrap padding from the tail batch before it contributes
-        # duplicate-image gradients (the reference trains the ragged last
-        # torch batch exactly, main.py:125-235)
+        # duplicate-image gradients (matches the reference's ragged last
+        # torch batch, main.py:125-235, exactly when the data axis has one
+        # shard; with nd > 1 shards up to nd-1 wrap duplicates remain in
+        # the kept rows — see _trim_tail)
         imgs, _gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)
@@ -197,13 +205,17 @@ def evaluate(eval_fn, state, loader, parallel, rng, objective_names):
             union[k] = np.logical_or(union[k], m) if k in union else m
 
     nd = parallel.mesh.shape["data"]
-    pc = jax.process_count()
+    # follow the loader's own sharding: evaluate.py builds an unsharded
+    # loader (process_count=1), in which case the tail math is plain
+    # single-host regardless of jax.process_count()
+    pc = loader.process_count
     n_ds = len(loader.dataset)
     gb = loader.batch_size * loader.process_count
     pending = None  # one-step-delayed host fetch (overlaps device compute)
     for i, (imgs, _labels, n_valid) in enumerate(loader):
-        # exact ragged-tail evaluation (reference main.py:238-332): shared
-        # trim logic with train_epoch
+        # ragged-tail evaluation (reference main.py:238-332): shared trim
+        # logic with train_epoch — exact when nd == 1, at most nd-1
+        # duplicate rows inside the tail-batch mean otherwise
         imgs, gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
         batch = parallel.shard_batch(imgs)
         rng, sub = jax.random.split(rng)

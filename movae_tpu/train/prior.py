@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from movae_tpu.models.pixelcnn import (
@@ -22,6 +23,7 @@ from movae_tpu.models.pixelcnn import (
     HierarchicalPixelSNAIL,
     PixelCNN,
     PixelSNAIL,
+    warn_long_seq_dropout,
 )
 from movae_tpu.train import checkpoint as ckpt_lib
 from movae_tpu.utils import AverageMeter
@@ -123,13 +125,25 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     # few samples, so force an identical per-host step count too, or the
     # cross-host grad psum deadlocks on a host that ran one extra batch
     local_bs = batch_size // pc if pc > 1 else batch_size
-    epoch_len = (-(-int(getattr(args, "dataset_size", 0) or 0) // pc)
-                 if pc > 1 else None)
+    if pc > 1:
+        # lockstep per-host step count from the ACTUAL global code count (a
+        # cross-host sum of local shard lengths) — args.dataset_size can be
+        # a guessed echo on checkpoint-restored runs (load_vqvae
+        # need_data=False path) and must not drive collective cadence
+        from jax.experimental import multihost_utils
+        local_n = len(levels["top" if hierarchical else "codes"])
+        n_global = int(multihost_utils.process_allgather(
+            np.asarray(local_n, np.int64)).sum())
+        epoch_len = -(-n_global // pc)
+    else:
+        epoch_len = None
     loader = CodeLoader(levels, local_bs, shuffle=True,
                         seed=getattr(args, "seed", 0) or 0,
                         epoch_len=epoch_len)
 
     prior = build_prior(args, model.num_embeddings, hierarchical)
+    att_grid = levels["top" if hierarchical else "codes"]
+    warn_long_seq_dropout(prior, att_grid.shape[1], att_grid.shape[2])
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
     if hierarchical:
         zt = jnp.zeros((2,) + levels["top"].shape[1:], jnp.int32)

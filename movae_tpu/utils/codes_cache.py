@@ -22,6 +22,7 @@ import json
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from movae_tpu.data import native
@@ -95,7 +96,17 @@ def get_or_extract_codes(
     """
     key = cache_key(arch, dataset, num_embeddings, input_size)
     cache = CodeCache(os.path.join(save_root, "codes_cache", key))
-    if use_cache and cache.exists() and not force_extract:
+    hit = use_cache and cache.exists() and not force_extract
+    if jax.process_count() > 1:
+        # multi-host lockstep: caches are per-process, so a partial earlier
+        # run can leave some hosts with a cache and some without — if only
+        # the miss hosts ran the jitted global-mesh extraction sweep the
+        # job would deadlock on its collectives. All hosts extract unless
+        # EVERY host hits.
+        from jax.experimental import multihost_utils
+        hit = bool(np.all(multihost_utils.process_allgather(
+            np.asarray(hit))))
+    if hit:
         print(f"Loading cached VQ codes from {cache.root}")
         return cache.open(), True
 
