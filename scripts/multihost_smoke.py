@@ -1,0 +1,168 @@
+"""Two-process jax.distributed (DCN) smoke for the multi-host code paths.
+
+The reference framework is single-process (SURVEY.md §2.5); our multi-host
+support — Loader interleaved input sharding, global batch assembly via
+``jax.make_array_from_process_local_data``, process-0 IO gating, and the
+codes-cache hit/miss lockstep — is logic-implemented but this environment
+has no multi-host hardware.  This smoke ACTUALLY runs it: the launcher
+spawns two worker processes on localhost (CPU backend, 4 virtual devices
+each, gloo collectives) that form one 8-device global mesh and exercise:
+
+  1. sharded Loader -> global batch assembly (shape + content check),
+  2. a jitted multi-objective (upgrad) train step over the global mesh,
+     two steps, losses finite and bitwise-identical across hosts,
+  3. process-0 IO gating (only host 0 writes),
+  4. get_or_extract_codes lockstep when only ONE host has a warm cache
+     (the ADVICE-r1 partial-cache deadlock scenario): all hosts must
+     agree to extract, and both must return identical code sets.
+
+Run: python scripts/multihost_smoke.py            (launcher)
+Exit code 0 = all workers passed.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEVICES_PER_PROC = 4
+NUM_PROCS = 2
+
+
+def launcher() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    workdir = tempfile.mkdtemp(prefix="movae_mh_smoke_")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # axon sitecustomize TPU pin
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(
+        f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # the worker runs by absolute script path, so sys.path gets scripts/,
+    # not the repo root — put the package on PYTHONPATH explicitly
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(pid), str(port), workdir],
+            cwd=REPO, env=env)
+        for pid in range(NUM_PROCS)
+    ]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    print("multihost smoke:", "PASS" if rc == 0 else f"FAIL (rc={rc})")
+    return rc
+
+
+def worker(pid: int, port: int, workdir: str) -> None:
+    import jax
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=NUM_PROCS, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from movae_tpu.data import Loader, get_dataset
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.moo import AggregatorConfig, init_state
+    from movae_tpu.parallel.mesh import DataParallel
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
+    from movae_tpu.train.state import TrainState
+    from movae_tpu.train.step import make_train_step
+
+    assert jax.process_count() == NUM_PROCS
+    assert jax.device_count() == NUM_PROCS * DEVICES_PER_PROC
+    parallel = DataParallel()
+    tag = f"[p{pid}]"
+
+    # -- 1. sharded input pipeline -> global batch assembly ----------------
+    train_ds, _test_ds, input_size = get_dataset("synthetic-16-64", None,
+                                                 False)
+    local_bs = 8  # global batch 16 over 8 devices
+    loader = Loader(train_ds, local_bs, shuffle=True, seed=3,
+                    process_index=pid, process_count=NUM_PROCS)
+    imgs, _labels, n_valid = next(iter(loader))
+    batch = parallel.shard_batch(imgs)
+    assert batch.shape[0] == local_bs * NUM_PROCS, batch.shape
+    # global content equals the union of the interleaved host slices: the
+    # full gather must hold every host's local rows
+    gathered = np.asarray(
+        jax.jit(lambda b: b, out_shardings=parallel.replicated)(batch))
+    local_np = np.asarray(imgs)
+    for row in local_np:
+        assert (np.abs(gathered - row).reshape(gathered.shape[0], -1)
+                .max(axis=1) < 1e-6).any(), "local row missing from global"
+    print(f"{tag} loader/global-batch assembly ok", flush=True)
+
+    # -- 2. multi-objective train step over the global mesh ----------------
+    margs = dict(arch="vae", latent_dim=8, hidden_dims=(8, 16),
+                 batch_size=local_bs * NUM_PROCS, dataset_size=64)
+    model = get_network(input_size, 3, margs)
+    params, bstats = init_model(model, jax.random.PRNGKey(0), input_size, 3,
+                                batch_size=2)
+    cfg = AggregatorConfig(name="upgrad",
+                           num_objectives=len(model.objective_names))
+    tx = build_optimizer("adam", lr_schedule(1e-3, None, 1, 1))
+    state = parallel.replicate(
+        TrainState.create(model.apply, params, bstats, tx, init_state(cfg)))
+    step_fn = jax.jit(make_train_step(model, cfg, 1, 1))
+    rng = parallel.replicate(jax.random.PRNGKey(5))
+    with parallel.mesh:
+        for _ in range(2):
+            state, metrics = step_fn(state, batch, rng)
+    loss = float(metrics["total_loss"])
+    assert np.isfinite(loss)
+    from jax.experimental import multihost_utils
+    losses = np.asarray(
+        multihost_utils.process_allgather(np.float64(loss)))
+    assert (losses == losses[0]).all(), f"host losses diverged: {losses}"
+    print(f"{tag} train step lockstep ok (loss={loss:.6f})", flush=True)
+
+    # -- 3. process-0 IO gating --------------------------------------------
+    is_main = jax.process_index() == 0
+    marker = os.path.join(workdir, f"io_{pid}.txt")
+    if is_main:  # the same gate train/loop.py uses for figures/checkpoints
+        with open(marker, "w") as f:
+            f.write("main\n")
+    multihost_utils.sync_global_devices("io_gate")
+    assert os.path.exists(os.path.join(workdir, "io_0.txt"))
+    assert not os.path.exists(os.path.join(workdir, "io_1.txt"))
+    print(f"{tag} process-0 IO gating ok", flush=True)
+
+    # -- 4. codes-cache lockstep with a PARTIAL cache ----------------------
+    from movae_tpu.utils.codes_cache import CodeCache, cache_key, \
+        get_or_extract_codes
+    save_root = os.path.join(workdir, f"host{pid}")  # per-host cache roots
+    key = cache_key("vq_vae", "synthetic-16-64", 32, 16)
+    if pid == 0:
+        # pre-warm ONLY host 0's cache (stale values, to prove re-extract)
+        stale = CodeCache(os.path.join(save_root, "codes_cache", key))
+        stale.write({"codes": np.full((4, 2, 2), 7, np.int32)}, {})
+
+    def extract_fn(images):
+        return jnp.zeros((np.asarray(images).shape[0], 2, 2), jnp.int32)
+
+    code_loader = Loader(train_ds, local_bs, shuffle=False, raw=True,
+                         process_index=pid, process_count=NUM_PROCS)
+    levels, cached = get_or_extract_codes(
+        extract_fn, code_loader, save_root, "vq_vae", "synthetic-16-64",
+        32, 16, is_hierarchical=False)
+    assert not cached, "partial cache must force ALL hosts to extract"
+    assert (np.asarray(levels["codes"]) == 0).all(), "stale cache served"
+    print(f"{tag} codes-cache partial-hit lockstep ok", flush=True)
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        sys.exit(launcher())
