@@ -21,13 +21,17 @@ passes gradients to the codebook (gather -> scatter-add) and none to the
 latents; callers build the straight-through estimator ``z + sg(q - z)`` and
 the two MSE losses on top.
 
-The Pallas path is enabled on TPU via ``MOVAE_VQ_PALLAS=1`` or
-``use_pallas=True``.
+Backend choice (measured on v5e, full VQ-VAE train step at bs 256): the XLA
+path is equal-or-faster (69.6k vs 64.7k img/s) because XLA fuses the
+distance/argmin with the surrounding STE/MSE math and the VQ op is a small
+fraction of an MXU-bound step — so **XLA is the default and only production
+path**. The Pallas kernel is kept as a validated reference implementation
+(exact index-match tested vs XLA in tests/test_vq.py) reachable only via an
+explicit ``use_pallas=True``; there is no env-var switch.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,11 +55,6 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
-
-
-def _pallas_enabled() -> bool:
-    return (os.environ.get("MOVAE_VQ_PALLAS") == "1" and _on_tpu()
-            and pltpu is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -115,11 +114,9 @@ def nearest_code_indices(z_flat: Array, codebook: Array,
                          use_pallas: Optional[bool] = None) -> Array:
     """(N, D) latents + (K, D) codebook -> (N,) int32 nearest-code indices.
     Non-differentiable (indices)."""
-    if use_pallas is None:
-        use_pallas = _pallas_enabled()
     z_flat = jax.lax.stop_gradient(z_flat)
     codebook = jax.lax.stop_gradient(codebook)
-    if use_pallas:
+    if use_pallas and _on_tpu() and pltpu is not None:
         return _nearest_inds_pallas(z_flat, codebook)
     return _nearest_inds_xla(z_flat, codebook)
 
