@@ -3,10 +3,11 @@
 The TPU-native replacement for torchjd's ``backward`` / ``mtl_backward``
 (reference usage: /root/reference/main.py:188-196). Instead of m sequential
 autograd passes re-walking the graph, both modes below compute the m
-per-objective gradients from **one** forward and m one-hot VJPs through a
-single shared ``jax.vjp`` — unrolled with constant basis cotangents so XLA
-prunes each objective's backward to its dependency cone (see
-``_UNROLL_MAX``), or vmapped into m-wide MXU matmuls for large m:
+per-objective gradients from one (CSE-shared) forward and m separately
+traced backward cones — each objective's backward graph contains only the
+ops its loss actually depends on (see ``_UNROLL_MAX`` for why one-hot
+cotangents through a shared VJP do NOT achieve this) — or vmapped one-hot
+VJPs forming m-wide MXU matmuls for large m:
 
   * full mode   — Jacobian w.r.t. *all* trainable params (torchjd
     ``backward``; used when the model declares ``feature_names = None``).
@@ -56,20 +57,18 @@ def tree_add(a: PyTree, b: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
 
 
-# Unroll the m one-hot VJPs (python loop) instead of vmapping them for
-# m <= this bound. The basis cotangents are then compile-time constants, so
-# XLA's algebraic simplifier prunes each objective's backward to its true
-# dependency cone — e.g. VQ commitment/embedding losses never touch the
-# decoder, so their rows skip the (dominant) decoder backward entirely.
-# vmap would batch the m cotangents into dense GEMMs that pay the full
-# backward for every row. Measured on v5e, 256px VQ-VAE-2 + UPGrad: 679 ->
-# ~2000 img/s. vmap remains the path for large m (compile-size bound).
+# Trace the m per-objective backwards separately (python loop) instead of
+# vmapping one-hot cotangents through a shared VJP, for m <= this bound.
+# Separate traces prune STRUCTURALLY: each objective's backward graph
+# contains only the ops in its true dependency cone (e.g. the VQ embedding
+# loss has an identically-zero feature gradient, so its feature row costs
+# nothing), and XLA CSE merges the repeated forward computations. One-hot
+# cotangents through a shared VJP do NOT get pruned: XLA refuses the
+# float rewrite `0*x -> 0` (inf/NaN soundness), so every row pays the full
+# backward — measured on v5e (256px VQ-VAE-2, cost_analysis): all three
+# one-hot rows cost identical 7.4e11 FLOPs, even the analytically-zero
+# embedding row. vmap remains the path for large m (compile-size bound).
 _UNROLL_MAX = 8
-
-
-def _vjp_rows(vjp_fn, m: int, dtype) -> list:
-    eye = jnp.eye(m, dtype=dtype)
-    return [vjp_fn(eye[i]) for i in range(m)]
 
 
 def _stack_rows(rows: list) -> PyTree:
@@ -77,22 +76,39 @@ def _stack_rows(rows: list) -> PyTree:
 
 
 def full_jacobian(
-    loss_vec_fn: Callable[[PyTree], Tuple[Array, Any]],
+    loss_tuple_fn: Callable[[PyTree], Tuple[Tuple[Array, ...], Any]],
     params: PyTree,
     num_objectives: int,
 ) -> Tuple[Array, Any, PyTree, Array]:
     """torchjd ``backward`` equivalent.
 
-    ``loss_vec_fn(params) -> (loss_vec, aux)`` with ``loss_vec`` of shape
-    (m,). Returns ``(loss_vec, aux, J, G)`` where J is the full-parameter
-    Jacobian pytree (leading axis m) from one forward + m one-hot VJPs
-    (unrolled for XLA dead-cone pruning; vmapped above ``_UNROLL_MAX``).
+    ``loss_tuple_fn(params) -> (loss_tuple, aux)`` with ``loss_tuple`` a
+    python tuple of m UNSTACKED scalar losses — selection must happen
+    before any ``jnp.stack`` so each per-objective trace sees only its own
+    cone (differentiating ``stack(losses)[i]`` re-introduces concrete
+    one-hot cotangents that XLA cannot prune). Returns ``(loss_vec, aux,
+    J, G)`` where ``loss_vec`` is the stacked (m,) vector and J the
+    full-parameter Jacobian pytree (leading axis m).
     """
-    losses, vjp_fn, aux = jax.vjp(loss_vec_fn, params, has_aux=True)
     if num_objectives <= _UNROLL_MAX:
-        J = _stack_rows([r[0] for r in
-                         _vjp_rows(vjp_fn, num_objectives, losses.dtype)])
+        # separate per-objective traces: structural cone pruning (see
+        # _UNROLL_MAX); the m forwards are identical expressions XLA CSEs
+        rows = []
+        losses = aux = None
+        for i in range(num_objectives):
+            def _loss_i(p, i=i):
+                lt, a = loss_tuple_fn(p)
+                return lt[i], (lt, a)
+            g_i, (lt, aux) = jax.grad(_loss_i, has_aux=True)(params)
+            losses = jnp.stack(list(lt))
+            rows.append(g_i)
+        J = _stack_rows(rows)
     else:
+        def stacked_fn(p):
+            lt, a = loss_tuple_fn(p)
+            return jnp.stack(list(lt)), a
+
+        losses, vjp_fn, aux = jax.vjp(stacked_fn, params, has_aux=True)
         eye = jnp.eye(num_objectives, dtype=losses.dtype)
         J = jax.vmap(lambda e: vjp_fn(e)[0])(eye)
     return losses, aux, J, gramian(J)
@@ -103,38 +119,60 @@ class FeatureJacobian:
     can be computed between the feature-Jacobian and the trunk pullback.
 
     ``trunk_fn(params) -> (features, trunk_aux)``
-    ``heads_fn(params, features, trunk_aux) -> (loss_vec, heads_aux)``
-    (only params/features are differentiated; trunk_aux is carried data such
-    as updated norm statistics).
+    ``heads_fn(params, features, trunk_aux) -> (loss_tuple, heads_aux)``
+    with ``loss_tuple`` a python tuple of m unstacked scalars (see
+    ``full_jacobian`` for why); only params/features are differentiated;
+    trunk_aux is carried data such as updated norm statistics.
     """
 
     def __init__(self, trunk_fn, heads_fn, params, num_objectives: int):
         features, trunk_vjp, trunk_aux = jax.vjp(trunk_fn, params,
                                                  has_aux=True)
-        losses, heads_vjp, heads_aux = jax.vjp(
-            lambda p, f: heads_fn(p, f, trunk_aux), params, features,
-            has_aux=True)
         if num_objectives <= _UNROLL_MAX:
-            rows = _vjp_rows(heads_vjp, num_objectives, losses.dtype)
-            J_params = _stack_rows([r[0] for r in rows])
-            J_feats = _stack_rows([r[1] for r in rows])
+            # per-objective JOINT (params, features) grads, each traced
+            # separately so its backward graph is exactly its dependency
+            # cone (see _UNROLL_MAX; ``heads_fn`` must return an UNSTACKED
+            # loss tuple — differentiating ``stack(losses)[i]`` would
+            # re-introduce the unprunable one-hot cotangents). The head
+            # param grads come from the same sweeps (summed below), so no
+            # separate total-loss backward is needed.
+            f_rows = []
+            direct = None
+            losses = heads_aux = None
+            for i in range(num_objectives):
+                def _loss_i(p, f, i=i):
+                    lt, a = heads_fn(p, f, trunk_aux)
+                    return lt[i], (lt, a)
+                (gp, gf), (lt, heads_aux) = jax.grad(
+                    _loss_i, argnums=(0, 1), has_aux=True)(params, features)
+                losses = jnp.stack(list(lt))
+                f_rows.append(gf)
+                direct = gp if direct is None else tree_add(direct, gp)
+            J_feats = _stack_rows(f_rows)
         else:
+            def stacked_fn(p, f):
+                lt, a = heads_fn(p, f, trunk_aux)
+                return jnp.stack(list(lt)), a
+
+            losses, heads_vjp, heads_aux = jax.vjp(stacked_fn, params,
+                                                   features, has_aux=True)
             eye = jnp.eye(num_objectives, dtype=losses.dtype)
             J_params, J_feats = jax.vmap(lambda e: heads_vjp(e))(eye)
+            direct = sum_rows(J_params)
 
         self.losses = losses
         self.trunk_aux = trunk_aux
         self.heads_aux = heads_aux
         self._trunk_vjp = trunk_vjp
-        self._J_params = J_params
+        self._direct = direct
         self._J_feats = J_feats
         # Gramian from the feature Jacobian only, as in torchjd mtl_backward.
         self.G = gramian(J_feats)
 
     def grads(self, alpha: Array) -> PyTree:
         """Shared-trunk grads from the aggregated feature cotangent plus the
-        per-objective head grads (each head keeps its own loss's gradient)."""
+        per-objective head grads (each head keeps its own loss's gradient —
+        their sum, since head param sets are disjoint per objective)."""
         feat_cot = combine(self._J_feats, alpha)
         shared = self._trunk_vjp(feat_cot)[0]
-        direct = sum_rows(self._J_params)
-        return tree_add(shared, direct)
+        return tree_add(shared, self._direct)

@@ -130,13 +130,17 @@ def make_train_step(
             new_agg_state = state.agg_state
 
         elif mode == "full":
-            def loss_vec_fn(p):
+            def loss_tuple_fn(p):
                 (loss_vec, loss_dict, outputs), new_bs = apply_losses(
                     p, bs, x, rngs)
-                return loss_vec, (loss_dict, outputs, new_bs)
+                # UNSTACKED per-objective scalars: the engine selects
+                # loss_tuple[i] before any stack so each objective's
+                # backward trace is exactly its dependency cone
+                lt = tuple(loss_dict[k] for k in model.objective_names)
+                return lt, (loss_dict, outputs, new_bs)
 
             loss_vec, (loss_dict, outputs, new_bs), J, G = engine.full_jacobian(
-                loss_vec_fn, params, m)
+                loss_tuple_fn, params, m)
             beta = agg_lib.comfort_beta(
                 agg_cfg, state.step // steps_per_epoch + 1, total_epochs)
             alpha, new_agg_state = agg_lib.compute_weights(
@@ -163,8 +167,10 @@ def make_train_step(
                     {"params": p, "batch_stats": bs_after_trunk}, features,
                     t_aux, x, train=True, method="heads_with_losses",
                     mutable=["batch_stats"], rngs=rngs)
-                return loss_vec, (loss_dict, outputs,
-                                  mut.get("batch_stats", {}))
+                # unstacked scalars (see loss_tuple_fn note in full mode)
+                lt = tuple(loss_dict[k] for k in model.objective_names)
+                return lt, (loss_dict, outputs,
+                            mut.get("batch_stats", {}))
 
             if remat:
                 trunk_fn = jax.checkpoint(

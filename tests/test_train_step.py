@@ -280,16 +280,16 @@ def test_feature_mode_updates_trunk_batch_stats():
 
 
 def test_unrolled_and_vmapped_jacobians_agree(monkeypatch):
-    """The unrolled one-hot VJP path (constant cotangents, XLA dead-cone
-    pruning) must produce the same Jacobian/Gramian as the vmapped path used
-    for large m — on both engine modes."""
+    """The per-objective-trace path (structural cone pruning) must produce
+    the same Jacobian/Gramian as the vmapped one-hot path used for large m
+    — on both engine modes."""
     from movae_tpu.moo import engine
 
     def full(p):
         a = (p["w"] ** 2).sum()
         b = (p["w"] * p["v"]).sum()
         c = jnp.sin(p["v"]).sum()
-        return jnp.stack([a, b, c]), None
+        return (a, b, c), None
 
     params = {"w": jnp.arange(1.0, 5.0), "v": jnp.array([0.5, -1.0, 2.0, 0.0])}
     _, _, J_u, G_u = engine.full_jacobian(full, params, 3)
@@ -306,7 +306,7 @@ def test_unrolled_and_vmapped_jacobians_agree(monkeypatch):
     def heads(p, f, aux):
         l1 = (f ** 2).sum()
         l2 = (p["v"] * f).sum()
-        return jnp.stack([l1, l2]), (None, None, {})
+        return (l1, l2), (None, None, {})
 
     monkeypatch.setattr(engine, "_UNROLL_MAX", 8)
     fj_u = engine.FeatureJacobian(trunk, heads, params, 2)
