@@ -113,6 +113,9 @@ def main():
     p.add_argument("--prior", type=str, default="pixelcnn",
                    choices=["pixelcnn", "pixelsnail"])
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="fuse k optimizer steps into one dispatch "
+                        "(lax.scan); lifts the small-batch latency floor")
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -144,35 +147,54 @@ def main():
     parallel = DataParallel()
     state = parallel.replicate(
         TrainState.create(model.apply, params, bs, tx, init_state(cfg)))
-    step_fn = jax.jit(make_train_step(model, cfg, 1, 1, remat=args.remat),
-                      donate_argnums=(0,))
+    raw_step = make_train_step(model, cfg, 1, 1, remat=args.remat)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    scan_k = max(args.steps_per_dispatch, 1)
+    if scan_k > 1:
+        from movae_tpu.train.step import make_scanned_train_step
+        scan_fn = jax.jit(make_scanned_train_step(raw_step, scan_k),
+                          donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     x_np = rng.uniform(-1, 1, (args.batch_size, args.input_size,
                                args.input_size, 3)).astype(np.float32)
     batch = parallel.shard_batch(jnp.asarray(x_np))
+    if scan_k > 1:
+        stacked = parallel.shard_batch_stacked(
+            np.broadcast_to(x_np, (scan_k,) + x_np.shape).copy())
     key = jax.random.PRNGKey(1)
 
     # warmup / compile. NB: use a host fetch as the sync barrier — on the
     # axon TPU platform block_until_ready can return before execution
     # completes, inflating throughput ~6x.
-    for i in range(max(args.warmup, 1)):
+    def one(state, key):
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
-    float(metrics["total_loss"])
+        if scan_k > 1:
+            state, metrics = scan_fn(state, stacked, sub)
+        else:
+            state, metrics = step_fn(state, batch, sub)
+        return state, key, metrics
+
+    n_dispatch = max(args.steps // scan_k, 1)
+    for i in range(max(args.warmup // scan_k, 1)):
+        state, key, metrics = one(state, key)
+    tl = metrics["total_loss"]
+    float(tl if getattr(tl, "ndim", 0) == 0 else tl[-1])
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
-    float(metrics["total_loss"])
+    for i in range(n_dispatch):
+        state, key, metrics = one(state, key)
+    tl = metrics["total_loss"]
+    float(tl if getattr(tl, "ndim", 0) == 0 else tl[-1])
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    images_per_sec_per_chip = args.steps * args.batch_size / dt / n_chips
+    images_per_sec_per_chip = (n_dispatch * scan_k * args.batch_size
+                               / dt / n_chips)
     print(json.dumps({
         "metric": f"{args.arch}_train_images_per_sec_per_chip(agg={args.agg},"
-                  f"bs={args.batch_size},{args.dtype})",
+                  f"bs={args.batch_size},{args.dtype}"
+                  + (f",k={scan_k}" if scan_k > 1 else "") + ")",
         "value": round(images_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec_per_chip

@@ -158,6 +158,11 @@ def build_parser() -> ArgumentParser:
                              "(objectives become recon+commitment; the "
                              "reference is loss-based only)")
     parser.add_argument("--vq_ema_decay", type=float, default=0.99)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="fuse this many optimizer steps into one "
+                             "device dispatch (lax.scan) — lifts the "
+                             "dispatch-latency floor at small per-chip "
+                             "batch sizes; 1 = off")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize forward activations in the "
                              "backward pass (large-image configs: trades "

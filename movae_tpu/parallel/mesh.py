@@ -61,6 +61,17 @@ class DataParallel:
                 self.batch_sharding, batch)
         return jax.device_put(batch, self.batch_sharding)
 
+    def shard_batch_stacked(self, batches: Any):
+        """(k, B, ...) stack of k per-step batches: the batch axis (axis 1)
+        is sharded on 'data', the step axis replicated — the layout
+        ``make_scanned_train_step`` scans over."""
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            if not isinstance(batches, np.ndarray):
+                batches = np.asarray(batches)
+            return jax.make_array_from_process_local_data(sharding, batches)
+        return jax.device_put(batches, sharding)
+
     def replicate(self, tree: Any):
         return jax.device_put(tree, self.replicated)
 

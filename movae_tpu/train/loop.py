@@ -31,7 +31,8 @@ from movae_tpu.train import checkpoint as ckpt_lib
 from movae_tpu.train import figures as fig_lib
 from movae_tpu.train.optim import build_optimizer, lr_schedule
 from movae_tpu.train.state import TrainState
-from movae_tpu.train.step import make_eval_step, make_train_step
+from movae_tpu.train.step import (make_eval_step, make_scanned_train_step,
+                                  make_train_step)
 from movae_tpu.utils import AverageMeter
 from movae_tpu.utils.logging import ExperimentLogger, StepTimer
 
@@ -95,7 +96,8 @@ def _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb):
 
 def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 objective_names, log_every: int = 1,
-                timer: Optional[StepTimer] = None):
+                timer: Optional[StepTimer] = None,
+                scan_fn=None, scan_k: int = 1):
     """One epoch of the hot loop (reference train_epoch, main.py:125-235).
 
     Metric host-fetches are pipelined: device metric dicts are queued and
@@ -158,6 +160,43 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     gb = loader.batch_size * loader.process_count
     if timer is not None:
         timer.start()
+    scan_buf = []  # full-size host batches awaiting one fused dispatch
+    last_metrics = None  # device dict of the most recent step (epoch barrier)
+
+    def run_single(imgs, n_valid):
+        nonlocal state, rng, step, n_images, last_metrics
+        batch = parallel.shard_batch(imgs)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        last_metrics = metrics
+        step += 1
+        n_images += n_valid
+        # every step feeds the epoch meters (reference main.py:216-229
+        # updates its AverageMeters per batch); log_every only gates the
+        # per-step logger records inside drain_one
+        pending.append((step, n_valid, metrics))
+
+    def run_scan_buf(force=False):
+        """Dispatch k buffered batches as ONE fused k-step program
+        (make_scanned_train_step); leftovers at epoch end run singly."""
+        nonlocal state, rng, step, n_images, last_metrics
+        if len(scan_buf) == scan_k:
+            stacked = parallel.shard_batch_stacked(
+                np.stack([b for b, _ in scan_buf]))
+            rng, sub = jax.random.split(rng)
+            state, mets = scan_fn(state, stacked, sub)
+            last_metrics = mets
+            for j, (_, nv) in enumerate(scan_buf):
+                step += 1
+                n_images += nv
+                pending.append((step, nv, jax.tree_util.tree_map(
+                    lambda m, j=j: m[j], mets)))
+            scan_buf.clear()
+        elif force:
+            for b, nv in scan_buf:
+                run_single(b, nv)
+            scan_buf.clear()
+
     for i, (imgs, _labels, n_valid) in enumerate(loader):
         # drop the wrap padding from the tail batch before it contributes
         # duplicate-image gradients (matches the reference's ragged last
@@ -165,24 +204,27 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         # shard; with nd > 1 shards up to nd-1 wrap duplicates remain in
         # the kept rows — see _trim_tail)
         imgs, _gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
-        batch = parallel.shard_batch(imgs)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        step += 1
-        n_images += n_valid
-        # every step feeds the epoch meters (reference main.py:216-229
-        # updates its AverageMeters per batch); log_every only gates the
-        # per-step logger records inside drain_one
-        pending.append((step, n_valid, metrics))
+        if (scan_fn is not None and scan_k > 1
+                and len(imgs) == loader.batch_size
+                and n_valid == loader.batch_size):
+            scan_buf.append((np.asarray(imgs), n_valid))
+            run_scan_buf()
+        else:
+            # trimmed/ragged tail keeps the single-step path (its own jit
+            # specialization, as before)
+            run_scan_buf(force=True)
+            run_single(imgs, n_valid)
         if len(pending) >= FETCH_GROUP:
             flush(pending)
+    run_scan_buf(force=True)
     if pending:
         flush(pending)
     if timer is not None and n_images:
         # epoch-end barrier on the FINAL step (flushed fetches may lag it
         # when log_every > 1). A host fetch, not block_until_ready: on the
         # axon TPU platform the latter can return before execution completes.
-        float(metrics["total_loss"])  # noqa: F821 — loop ran if n_images > 0
+        ml = last_metrics["total_loss"]
+        float(ml if getattr(ml, "ndim", 0) == 0 else ml[-1])
         timer.stop(n_images)
     if usage_meter.count > 0:
         meters["codebook_usage_percentage"] = usage_meter
@@ -342,11 +384,15 @@ def run_training(args) -> Dict[str, Any]:
     hv_indicator = build_hv_indicator(model.objective_names,
                                       getattr(args, "hv_ref", None))
 
-    train_step = jax.jit(
-        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
-                        normalize_inputs=normalize,
-                        remat=getattr(args, "remat", False)),
-        donate_argnums=(0,))
+    raw_step = make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
+                               normalize_inputs=normalize,
+                               remat=getattr(args, "remat", False))
+    train_step = jax.jit(raw_step, donate_argnums=(0,))
+    # fused k-step dispatch for small per-chip batches (see
+    # make_scanned_train_step); 1 = off
+    scan_k = int(getattr(args, "steps_per_dispatch", 1) or 1)
+    scan_fn = (jax.jit(make_scanned_train_step(raw_step, scan_k),
+                       donate_argnums=(0,)) if scan_k > 1 else None)
     eval_fn = jax.jit(make_eval_step(model, normalize_inputs=normalize))
 
     step = 0
@@ -391,7 +437,8 @@ def run_training(args) -> Dict[str, Any]:
     for epoch in range(start_epoch, args.epochs + 1):
         state, meters, step, rng = train_epoch(
             train_step, state, train_loader, parallel, rng, step, logger,
-            model.objective_names, log_every=log_every, timer=timer)
+            model.objective_names, log_every=log_every, timer=timer,
+            scan_fn=scan_fn, scan_k=scan_k)
         train_losses.append({k: v.avg for k, v in meters.items()})
 
         log_dict = {}

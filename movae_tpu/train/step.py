@@ -220,6 +220,32 @@ def make_train_step(
     return train_step
 
 
+def make_scanned_train_step(step_fn, k: int):
+    """Fuse ``k`` sequential train steps into ONE device dispatch via
+    ``lax.scan`` over a (k, B, ...) stacked batch.
+
+    Small per-chip batches are dispatch-latency bound (BENCH.md: bs 128
+    runs at ~55% of bs-256 throughput because the device finishes before
+    the host can enqueue the next step); scanning k steps amortizes one
+    dispatch + one host round-trip over k optimizer updates with identical
+    numerics (each inner step consumes its own batch and rng).
+
+    Returns ``(state, metrics)`` where every metrics leaf is stacked with
+    a leading (k,) axis — one entry per inner step, in execution order.
+    """
+    def scanned(state: TrainState, batches: Array, rng: Array):
+        keys = jax.random.split(rng, k)
+
+        def body(st, xs):
+            xb, kb = xs
+            st, met = step_fn(st, xb, kb)
+            return st, met
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return scanned
+
+
 def make_eval_step(model, normalize_inputs: bool = False):
     """Eval step: losses (+ codebook used-mask for exact usage accumulation
     across batches, reference main.py:261-331)."""

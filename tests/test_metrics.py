@@ -264,3 +264,24 @@ def test_hv_ref_fallbacks_match_reference():
     np.testing.assert_allclose(ind.ref_point, [2.0, 1.1])
     ind2 = hv_lib.build_hv_indicator(["a", "b"], [2.0, 2.0, 2.0])
     np.testing.assert_allclose(ind2.ref_point, [1.1, 1.1])
+
+
+def test_fid_full_covariance_analytic():
+    """Full-covariance Fréchet term cross-checked against an independent
+    eigendecomposition: tr((C1 C2)^{1/2}) = tr((C2^{1/2} C1 C2^{1/2})^{1/2})
+    — validates the sqrtm/trace plumbing beyond the mean-shift case
+    (reference utils/metrics.py:656-679)."""
+    rng = np.random.default_rng(3)
+    f1 = rng.normal(size=(400, 6)) @ rng.normal(size=(6, 6)) + rng.normal(size=6)
+    f2 = rng.normal(size=(400, 6)) @ (0.5 * rng.normal(size=(6, 6))) + 1.0
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    C1 = np.cov(f1, rowvar=False)
+    C2 = np.cov(f2, rowvar=False)
+    w2, V2 = np.linalg.eigh(C2)
+    C2h = (V2 * np.sqrt(np.clip(w2, 0, None))) @ V2.T
+    wm = np.linalg.eigvalsh(C2h @ C1 @ C2h)
+    tr_sqrt = np.sqrt(np.clip(wm, 0, None)).sum()
+    expected = ((mu1 - mu2) @ (mu1 - mu2) + np.trace(C1) + np.trace(C2)
+                - 2.0 * tr_sqrt)
+    got = fid_from_features(f1, f2)
+    assert abs(got - expected) < 1e-6, (got, expected)

@@ -319,3 +319,67 @@ def test_unrolled_and_vmapped_jacobians_agree(monkeypatch):
     for ku in ("w", "v"):
         np.testing.assert_allclose(np.asarray(gu[ku]), np.asarray(gv[ku]),
                                    rtol=1e-6)
+
+
+def test_scanned_step_matches_sequential():
+    """make_scanned_train_step(k): one fused dispatch over k stacked batches
+    must reproduce k sequential step_fn calls exactly (same per-step keys)."""
+    from movae_tpu.train.step import make_scanned_train_step
+
+    args = tiny_args(layer_norm="none")  # deterministic (no batch_stats)
+    model, state, _ = build(args, "upgrad")
+    raw = make_train_step(
+        model, AggregatorConfig(name="upgrad",
+                                num_objectives=len(model.objective_names)),
+        2, 2)
+    k = 3
+    batches = jnp.stack([batch(seed=s) for s in range(k)])
+    rng = jax.random.PRNGKey(9)
+
+    seq_state = state
+    keys = jax.random.split(rng, k)
+    seq_losses = []
+    for j in range(k):
+        seq_state, met = raw(seq_state, batches[j], keys[j])
+        seq_losses.append(float(met["total_loss"]))
+
+    scanned = jax.jit(make_scanned_train_step(raw, k))
+    scan_state, mets = scanned(state, batches, rng)
+    np.testing.assert_allclose(np.asarray(mets["total_loss"]),
+                               np.asarray(seq_losses), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(scan_state.params),
+                    jax.tree_util.tree_leaves(seq_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    assert int(scan_state.step) == int(seq_state.step) == k
+
+
+def test_train_epoch_with_scan_dispatch():
+    """Loop integration: scan_k>1 groups full batches into fused dispatches
+    and falls back to single steps for the ragged tail; step count and epoch
+    meters must match the unscanned run."""
+    from movae_tpu.parallel.mesh import DataParallel
+    from movae_tpu.train.loop import train_epoch
+    from movae_tpu.train.step import make_scanned_train_step
+    from movae_tpu.data import Loader, get_dataset
+
+    # 8 virtual devices (conftest): per-step batch must divide the data axis
+    train_ds, _, _ = get_dataset("synthetic-32-34", None, False)
+    args = tiny_args(layer_norm="none", batch_size=8)
+    model, state, step_fn = build(args, "sum")
+    raw = make_train_step(
+        model, AggregatorConfig(name="sum",
+                                num_objectives=len(model.objective_names)),
+        2, 2)
+    scan_fn = jax.jit(make_scanned_train_step(raw, 2))
+    parallel = DataParallel()
+    loader = Loader(train_ds, 8)  # 4 full batches of 8 + ragged tail of 2
+    rng = jax.random.PRNGKey(0)
+
+    state2, meters, step, _ = train_epoch(
+        scan_fn and step_fn, state, loader, parallel, rng, 0, None,
+        model.objective_names, scan_fn=scan_fn, scan_k=2)
+    assert step == 5  # 34 imgs / bs 8 -> 5 steps (last ragged)
+    assert np.isfinite(meters["total_loss"].avg)
+    assert meters["total_loss"].count == 5
+    assert int(state2.step) == 5
