@@ -164,8 +164,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     params = parallel.replicate(params)
     opt_state = tx.init(params)  # moments inherit the replicated layout
 
-    @jax.jit
-    def step(params, opt_state, batch, rng):
+    def _step(params, opt_state, batch, rng):
         def loss_fn(p):
             if hierarchical:
                 out = prior.apply({"params": p}, batch["top"],
@@ -183,6 +182,28 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         params = optax.apply_updates(params, updates)
         return params, opt_state, out
 
+    step = jax.jit(_step)
+    # code batches are tiny (int grids), so prior training is dispatch-
+    # latency bound like small-image training: fuse k steps per dispatch
+    # (same flag + mechanics as the VQ stage, train/step.py
+    # make_scanned_train_step)
+    scan_k = int(getattr(args, "steps_per_dispatch", 1) or 1)
+    if scan_k > 1:
+        def _scan(params, opt_state, batches, rng):
+            keys = jax.random.split(rng, scan_k)
+
+            def body(carry, xs):
+                p, o = carry
+                b, kk = xs
+                p, o, out = _step(p, o, b, kk)
+                return (p, o), out
+
+            (params, opt_state), outs = jax.lax.scan(
+                body, (params, opt_state), (batches, keys))
+            return params, opt_state, outs
+
+        scan_step = jax.jit(_scan)
+
     logger = results.get("logger")
     # multi-host: only process 0 writes prior checkpoints/figures (the
     # loss is identical on every process — metrics come out of the psum'd
@@ -196,11 +217,37 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     n_global = int(getattr(args, "dataset_size", 0) or 0)
     for epoch in range(1, epochs + 1):
         meter = AverageMeter()
-        pending = None  # one-step-delayed host fetch (overlaps compute)
+        pending = []  # delayed host fetches (overlap device compute)
+        scan_buf = []
+
+        def flush():
+            for out, ws in pending:
+                tl = np.asarray(jax.device_get(out["total_loss"]))
+                for loss, w in zip(np.atleast_1d(tl), ws):
+                    meter.update(float(loss), n=w)
+            pending.clear()
+
+        def dispatch_buf(force=False):
+            nonlocal params, opt_state, rng
+            if len(scan_buf) == scan_k:
+                stacked = {k: parallel.shard_batch_stacked(
+                    np.stack([b[k] for b, _ in scan_buf]))
+                    for k in scan_buf[0][0]}
+                rng, sub = jax.random.split(rng)
+                params, opt_state, outs = scan_step(params, opt_state,
+                                                    stacked, sub)
+                pending.append((outs, [w for _, w in scan_buf]))
+                scan_buf.clear()
+            elif force:
+                for b, w in scan_buf:
+                    batch = {k: parallel.shard_batch(v) for k, v in b.items()}
+                    rng, sub = jax.random.split(rng)
+                    p, o, out = step(params, opt_state, batch, sub)
+                    params, opt_state = p, o
+                    pending.append((out, [w]))
+                scan_buf.clear()
+
         for bi, (batch_np, n_valid) in enumerate(loader):
-            batch = {k: parallel.shard_batch(v) for k, v in batch_np.items()}
-            rng, sub = jax.random.split(rng)
-            params, opt_state, out = step(params, opt_state, batch, sub)
             if pc > 1 and n_global:
                 # host-INVARIANT weight from the global counts: per-host
                 # n_valid differs with shard sizes, which would make
@@ -209,11 +256,19 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
                 w = max(1, min(batch_size, n_global - bi * batch_size)) / pc
             else:
                 w = n_valid
-            if pending is not None:
-                meter.update(float(pending[0]["total_loss"]), n=pending[1])
-            pending = (out, w)
-        if pending is not None:
-            meter.update(float(pending[0]["total_loss"]), n=pending[1])
+            if scan_k > 1:
+                scan_buf.append((batch_np, w))
+                dispatch_buf()
+            else:
+                batch = {k: parallel.shard_batch(v)
+                         for k, v in batch_np.items()}
+                rng, sub = jax.random.split(rng)
+                params, opt_state, out = step(params, opt_state, batch, sub)
+                pending.append((out, [w]))
+            if len(pending) >= 8:
+                flush()
+        dispatch_buf(force=True)
+        flush()
         if logger is not None and logger.active:
             logger.log({"prior/loss": meter.avg, "prior/epoch": epoch})
         if meter.avg < best_loss:
