@@ -93,15 +93,23 @@ def full_jacobian(
     if num_objectives <= _UNROLL_MAX:
         # separate per-objective traces: structural cone pruning (see
         # _UNROLL_MAX); the m forwards are identical expressions XLA CSEs
-        rows = []
-        losses = aux = None
-        for i in range(num_objectives):
+        # only row 0 carries the aux outputs (loss dict, model outputs,
+        # mutated stats): aux in EVERY row would re-trace the full forward
+        # per row, and XLA's CSE does not reliably merge the copies
+        # (measured: duplicated decoder convs in the optimized HLO). Later
+        # rows return just their scalar, so partial-eval DCEs their primal
+        # graphs down to each objective's true cone.
+        def _loss_0(p):
+            lt, a = loss_tuple_fn(p)
+            return lt[0], (lt, a)
+
+        g_0, (lt, aux) = jax.grad(_loss_0, has_aux=True)(params)
+        losses = jnp.stack(list(lt))
+        rows = [g_0]
+        for i in range(1, num_objectives):
             def _loss_i(p, i=i):
-                lt, a = loss_tuple_fn(p)
-                return lt[i], (lt, a)
-            g_i, (lt, aux) = jax.grad(_loss_i, has_aux=True)(params)
-            losses = jnp.stack(list(lt))
-            rows.append(g_i)
+                return loss_tuple_fn(p)[0][i]
+            rows.append(jax.grad(_loss_i)(params))
         J = _stack_rows(rows)
     else:
         def stacked_fn(p):
@@ -136,18 +144,26 @@ class FeatureJacobian:
             # re-introduce the unprunable one-hot cotangents). The head
             # param grads come from the same sweeps (summed below), so no
             # separate total-loss backward is needed.
-            f_rows = []
-            direct = None
-            losses = heads_aux = None
-            for i in range(num_objectives):
+            # aux (loss dict / outputs / stats) rides ONLY on row 0: aux in
+            # every row re-traces the full heads forward per row and XLA's
+            # CSE does not reliably merge the copies (measured as duplicated
+            # decoder convs in the optimized HLO); aux-free later rows DCE
+            # down to their true cones.
+            def _loss_0(p, f):
+                lt, a = heads_fn(p, f, trunk_aux)
+                return lt[0], (lt, a)
+
+            (gp0, gf0), (lt, heads_aux) = jax.grad(
+                _loss_0, argnums=(0, 1), has_aux=True)(params, features)
+            losses = jnp.stack(list(lt))
+            f_rows = [gf0]
+            direct = gp0
+            for i in range(1, num_objectives):
                 def _loss_i(p, f, i=i):
-                    lt, a = heads_fn(p, f, trunk_aux)
-                    return lt[i], (lt, a)
-                (gp, gf), (lt, heads_aux) = jax.grad(
-                    _loss_i, argnums=(0, 1), has_aux=True)(params, features)
-                losses = jnp.stack(list(lt))
+                    return heads_fn(p, f, trunk_aux)[0][i]
+                gp, gf = jax.grad(_loss_i, argnums=(0, 1))(params, features)
                 f_rows.append(gf)
-                direct = gp if direct is None else tree_add(direct, gp)
+                direct = tree_add(direct, gp)
             J_feats = _stack_rows(f_rows)
         else:
             def stacked_fn(p, f):
