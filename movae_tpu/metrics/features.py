@@ -20,23 +20,36 @@ import numpy as np
 from scipy import linalg
 
 from movae_tpu.metrics.inception import InceptionV3, load_params
+from movae_tpu.ops.resize import resize_bicubic
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def inception_preprocess(batch: jax.Array) -> jax.Array:
-    """[-1,1] -> [0,1] denorm, resize shorter side to 299 (bicubic),
-    center-crop 299, ImageNet-normalize (metrics.py:542-553). NHWC."""
+    """[-1,1] -> [0,1] denorm, resize shorter side to 299 (bicubic,
+    antialias), center-crop 299, ImageNet-normalize (metrics.py:542-553).
+    NHWC.
+
+    Matches ``torchvision.transforms.functional.resize(t, 299, BICUBIC,
+    antialias=True)`` exactly: shorter-side target with the longer side
+    TRUNCATED (``int(299 * long / short)``), no-op when the shorter side
+    is already 299, and torch's antialiased bicubic kernel (see
+    movae_tpu/ops/resize.py — ``jax.image.resize`` uses a different cubic
+    kernel and would silently skew FID)."""
     x = batch.astype(jnp.float32) * 0.5 + 0.5
     x = jnp.clip(x, 0.0, 1.0)
     b, h, w, c = x.shape
-    if h <= w:
-        nh, nw = 299, max(int(round(299 * w / h)), 299)
+    if min(h, w) != 299:
+        if h <= w:
+            nh, nw = 299, int(299 * w / h)
+        else:
+            nw, nh = 299, int(299 * h / w)
+        x = resize_bicubic(x, nh, nw, antialias=True)
     else:
-        nw, nh = 299, max(int(round(299 * h / w)), 299)
-    x = jax.image.resize(x, (b, nh, nw, c), method="cubic", antialias=True)
-    top, left = (nh - 299) // 2, (nw - 299) // 2
+        nh, nw = h, w
+    # TF.center_crop offset: int(round((size - crop)/2)) — banker's round
+    top, left = int(round((nh - 299) / 2.0)), int(round((nw - 299) / 2.0))
     x = jax.lax.dynamic_slice(x, (0, top, left, 0), (b, 299, 299, c))
     return (x - _IMAGENET_MEAN) / _IMAGENET_STD
 

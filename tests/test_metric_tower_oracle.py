@@ -1,0 +1,419 @@
+"""Torch-side oracles for the metric towers.
+
+The absolute-FID acceptance criterion hinges on three things being
+*numerically* equivalent to the reference pipeline
+(/root/reference/utils/metrics.py:513-914), independent of the pretrained
+blob (which cannot be staged in this zero-egress environment):
+
+1. the bicubic preprocessing (``TF.resize(299, BICUBIC, antialias=True)``
+   + center crop + ImageNet normalize),
+2. the InceptionV3 tower forward (torchvision ``inception_v3``,
+   ``transform_input=False``),
+3. the VGG16/LPIPS tower forward.
+
+torchvision is not installed here, so the oracles are hand-written torch
+mirrors of the torchvision architectures (state_dict keys intentionally
+identical to torchvision's so the repo's weight converters apply
+unchanged). Weights are randomized with a fixed seed, converted through
+``convert_torch_weights`` and merged into the flax towers — any semantic
+divergence (conv padding, BN eps, pooling count_include_pad, resize
+kernel, crop offsets, feature taps) shows up as a numeric mismatch.
+
+With these green, plugging a real converted torchvision checkpoint in via
+``MOVAE_INCEPTION_WEIGHTS`` / ``MOVAE_VGG16_WEIGHTS`` yields standard
+absolute FID/IS/KID/LPIPS by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# torch mirror of torchvision.models.inception_v3 (transform_input=False,
+# aux head omitted — it does not participate in the eval-mode forward).
+# Module names match torchvision so state_dict keys are converter-compatible.
+# ---------------------------------------------------------------------------
+
+class TBasicConv2d(tnn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TInceptionA(tnn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = TBasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class TInceptionB(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class TInceptionC(tnn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = TBasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                        padding=(0, 3))
+        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1),
+                                        padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class TInceptionD(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class TInceptionE(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = TBasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3),
+                                         padding=(0, 1))
+        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1),
+                                         padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3),
+                                            padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1),
+                                            padding=(1, 0))
+        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TInception3(tnn.Module):
+    """torchvision inception_v3 eval-mode forward (aux head inert)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280)
+        self.Mixed_7c = TInceptionE(2048)
+        self.fc = tnn.Linear(2048, 1000)
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            x = getattr(self, name)(x)
+        feats = torch.flatten(F.adaptive_avg_pool2d(x, (1, 1)), 1)
+        return feats, self.fc(feats)
+
+
+def _randomize(model: tnn.Module, seed: int) -> None:
+    """Seeded, well-scaled random weights (BN stats randomized too so the
+    batch_stats conversion path is actually exercised)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.endswith("running_var"):
+            sd[k] = 0.5 + torch.rand(v.shape, generator=g)
+        elif k.endswith(("bn.weight",)):
+            sd[k] = 0.5 + torch.rand(v.shape, generator=g)
+        elif k.endswith("conv.weight"):
+            fan_in = int(np.prod(v.shape[1:]))
+            sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
+        else:  # bn.bias, running_mean, fc.*, plain conv bias/weight (VGG)
+            if k.endswith("weight") and v.ndim == 4:
+                fan_in = int(np.prod(v.shape[1:]))
+                sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
+            elif k.endswith("weight") and v.ndim == 2:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.02
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    model.load_state_dict(sd)
+    model.eval()
+
+
+def _torch_inception_preprocess(x: "torch.Tensor") -> "torch.Tensor":
+    """Reference _inception_preprocess on NCHW in [-1,1]
+    (metrics.py:546-553), expressed without torchvision: TF.resize(299,
+    BICUBIC, antialias=True) == F.interpolate(..., antialias=True) at the
+    shorter-side-truncated size; TF.center_crop offset = int(round(d/2))."""
+    x = torch.clamp(x * 0.5 + 0.5, 0.0, 1.0)
+    h, w = x.shape[-2:]
+    if min(h, w) != 299:
+        if h <= w:
+            nh, nw = 299, int(299 * w / h)
+        else:
+            nw, nh = 299, int(299 * h / w)
+        x = F.interpolate(x, size=(nh, nw), mode="bicubic", antialias=True)
+    else:
+        nh, nw = h, w
+    top = int(round((nh - 299) / 2.0))
+    left = int(round((nw - 299) / 2.0))
+    x = x[..., top:top + 299, left:left + 299]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# resize + preprocess oracles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,out,aa", [
+    ((2, 32, 32, 3), (299, 299), True),    # the FID upscale path
+    ((2, 512, 384, 3), (299, 224), True),  # downscale, non-square
+    ((1, 64, 48, 2), (48, 96), True),      # mixed up/down
+    ((2, 40, 56, 3), (20, 28), False),     # classic kernel, downscale
+    ((1, 17, 23, 1), (51, 46), False),     # classic kernel, upscale
+])
+def test_resize_bicubic_matches_torch(shape, out, aa):
+    from movae_tpu.ops.resize import resize_bicubic
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(resize_bicubic(x, out[0], out[1], antialias=aa))
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    want = F.interpolate(t, size=out, mode="bicubic", antialias=aa)
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))
+    # atol 1e-4: AA-downscale sums ~2*scale taps/axis, so f32 accumulation
+    # order (matmul here vs sequential in ATen) wiggles the last ~2 bits
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (32, 48), (600, 400), (299, 320)])
+def test_inception_preprocess_matches_torch(hw):
+    from movae_tpu.metrics.features import inception_preprocess
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1.2, 1.2, (2, hw[0], hw[1], 3)).astype(np.float32)
+    got = np.asarray(inception_preprocess(x))
+    want = _torch_inception_preprocess(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))
+    assert got.shape == (2, 299, 299, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# full-tower forward + end-to-end FID/IS equivalence
+# ---------------------------------------------------------------------------
+
+def test_inception_tower_and_fid_match_torch(tmp_path):
+    from movae_tpu.metrics import features as feat_mod
+    from movae_tpu.metrics.inception import convert_torch_weights
+
+    tm = TInception3()
+    _randomize(tm, 1234)
+    npz = str(tmp_path / "inception.npz")
+    convert_torch_weights(tm.state_dict(), npz)
+    tower = feat_mod.InceptionTower(weights_path=npz)
+
+    rng = np.random.default_rng(2)
+    real = rng.uniform(-1, 1, (6, 32, 32, 3)).astype(np.float32)
+    fake = np.clip(real + 0.3 * rng.standard_normal(real.shape), -1,
+                   1).astype(np.float32)
+
+    jf, jl = tower.extract(real, batch_size=2, want_logits=True)
+    with torch.no_grad():
+        tf_, tl = tm(_torch_inception_preprocess(
+            torch.from_numpy(np.transpose(real, (0, 3, 1, 2)))))
+    tf_, tl = tf_.numpy(), tl.numpy()
+
+    # ~94 stacked f32 convs: allow 1e-3-relative accumulation drift
+    scale = np.abs(tf_).max()
+    np.testing.assert_allclose(jf, tf_, rtol=5e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(jl, tl, rtol=5e-3,
+                               atol=2e-3 * np.abs(tl).max())
+
+    # end-to-end FID: same images through both pipelines, same Fréchet
+    # formula; 4 feature dims keep the 6-sample covariances full-rank
+    # (stable sqrtm) without weakening the pipeline-equivalence claim
+    jff = tower.extract(fake, batch_size=2)
+    with torch.no_grad():
+        tff, _ = tm(_torch_inception_preprocess(
+            torch.from_numpy(np.transpose(fake, (0, 3, 1, 2)))))
+    fid_j = feat_mod.fid_from_features(jf[:, :4], jff[:, :4])
+    fid_t = feat_mod.fid_from_features(tf_[:, :4], tff.numpy()[:, :4])
+    assert fid_t > 0.0
+    assert abs(fid_j - fid_t) / fid_t < 2e-2
+
+    # Inception Score from the logit head
+    pj = np.asarray(torch.softmax(torch.from_numpy(jl), dim=-1))
+    pt = np.asarray(torch.softmax(torch.from_numpy(tl), dim=-1))
+    is_j, _ = feat_mod.inception_score_from_probs(pj, splits=2)
+    is_t, _ = feat_mod.inception_score_from_probs(pt, splits=2)
+    assert abs(is_j - is_t) / is_t < 1e-2
+
+
+def test_vgg_lpips_matches_torch(tmp_path):
+    from movae_tpu.metrics.vgg import (VGG16Features, convert_torch_weights,
+                                       load_params, make_lpips_fn)
+
+    # torchvision vgg16().features[:23] — conv indices 0,2,5,7,10,12,14,
+    # 17,19,21; state_dict keys features.N.{weight,bias}
+    layers, cin = [], 3
+    for ch in (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M"):
+        if ch == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(cin, ch, 3, padding=1), tnn.ReLU()]
+            cin = ch
+    tv = tnn.Sequential()
+    tv.features = tnn.Sequential(*layers)
+    _randomize(tv, 77)
+    npz = str(tmp_path / "vgg.npz")
+    convert_torch_weights(tv.state_dict(), npz)
+    variables = load_params(npz)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.2 * rng.standard_normal(a.shape), -1,
+                1).astype(np.float32)
+
+    # forward-tap equivalence at conv3_3 (the perceptual-loss tap)
+    taps = VGG16Features().apply(variables, _vgg_preprocess_np(a))
+    with torch.no_grad():
+        t = torch.from_numpy(
+            np.transpose(_vgg_preprocess_np(a), (0, 3, 1, 2)))
+        torch_taps = {}
+        for i, m in enumerate(tv.features):
+            t = m(t)
+            name = {3: "conv1_2", 8: "conv2_2", 15: "conv3_3",
+                    22: "conv4_3"}.get(i)
+            if name:
+                torch_taps[name] = np.transpose(t.numpy(), (0, 2, 3, 1))
+    for name, want in torch_taps.items():
+        got = np.asarray(taps[name])
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=1e-3 * max(np.abs(want).max(), 1e-3),
+            err_msg=name)
+
+    # LPIPS end-to-end (reference formula, metrics.py:331-357)
+    lpips_j = float(make_lpips_fn(variables)(a, b))
+    lpips_t = _torch_lpips(tv.features, a, b)
+    assert abs(lpips_j - lpips_t) / lpips_t < 1e-2
+
+
+def _vgg_preprocess_np(x: np.ndarray) -> np.ndarray:
+    """Mirror of vgg.preprocess (auto-range + ImageNet norm) in numpy so
+    both frameworks see bit-identical inputs."""
+    x = x.astype(np.float32)
+    if x.min() < 0:
+        x = (x + 1.0) / 2.0
+    x = np.clip(x, 0.0, 1.0)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    return (x - mean) / std
+
+
+def _torch_lpips(features: tnn.Sequential, a: np.ndarray,
+                 b: np.ndarray) -> float:
+    """Reference LPIPS semantics (metrics.py:331-357) on the torch mirror:
+    unit-normalize channels at each tap, squared diff summed over channels,
+    mean over space, mean over layers+batch."""
+    taps = {3, 8, 15, 22}
+    with torch.no_grad():
+        ta = torch.from_numpy(np.transpose(_vgg_preprocess_np(a),
+                                           (0, 3, 1, 2)))
+        tb = torch.from_numpy(np.transpose(_vgg_preprocess_np(b),
+                                           (0, 3, 1, 2)))
+        scores = []
+        for i, m in enumerate(features):
+            ta, tb = m(ta), m(tb)
+            if i in taps:
+                na = ta / ta.norm(dim=1, keepdim=True).clamp(min=1e-10)
+                nb = tb / tb.norm(dim=1, keepdim=True).clamp(min=1e-10)
+                d = (na - nb).pow(2).sum(dim=1)
+                scores.append(d.mean(dim=(1, 2)))
+        return float(torch.stack(scores).mean())
