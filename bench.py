@@ -113,9 +113,12 @@ def main():
     p.add_argument("--prior", type=str, default="pixelcnn",
                    choices=["pixelcnn", "pixelsnail"])
     p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
                    help="fuse k optimizer steps into one dispatch "
-                        "(lax.scan); lifts the small-batch latency floor")
+                        "(lax.scan; identical numerics — tested). Default 8:"
+                        " interleaved A/B (scripts/dispatch_fusion_ab.py) "
+                        "measures +18%% at bs 256 and much lower variance; "
+                        "1 = per-step dispatch")
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
