@@ -35,6 +35,13 @@ Array = jax.Array
 # dropout to the attention OUTPUT instead. Shared with warn_long_seq_dropout.
 DENSE_ATTENTION_MAX_L = 1024
 
+# The PixelSNAIL incremental sampler splits its raster loop into this many
+# segments, each compiled with a static KV-prefix length covering only the
+# pixels it contains — mean KV-cache read traffic (the sampler's bottleneck)
+# drops to ~(1 + 1/n)/2 of the full-L reads at the cost of n compiled loop
+# bodies. 4 ≈ 37.5% less traffic; diminishing returns beyond ~8.
+SNAIL_KV_SEGMENTS = 4
+
 
 def make_conv_mask(kh: int, kw: int, cin: int, cout: int,
                    mask_type: str) -> np.ndarray:
@@ -480,14 +487,18 @@ def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
     w2 = jnp.stack([_masked_weights_flat(p[f"res_{l}"]["conv2"]["kernel"], "B")
                     for l in range(n_layers)])
     b2 = jnp.stack([p[f"res_{l}"]["conv2"]["bias"] for l in range(n_layers)])
-    wg = jnp.stack([p[f"res_{l}"]["conv_gate"]["kernel"].reshape(half, hc)
-                    for l in range(n_layers)])
-    bg = jnp.stack([p[f"res_{l}"]["conv_gate"]["bias"]
-                    for l in range(n_layers)])
-    wf = jnp.stack([p[f"res_{l}"]["conv_feature"]["kernel"].reshape(half, hc)
-                    for l in range(n_layers)])
-    bf = jnp.stack([p[f"res_{l}"]["conv_feature"]["bias"]
-                    for l in range(n_layers)])
+    # gate and feature 1x1 convs share their input: concatenating their
+    # output columns into ONE matmul halves the per-layer op count and is
+    # bitwise identical per column (each output column keeps its own
+    # reduction, so no summation order changes).
+    wgf = jnp.stack([jnp.concatenate(
+        [p[f"res_{l}"]["conv_gate"]["kernel"].reshape(half, hc),
+         p[f"res_{l}"]["conv_feature"]["kernel"].reshape(half, hc)], axis=1)
+        for l in range(n_layers)])
+    bgf = jnp.stack([jnp.concatenate(
+        [p[f"res_{l}"]["conv_gate"]["bias"],
+         p[f"res_{l}"]["conv_feature"]["bias"]])
+        for l in range(n_layers)])
     wo1 = p["out1"]["kernel"].reshape(hc, hc)
     bo1 = p["out1"]["bias"]
     wo2 = p["out2"]["kernel"].reshape(hc, K)
@@ -522,8 +533,9 @@ def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
             nb2 = jax.lax.dynamic_slice(
                 c1_cache, (l, 0, i, j, 0), (1, batch_size, 3, 3, half))
             c2 = nn.relu(nb2.reshape(batch_size, -1) @ w2[l] + b2[l])
-            gate = jax.nn.sigmoid(c2 @ wg[l] + bg[l])
-            feat = jnp.tanh(c2 @ wf[l] + bf[l])
+            gf = c2 @ wgf[l] + bgf[l]
+            gate = jax.nn.sigmoid(gf[:, :hc])
+            feat = jnp.tanh(gf[:, hc:])
             return x + gate * feat, c1_cache
 
         x, c1_cache = jax.lax.fori_loop(0, n_layers, layer_exact,
@@ -550,7 +562,8 @@ def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
 def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
                       height: int, width: int,
                       condition: Optional[Array] = None,
-                      temperature: float = 1.0) -> Array:
+                      temperature: float = 1.0,
+                      cache_dtype: Any = jnp.bfloat16) -> Array:
     """Incremental-cache raster sampler for PixelSNAIL.
 
     Same design as :func:`sample_fast` (per-pixel neighborhood slices of
@@ -559,6 +572,15 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
     query attends over keys 0..t with a static-shape mask — O(L) attention
     work per pixel instead of the reference's full L x L matrix per pixel
     (pixelcnn_prior.py:334-349 runs the whole network once per pixel).
+
+    The per-pixel step is HBM-bound on the KV-cache reads: the causal mask
+    hides keys > t but the static-shape einsum still reads all L of them,
+    so at bs 256 / L 256 / 8 blocks the f32 caches cost ~0.5 GB of HBM
+    traffic per pixel. ``cache_dtype=bfloat16`` (default) halves that; the
+    q.K and probs.V einsums accumulate in f32 on the MXU
+    (``preferred_element_type``), activations and softmax stay f32. Pass
+    ``cache_dtype=jnp.float32`` for bitwise equality with
+    :func:`sample_naive` (tested both ways).
     """
     p = params
     K = model.num_embeddings
@@ -590,25 +612,26 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
     w2 = stack_res(lambda l, r: _masked_weights_flat(
         blk(l)[f"res_{r}"]["conv2"]["kernel"], "B"))
     b2 = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv2"]["bias"])
-    wg = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_gate"]["kernel"]
-                   .reshape(half, hc))
-    bg = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_gate"]["bias"])
-    wf = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_feature"]["kernel"]
-                   .reshape(half, hc))
-    bf = stack_res(lambda l, r: blk(l)[f"res_{r}"]["conv_feature"]["bias"])
+    # gate/feature and q/k/v projections share their inputs — fuse each
+    # group into one matmul (bitwise identical per output column)
+    wgf = stack_res(lambda l, r: jnp.concatenate(
+        [blk(l)[f"res_{r}"]["conv_gate"]["kernel"].reshape(half, hc),
+         blk(l)[f"res_{r}"]["conv_feature"]["kernel"].reshape(half, hc)],
+        axis=1))
+    bgf = stack_res(lambda l, r: jnp.concatenate(
+        [blk(l)[f"res_{r}"]["conv_gate"]["bias"],
+         blk(l)[f"res_{r}"]["conv_feature"]["bias"]]))
 
-    wq = jnp.stack([blk(l)["attention"]["q_proj"]["kernel"]
-                    for l in range(nb_blocks)])
-    bq = jnp.stack([blk(l)["attention"]["q_proj"]["bias"]
-                    for l in range(nb_blocks)])
-    wk = jnp.stack([blk(l)["attention"]["k_proj"]["kernel"]
-                    for l in range(nb_blocks)])
-    bk = jnp.stack([blk(l)["attention"]["k_proj"]["bias"]
-                    for l in range(nb_blocks)])
-    wv = jnp.stack([blk(l)["attention"]["v_proj"]["kernel"]
-                    for l in range(nb_blocks)])
-    bv = jnp.stack([blk(l)["attention"]["v_proj"]["bias"]
-                    for l in range(nb_blocks)])
+    wqkv = jnp.stack([jnp.concatenate(
+        [blk(l)["attention"]["q_proj"]["kernel"],
+         blk(l)["attention"]["k_proj"]["kernel"],
+         blk(l)["attention"]["v_proj"]["kernel"]], axis=1)
+        for l in range(nb_blocks)])
+    bqkv = jnp.stack([jnp.concatenate(
+        [blk(l)["attention"]["q_proj"]["bias"],
+         blk(l)["attention"]["k_proj"]["bias"],
+         blk(l)["attention"]["v_proj"]["bias"]])
+        for l in range(nb_blocks)])
     wo = jnp.stack([blk(l)["attention"]["out_proj"]["kernel"]
                     for l in range(nb_blocks)])
     bo = jnp.stack([blk(l)["attention"]["out_proj"]["bias"]
@@ -639,81 +662,107 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
 
     c1_cache0 = jnp.zeros((nb_blocks, n_res, batch_size, height + 2,
                            width + 2, half), jnp.float32)
-    k_cache0 = jnp.zeros((nb_blocks, batch_size, nh, L, hd), jnp.float32)
+    k_cache0 = jnp.zeros((nb_blocks, batch_size, nh, L, hd), cache_dtype)
     v_cache0 = jnp.zeros_like(k_cache0)
     samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
     key_pos = jnp.arange(L)
 
-    def body(idx, carry):
-        samples, in_cache, c1_cache, k_cache, v_cache, rng = carry
-        i, j = idx // width, idx % width
+    def make_body(kv_len: int):
+        """Per-pixel step whose attention reads only the first ``kv_len``
+        cache rows (a STATIC prefix). The raster loop below is split into
+        SNAIL_KV_SEGMENTS segments, each compiled with the shortest prefix
+        that covers every pixel it contains — the HBM traffic of the KV
+        reads (the sampler's bottleneck) drops from L to ~(L+chunk)/2 per
+        pixel on average, with zero runtime branching."""
 
-        nb = jax.lax.dynamic_slice(
-            in_cache, (0, i, j, 0), (batch_size, k_in, k_in, cin))
-        h = nb.reshape(batch_size, -1) @ w_in + b_in          # (B, hc)
+        def body(idx, carry):
+            samples, in_cache, c1_cache, k_cache, v_cache, rng = carry
+            i, j = idx // width, idx % width
 
-        def block_body(l, carry_b):
-            h, c1_cache, k_cache, v_cache = carry_b
+            nb = jax.lax.dynamic_slice(
+                in_cache, (0, i, j, 0), (batch_size, k_in, k_in, cin))
+            h = nb.reshape(batch_size, -1) @ w_in + b_in          # (B, hc)
 
-            def res_body(r, xc):
-                x, c1_cache = xc
-                c1 = nn.relu(x @ w1[l, r] + b1[l, r])
-                c1_cache = jax.lax.dynamic_update_slice(
-                    c1_cache, c1.reshape(1, 1, batch_size, 1, 1, half),
-                    (l, r, 0, i + 1, j + 1, 0))
-                nb2 = jax.lax.dynamic_slice(
-                    c1_cache, (l, r, 0, i, j, 0),
-                    (1, 1, batch_size, 3, 3, half))
-                c2 = nn.relu(nb2.reshape(batch_size, -1) @ w2[l, r]
-                             + b2[l, r])
-                gate = jax.nn.sigmoid(c2 @ wg[l, r] + bg[l, r])
-                feat = jnp.tanh(c2 @ wf[l, r] + bf[l, r])
-                return x + gate * feat, c1_cache
+            def block_body(l, carry_b):
+                h, c1_cache, k_cache, v_cache = carry_b
 
-            x, c1_cache = jax.lax.fori_loop(0, n_res, res_body,
-                                            (h, c1_cache))
+                def res_body(r, xc):
+                    x, c1_cache = xc
+                    c1 = nn.relu(x @ w1[l, r] + b1[l, r])
+                    c1_cache = jax.lax.dynamic_update_slice(
+                        c1_cache, c1.reshape(1, 1, batch_size, 1, 1, half),
+                        (l, r, 0, i + 1, j + 1, 0))
+                    nb2 = jax.lax.dynamic_slice(
+                        c1_cache, (l, r, 0, i, j, 0),
+                        (1, 1, batch_size, 3, 3, half))
+                    c2 = nn.relu(nb2.reshape(batch_size, -1) @ w2[l, r]
+                                 + b2[l, r])
+                    gf = c2 @ wgf[l, r] + bgf[l, r]
+                    gate = jax.nn.sigmoid(gf[:, :hc])
+                    feat = jnp.tanh(gf[:, hc:])
+                    return x + gate * feat, c1_cache
 
-            # attention at pixel t over cached keys 0..t (inclusive)
-            qt = (x @ wq[l] + bq[l]).reshape(batch_size, nh, hd)
-            kt = (x @ wk[l] + bk[l]).reshape(batch_size, nh, hd)
-            vt = (x @ wv[l] + bv[l]).reshape(batch_size, nh, hd)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, kt.reshape(1, batch_size, nh, 1, hd),
-                (l, 0, 0, idx, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, vt.reshape(1, batch_size, nh, 1, hd),
-                (l, 0, 0, idx, 0))
-            logits = jnp.einsum("bnd,bnld->bnl", qt,
-                                k_cache[l]) * sm_scale        # (B, nh, L)
-            logits = jnp.where(key_pos[None, None, :] <= idx, logits,
-                               -jnp.inf)
-            probs = jax.nn.softmax(logits, axis=-1)
-            attn = jnp.einsum("bnl,bnld->bnd", probs, v_cache[l])
-            attn = attn.reshape(batch_size, pd) @ wo[l] + bo[l]  # (B, hc)
+                x, c1_cache = jax.lax.fori_loop(0, n_res, res_body,
+                                                (h, c1_cache))
 
-            blk_out = jnp.concatenate([x, attn], axis=-1) @ woc[l] + boc[l]
-            return h + blk_out + x, c1_cache, k_cache, v_cache
+                # attention at pixel t over cached keys 0..t (inclusive);
+                # keys t+1..kv_len-1 are masked, keys >= kv_len are outside
+                # this segment's static prefix and never read
+                qkv = (x @ wqkv[l] + bqkv[l]).reshape(batch_size, 3, nh, hd)
+                qt, kt, vt = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, kt.reshape(1, batch_size, nh, 1, hd).astype(
+                        cache_dtype), (l, 0, 0, idx, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, vt.reshape(1, batch_size, nh, 1, hd).astype(
+                        cache_dtype), (l, 0, 0, idx, 0))
+                k_pref = jax.lax.dynamic_slice(
+                    k_cache, (l, 0, 0, 0, 0),
+                    (1, batch_size, nh, kv_len, hd))[0]
+                v_pref = jax.lax.dynamic_slice(
+                    v_cache, (l, 0, 0, 0, 0),
+                    (1, batch_size, nh, kv_len, hd))[0]
+                logits = jnp.einsum(
+                    "bnd,bnld->bnl", qt.astype(cache_dtype), k_pref,
+                    preferred_element_type=jnp.float32) * sm_scale
+                logits = jnp.where(key_pos[None, None, :kv_len] <= idx,
+                                   logits, -jnp.inf)
+                probs = jax.nn.softmax(logits, axis=-1)
+                attn = jnp.einsum("bnl,bnld->bnd",
+                                  probs.astype(cache_dtype), v_pref,
+                                  preferred_element_type=jnp.float32)
+                attn = attn.reshape(batch_size, pd) @ wo[l] + bo[l]
 
-        h, c1_cache, k_cache, v_cache = jax.lax.fori_loop(
-            0, nb_blocks, block_body, (h, c1_cache, k_cache, v_cache))
+                blk_out = (jnp.concatenate([x, attn], axis=-1) @ woc[l]
+                           + boc[l])
+                return h + blk_out + x, c1_cache, k_cache, v_cache
 
-        hh = nn.relu(nn.relu(h) @ wo1 + bo1)
-        logits = (hh @ wo2 + bo2) / temperature               # (B, K)
-        rng, sub = jax.random.split(rng)
-        code = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
-        samples = jax.lax.dynamic_update_slice(
-            samples, code.reshape(batch_size, 1, 1), (0, i, j))
-        emb = jnp.take(emb_table, code, axis=0)
-        in_cache = jax.lax.dynamic_update_slice(
-            in_cache,
-            emb.reshape(batch_size, 1, 1, model.embedding_dim).astype(
-                jnp.float32),
-            (0, i + pad_in, j + pad_in, 0))
-        return samples, in_cache, c1_cache, k_cache, v_cache, rng
+            h, c1_cache, k_cache, v_cache = jax.lax.fori_loop(
+                0, nb_blocks, block_body, (h, c1_cache, k_cache, v_cache))
 
-    samples, _, _, _, _, _ = jax.lax.fori_loop(
-        0, L, body, (samples0, in_cache0, c1_cache0, k_cache0, v_cache0, rng))
-    return samples
+            hh = nn.relu(nn.relu(h) @ wo1 + bo1)
+            logits = (hh @ wo2 + bo2) / temperature               # (B, K)
+            rng, sub = jax.random.split(rng)
+            code = jax.random.categorical(sub, logits,
+                                          axis=-1).astype(jnp.int32)
+            samples = jax.lax.dynamic_update_slice(
+                samples, code.reshape(batch_size, 1, 1), (0, i, j))
+            emb = jnp.take(emb_table, code, axis=0)
+            in_cache = jax.lax.dynamic_update_slice(
+                in_cache,
+                emb.reshape(batch_size, 1, 1, model.embedding_dim).astype(
+                    jnp.float32),
+                (0, i + pad_in, j + pad_in, 0))
+            return samples, in_cache, c1_cache, k_cache, v_cache, rng
+
+        return body
+
+    carry = (samples0, in_cache0, c1_cache0, k_cache0, v_cache0, rng)
+    chunk = max(1, -(-L // SNAIL_KV_SEGMENTS))
+    for lo in range(0, L, chunk):
+        hi = min(lo + chunk, L)
+        carry = jax.lax.fori_loop(lo, hi, make_body(hi), carry)
+    return carry[0]
 
 
 def warn_long_seq_dropout(model, h: int, w: int) -> None:
@@ -736,12 +785,16 @@ def warn_long_seq_dropout(model, h: int, w: int) -> None:
 
 def sample_prior(model, params, rng, batch_size, height, width,
                  condition=None, temperature: float = 1.0,
-                 fast: bool = True) -> Array:
+                 fast: bool = True,
+                 cache_dtype: Any = jnp.bfloat16) -> Array:
     """Dispatch: cached sampler for PixelCNN/PixelSNAIL, naive loop
-    otherwise."""
+    otherwise. ``cache_dtype`` only affects the PixelSNAIL KV cache
+    (f32 for bitwise naive-equality, bf16 default for half the HBM
+    traffic on the per-pixel hot loop)."""
     if fast and isinstance(model, PixelSNAIL):
         return sample_fast_snail(model, params, rng, batch_size, height,
-                                 width, condition, temperature)
+                                 width, condition, temperature,
+                                 cache_dtype=cache_dtype)
     if fast and isinstance(model, PixelCNN):
         return sample_fast(model, params, rng, batch_size, height, width,
                            condition, temperature)
@@ -753,7 +806,8 @@ def sample_hierarchical(model, params, rng, batch_size: int,
                         top_shape: Tuple[int, int],
                         bottom_shape: Tuple[int, int],
                         temperature: float = 1.0,
-                        fast: bool = True) -> Tuple[Array, Array]:
+                        fast: bool = True,
+                        cache_dtype: Any = jnp.bfloat16) -> Tuple[Array, Array]:
     """Sample z_top then z_bottom | z_top (pixelcnn_prior.py:410-416)."""
     rng_t, rng_b = jax.random.split(rng)
     # sampler modules come from the hierarchical module's own factories —
@@ -763,11 +817,12 @@ def sample_hierarchical(model, params, rng, batch_size: int,
     top = model.make_top_module()
     z_top = sample_prior(top, params["prior_top"], rng_t, batch_size,
                          top_shape[0], top_shape[1], temperature=temperature,
-                         fast=fast)
+                         fast=fast, cache_dtype=cache_dtype)
     cond = model.apply({"params": params}, z_top,
                        method="condition_from_top")
     bottom = model.make_bottom_module()
     z_bottom = sample_prior(bottom, params["prior_bottom"], rng_b, batch_size,
                             bottom_shape[0], bottom_shape[1], condition=cond,
-                            temperature=temperature, fast=fast)
+                            temperature=temperature, fast=fast,
+                            cache_dtype=cache_dtype)
     return z_top, z_bottom

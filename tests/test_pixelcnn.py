@@ -89,7 +89,8 @@ def test_fast_sampler_matches_naive_with_condition():
 
 def test_fast_snail_sampler_matches_naive():
     """The KV-cache PixelSNAIL sampler must sample the SAME codes as the
-    naive full-forward sampler for identical rng."""
+    naive full-forward sampler for identical rng (f32 KV cache — the
+    bitwise-equality configuration; the production default is bf16)."""
     model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
                        num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
                        dropout=0.0)
@@ -97,8 +98,31 @@ def test_fast_snail_sampler_matches_naive():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     rng = jax.random.PRNGKey(11)
     s_naive = sample_naive(model, params, rng, 2, 5, 5, temperature=1.0)
-    s_fast = sample_fast_snail(model, params, rng, 2, 5, 5, temperature=1.0)
+    s_fast = sample_fast_snail(model, params, rng, 2, 5, 5, temperature=1.0,
+                               cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(s_naive), np.asarray(s_fast))
+
+
+def test_fast_snail_bf16_cache_samples_agree():
+    """The default bf16 KV cache (half the HBM traffic of the per-pixel hot
+    loop) must produce nearly the same codes as the bitwise-exact f32 cache:
+    same shapes/validity always, and an overwhelming per-pixel match on a
+    fixed seed (the only differences come from categorical draws whose
+    gumbel gap is inside bf16 rounding of the logits)."""
+    model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
+                       num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
+                       dropout=0.0)
+    x = jnp.zeros((4, 5, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    rng = jax.random.PRNGKey(11)
+    s_f32 = sample_fast_snail(model, params, rng, 4, 5, 5,
+                              cache_dtype=jnp.float32)
+    s_bf16 = sample_fast_snail(model, params, rng, 4, 5, 5)
+    assert s_bf16.shape == (4, 5, 5)
+    a, b = np.asarray(s_f32), np.asarray(s_bf16)
+    assert (b >= 0).all() and (b < K).all()
+    match = float((a == b).mean())
+    assert match >= 0.7, f"bf16 KV cache diverged: match fraction {match}"
 
 
 def test_pixelcnn_loss():
@@ -154,7 +178,7 @@ def test_hierarchical_fast_matches_naive_nondefault_shapes():
     params = model.init(jax.random.PRNGKey(0), zt, zb)["params"]
     rng = jax.random.PRNGKey(7)
     zt_f, zb_f = sample_hierarchical(model, params, rng, 1, (3, 3), (6, 6),
-                                     fast=True)
+                                     fast=True, cache_dtype=jnp.float32)
     zt_n, zb_n = sample_hierarchical(model, params, rng, 1, (3, 3), (6, 6),
                                      fast=False)
     np.testing.assert_array_equal(np.asarray(zt_f), np.asarray(zt_n))
