@@ -52,8 +52,7 @@ def bench_sampling(args):
     measured on v5e (grid 16x16): PixelCNN 51k px/s @ bs64 -> 197k @ bs256;
     PixelSNAIL 39k @ bs64 -> 126k @ bs256. Grid 32x32 @ bs128: PixelCNN
     131k px/s, PixelSNAIL 50k px/s."""
-    from movae_tpu.models.pixelcnn import (PixelCNN, PixelSNAIL, sample_fast,
-                                           sample_fast_snail)
+    from movae_tpu.models.pixelcnn import PixelCNN, PixelSNAIL, sample_prior
 
     h = w = args.grid
     b = args.batch_size
@@ -62,15 +61,15 @@ def bench_sampling(args):
                            hidden_channels=128, num_blocks=8,
                            num_res_blocks_per_layer=2, num_heads=8,
                            dropout=0.0)
-        z = jnp.zeros((2, h, w), jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), z)["params"]
-        fast = jax.jit(lambda r: sample_fast_snail(model, params, r, b, h, w))
     else:
         model = PixelCNN(num_embeddings=512, embedding_dim=64,
                          hidden_channels=128, num_layers=15)
-        z = jnp.zeros((2, h, w), jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), z)["params"]
-        fast = jax.jit(lambda r: sample_fast(model, params, r, b, h, w))
+    z = jnp.zeros((2, h, w), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), z)["params"]
+    # sample_prior dispatches the fastest measured sampler per shape
+    # (PixelCNN: wavefront for 256<=H*W<=1024, raster cache otherwise;
+    # PixelSNAIL: segmented bf16-KV raster cache)
+    fast = jax.jit(lambda r: sample_prior(model, params, r, b, h, w))
     rng = jax.random.PRNGKey(1)
     np.asarray(fast(rng))  # compile
     # per-rep host-fetch sync + median: enqueue-then-fetch-once timing is
