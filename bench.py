@@ -32,9 +32,11 @@ import time
 # persistent XLA compile cache: repeat runs skip the first-compile cost
 # (set via jax.config — env vars are too late when a sitecustomize has
 # already imported jax). Opt out with JAX_COMPILATION_CACHE_DIR="".
-from movae_tpu.utils import enable_persistent_compilation_cache
+from movae_tpu.utils import (enable_persistent_compilation_cache,
+                             require_live_backend)
 
 enable_persistent_compilation_cache()
+require_live_backend()  # ride out transient tunnel outages (bounded)
 
 import jax
 import jax.numpy as jnp

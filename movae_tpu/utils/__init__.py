@@ -34,6 +34,39 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def require_live_backend(max_retries: int = 20, sleep_s: float = 30.0) -> None:
+    """Wait out a transient accelerator-backend outage by re-exec'ing the
+    current process until ``jax.devices()`` initializes.
+
+    The TPU in this environment is reached over a tunnel that occasionally
+    drops; when JAX's backend init fails it raises ``RuntimeError`` and the
+    failure is cached for the life of the process, so an in-process retry
+    is useless — instead we sleep and ``os.execv`` the same command line
+    (bounded by ``MOVAE_BACKEND_RETRY`` so a hard outage still fails after
+    ~``max_retries * sleep_s`` seconds). Harness entry points (bench.py,
+    __graft_entry__.py) call this so a blip at measurement time doesn't
+    lose the run."""
+    import os
+    import sys
+    import time
+
+    try:
+        import jax
+
+        jax.devices()
+        os.environ.pop("MOVAE_BACKEND_RETRY", None)
+        return
+    except RuntimeError as e:
+        n = int(os.environ.get("MOVAE_BACKEND_RETRY", "0"))
+        if n >= max_retries:
+            raise
+        print(f"[movae_tpu] backend init failed ({e}); retry {n + 1}/"
+              f"{max_retries} in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        os.environ["MOVAE_BACKEND_RETRY"] = str(n + 1)
+        time.sleep(sleep_s)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def enable_persistent_compilation_cache(path: str = None) -> None:
     """Turn on the persistent XLA compile cache so repeat runs of the same
     program skip the (multi-minute) first compile — runner.py batch mode

@@ -12,9 +12,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from movae_tpu.utils import enable_persistent_compilation_cache
+from movae_tpu.utils import (enable_persistent_compilation_cache,
+                             require_live_backend)
 
 enable_persistent_compilation_cache()
+require_live_backend()
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--agg", type=str, default="sum")
+    p.add_argument("--arch", type=str, default="vq_vae",
+                   help="vq_vae (headline) or vq_vae2 --input_size 256 "
+                        "(the CelebA-HQ/ImageNet acceptance shape)")
     p.add_argument("--input_size", type=int, default=32)
     p.add_argument("--measure", action="store_true",
                    help="also run + time the step (per-rep sync median)")
@@ -37,7 +42,7 @@ def main():
     from movae_tpu.train.step import make_train_step
 
     model_args = dict(
-        arch="vq_vae", embedding_dim=64, num_embeddings=512,
+        arch=args.arch, embedding_dim=64, num_embeddings=512,
         hidden_dims=(128, 256), num_residual_layers=2,
         batch_size=args.batch_size, dataset_size=50000,
         recons_objective="mse",

@@ -157,3 +157,45 @@ def test_prior_trainer_saved_args_precedence():
     assert merged.dataset == "cifar10"                # None default ignored
     assert merged.batch_size == 256                   # saved beats default
     assert merged.pixelcnn_epochs == 100              # default fills gaps
+
+
+def test_require_live_backend_retry_paths(monkeypatch):
+    """bench.py/step_cost.py ride out transient tunnel outages by bounded
+    re-exec (movae_tpu.utils.require_live_backend): a backend-init
+    RuntimeError below the retry cap execv's the same command line with the
+    counter bumped; at the cap it re-raises; a healthy backend clears the
+    counter."""
+    from movae_tpu import utils as u
+
+    class FakeJax:
+        def __init__(self, ok):
+            self.ok = ok
+
+        def devices(self):
+            if not self.ok:
+                raise RuntimeError("Unable to initialize backend 'axon'")
+            return ["cpu0"]
+
+    # exhaustion: re-raise
+    monkeypatch.setitem(sys.modules, "jax", FakeJax(ok=False))
+    monkeypatch.setenv("MOVAE_BACKEND_RETRY", "20")
+    with pytest.raises(RuntimeError):
+        u.require_live_backend(max_retries=20, sleep_s=0)
+
+    # below cap: execv with bumped counter
+    calls = {}
+    monkeypatch.setenv("MOVAE_BACKEND_RETRY", "3")
+    def fake_execv(exe, argv):
+        calls["x"] = (exe, argv)
+        raise SystemExit(0)
+
+    monkeypatch.setattr(os, "execv", fake_execv)
+    with pytest.raises(SystemExit):
+        u.require_live_backend(max_retries=20, sleep_s=0)
+    assert calls["x"][0] == sys.executable
+    assert os.environ["MOVAE_BACKEND_RETRY"] == "4"
+
+    # healthy backend: counter cleared, no exec
+    monkeypatch.setitem(sys.modules, "jax", FakeJax(ok=True))
+    u.require_live_backend()
+    assert "MOVAE_BACKEND_RETRY" not in os.environ
