@@ -24,8 +24,9 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import linen as nn
+
+from movae_tpu.objectives import integer_cross_entropy
 
 Array = jax.Array
 
@@ -41,6 +42,26 @@ DENSE_ATTENTION_MAX_L = 1024
 # drops to ~(1 + 1/n)/2 of the full-L reads at the cost of n compiled loop
 # bodies. 4 ≈ 37.5% less traffic; diminishing returns beyond ~8.
 SNAIL_KV_SEGMENTS = 4
+
+
+class GatherEmbed(nn.Module):
+    """Drop-in ``nn.Embed``: same param tree (one ``embedding`` table, same
+    default init), but the lookup goes through ``ops.vq.gather_rows`` whose
+    VJP is a one-hot matmul — ``nn.Embed``'s take-based VJP is a
+    scatter-add, which XLA:TPU executes serially per update and which is
+    the prior train step's only scatter (B*H*W updates into (K, D))."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, inputs: Array) -> Array:
+        from movae_tpu.ops.vq import gather_rows
+
+        table = self.param("embedding", nn.linear.default_embed_init,
+                           (self.num_embeddings, self.features))
+        out = gather_rows(table, inputs.reshape(-1))
+        return out.reshape(inputs.shape + (self.features,))
 
 
 def make_conv_mask(kh: int, kw: int, cin: int, cout: int,
@@ -212,8 +233,8 @@ class PixelCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.embedding = nn.Embed(self.num_embeddings, self.embedding_dim,
-                                  name="embedding")
+        self.embedding = GatherEmbed(self.num_embeddings, self.embedding_dim,
+                                      name="embedding")
         self.conv_in = MaskedConv(self.hidden_channels,
                                   (self.kernel_size, self.kernel_size), "A",
                                   dtype=self.dtype, name="conv_in")
@@ -241,8 +262,8 @@ class PixelCNN(nn.Module):
     def loss_function(self, x: Array, condition: Optional[Array] = None,
                       train: bool = True) -> Dict[str, Array]:
         logits = self(x, condition, train=train)
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits.reshape(-1, self.num_embeddings), x.reshape(-1)).mean()
+        loss = integer_cross_entropy(
+            logits.reshape(-1, self.num_embeddings), x.reshape(-1))
         return {"total_loss": loss}
 
 
@@ -262,8 +283,8 @@ class PixelSNAIL(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.embedding = nn.Embed(self.num_embeddings, self.embedding_dim,
-                                  name="embedding")
+        self.embedding = GatherEmbed(self.num_embeddings, self.embedding_dim,
+                                      name="embedding")
         self.conv_in = MaskedConv(self.hidden_channels,
                                   (self.kernel_size, self.kernel_size), "A",
                                   dtype=self.dtype, name="conv_in")
@@ -296,8 +317,8 @@ class PixelSNAIL(nn.Module):
     def loss_function(self, x: Array, condition: Optional[Array] = None,
                       train: bool = True) -> Dict[str, Array]:
         logits = self(x, condition, train=train)
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits.reshape(-1, self.num_embeddings), x.reshape(-1)).mean()
+        loss = integer_cross_entropy(
+            logits.reshape(-1, self.num_embeddings), x.reshape(-1))
         return {"total_loss": loss}
 
 
@@ -329,8 +350,8 @@ class HierarchicalPixelCNN(nn.Module):
 
     def setup(self):
         self.prior_top = self.make_top_module()
-        self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
-                                      name="embedding_top")
+        self.embedding_top = GatherEmbed(self.num_embeddings, self.embedding_dim,
+                                          name="embedding_top")
         self.upsample_top = nn.ConvTranspose(
             self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
             dtype=self.dtype, name="upsample_top")
@@ -350,10 +371,10 @@ class HierarchicalPixelCNN(nn.Module):
                       train: bool = True) -> Dict[str, Array]:
         out = self(z_top, z_bottom, train=train)
         k = self.num_embeddings
-        lt = optax.softmax_cross_entropy_with_integer_labels(
-            out["logits_top"].reshape(-1, k), z_top.reshape(-1)).mean()
-        lb = optax.softmax_cross_entropy_with_integer_labels(
-            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1)).mean()
+        lt = integer_cross_entropy(
+            out["logits_top"].reshape(-1, k), z_top.reshape(-1))
+        lb = integer_cross_entropy(
+            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1))
         return {"loss_top": lt, "loss_bottom": lb, "total_loss": lt + lb}
 
 
@@ -390,8 +411,8 @@ class HierarchicalPixelSNAIL(nn.Module):
 
     def setup(self):
         self.prior_top = self.make_top_module()
-        self.embedding_top = nn.Embed(self.num_embeddings, self.embedding_dim,
-                                      name="embedding_top")
+        self.embedding_top = GatherEmbed(self.num_embeddings, self.embedding_dim,
+                                          name="embedding_top")
         self.upsample_top = nn.ConvTranspose(
             self.embedding_dim, (4, 4), strides=(2, 2), padding="SAME",
             dtype=self.dtype, name="upsample_top")
@@ -411,10 +432,10 @@ class HierarchicalPixelSNAIL(nn.Module):
                       train: bool = True) -> Dict[str, Array]:
         out = self(z_top, z_bottom, train=train)
         k = self.num_embeddings
-        lt = optax.softmax_cross_entropy_with_integer_labels(
-            out["logits_top"].reshape(-1, k), z_top.reshape(-1)).mean()
-        lb = optax.softmax_cross_entropy_with_integer_labels(
-            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1)).mean()
+        lt = integer_cross_entropy(
+            out["logits_top"].reshape(-1, k), z_top.reshape(-1))
+        lb = integer_cross_entropy(
+            out["logits_bottom"].reshape(-1, k), z_bottom.reshape(-1))
         return {"loss_top": lt, "loss_bottom": lb, "total_loss": lt + lb}
 
 

@@ -104,6 +104,24 @@ def kl_divergence(mu: Array, log_var: Array) -> Array:
     return jnp.mean(kl)
 
 
+def integer_cross_entropy(logits: Array, labels: Array) -> Array:
+    """Mean CE over integer labels: ``mean(logsumexp(l) - l[label])``, the
+    prior-training loss (reference main.py:1002, F.cross_entropy).
+
+    Scatter-free by construction: ``optax.softmax_cross_entropy_with_
+    integer_labels`` picks the label logit with ``take_along_axis``, whose
+    VJP is an XLA scatter — serialized per row on TPU. Selecting via a
+    one-hot multiply keeps the backward a pure softmax-minus-one-hot
+    elementwise fusion; values and gradients are bitwise-equal to the optax
+    form (tested)."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.sum(
+        jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+        * logits, axis=-1)
+    return jnp.mean(lse - picked)
+
+
 # ---------------------------------------------------------------------------
 # Registry: recons_objective name -> (fn, inferred activation)
 # Mirrors get_recon_obj_and_activation (objectives.py:6-43).

@@ -121,17 +121,62 @@ def nearest_code_indices(z_flat: Array, codebook: Array,
     return _nearest_inds_xla(z_flat, codebook)
 
 
+@jax.custom_vjp
+def _gather_rows(codebook: Array, inds: Array) -> Array:
+    return jnp.take(codebook, inds, axis=0)
+
+
+def _gather_rows_fwd(codebook, inds):
+    return jnp.take(codebook, inds, axis=0), (inds, codebook.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    # The codebook cotangent of a row gather is mathematically a
+    # scatter-add of ``g`` into the selected rows — but XLA:TPU serializes
+    # scatters (no vector scatter unit), which makes the default
+    # ``jnp.take`` VJP the slowest op in the VQ train step. Express the
+    # same sum as ``one_hot(inds)^T @ g``: one (K, N) x (N, D) MXU matmul
+    # with f32 accumulation — identical math, different (deterministic)
+    # summation order.
+    inds, k = res
+    one_hot = jax.nn.one_hot(inds, k, dtype=g.dtype)
+    grad_cb = jax.lax.dot_general(
+        one_hot, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    return grad_cb, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+# public alias: models embed discrete codes through the same matmul-VJP
+# gather (flax nn.Embed's take-based VJP is a scatter-add — serialized on
+# TPU — and the code-embedding gradient is the prior step's only scatter)
+gather_rows = _gather_rows
+
+
 def vq_lookup(z_flat: Array, codebook: Array,
               use_pallas: Optional[bool] = None) -> Tuple[Array, Array]:
     """Nearest-codebook lookup: returns (quantized rows, indices).
 
-    Differentiable w.r.t. the codebook (gather semantics; VJP = scatter-add);
+    Differentiable w.r.t. the codebook (gather semantics; the VJP is the
+    scatter-add sum expressed as a one-hot matmul — see ``_gather_rows``);
     zero gradient to ``z_flat`` (matching ``codebook[argmin]`` in the
     reference, vq_vae.py:39-48).
     """
     inds = nearest_code_indices(z_flat, codebook, use_pallas)
-    q = jnp.take(codebook, inds, axis=0)
+    q = _gather_rows(codebook, inds)
     return q, inds
+
+
+def used_codes_mask(inds: Array, num_embeddings: int) -> Array:
+    """(…,) int32 indices -> (K,) bool mask of codes that appear.
+
+    The natural ``zeros(K).at[inds].set(True)`` lowers to an XLA scatter,
+    which TPUs execute serially per update (B*H*W updates per step);
+    the broadcast compare-any form is one vectorized (N, K) pass."""
+    inds = inds.reshape(-1)
+    k_iota = jnp.arange(num_embeddings, dtype=inds.dtype)
+    return jnp.any(inds[:, None] == k_iota[None, :], axis=0)
 
 
 def vector_quantize(z: Array, codebook: Array,

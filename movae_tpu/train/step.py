@@ -58,9 +58,11 @@ def _codebook_usage(outputs: Dict[str, Any], num_embeddings: int) -> Optional[Ar
     """Per-batch codebook usage %, from encoding indices (vq_vae.py:110-124).
     Handles single (``encoding_inds``) and hierarchical
     (``encoding_inds_top``/``_bottom``) layouts (main.py:311-330)."""
+    from movae_tpu.ops.vq import used_codes_mask
+
     def pct(inds):
-        used = jnp.zeros((num_embeddings,), jnp.float32).at[inds.reshape(-1)].set(1.0)
-        return jnp.sum(used) / num_embeddings * 100.0
+        used = used_codes_mask(inds, num_embeddings)
+        return jnp.sum(used.astype(jnp.float32)) / num_embeddings * 100.0
 
     if outputs.get("encoding_inds") is not None:
         return pct(outputs["encoding_inds"])
@@ -258,17 +260,17 @@ def make_eval_step(model, normalize_inputs: bool = False):
             train=False, method="forward_with_losses", rngs=_rngs(rng))
         metrics = {k: loss_dict[k] for k in model.objective_names}
         metrics["total_loss"] = loss_dict["total_loss"]
+        from movae_tpu.ops.vq import used_codes_mask
+
         extras = {}
         if outputs.get("encoding_inds") is not None:
-            mask = jnp.zeros((num_embeddings,), jnp.bool_)
-            extras["used_mask"] = mask.at[
-                outputs["encoding_inds"].reshape(-1)].set(True)
+            extras["used_mask"] = used_codes_mask(
+                outputs["encoding_inds"], num_embeddings)
         if (outputs.get("encoding_inds_top") is not None
                 and outputs.get("encoding_inds_bottom") is not None):
             for side in ("top", "bottom"):
-                mask = jnp.zeros((num_embeddings,), jnp.bool_)
-                extras[f"used_mask_{side}"] = mask.at[
-                    outputs[f"encoding_inds_{side}"].reshape(-1)].set(True)
+                extras[f"used_mask_{side}"] = used_codes_mask(
+                    outputs[f"encoding_inds_{side}"], num_embeddings)
         return metrics, extras, outputs
 
     return eval_step
