@@ -11,15 +11,19 @@ Two backends:
     matmul and reduces it to the per-row argmin **inside VMEM**, emitting
     only the (N,) index vector — the (N, K) distance matrix never touches
     HBM (the HBM-bandwidth win; SURVEY.md §2.6 #1). The quantized rows are
-    then an exact XLA gather ``codebook[inds]`` (f32-exact, and its VJP is
-    the standard scatter-add into the codebook — no custom VJP needed).
+    then an exact XLA gather ``codebook[inds]`` via ``gather_rows``.
   * **XLA fallback** (default): the same math in jnp; on TPU the distance
     matmul uses the same default MXU precision, so backends agree.
 
 Differentiability matches the reference semantics: ``q = codebook[argmin]``
-passes gradients to the codebook (gather -> scatter-add) and none to the
-latents; callers build the straight-through estimator ``z + sg(q - z)`` and
-the two MSE losses on top.
+passes gradients to the codebook and none to the latents; callers build the
+straight-through estimator ``z + sg(q - z)`` and the two MSE losses on top.
+The codebook cotangent is mathematically a scatter-add of the output
+cotangent rows, but XLA:TPU serializes scatters, so ``gather_rows`` defines
+a custom VJP computing the identical sum as a one-hot MXU matmul
+(``one_hot(inds)^T @ g``); ``used_codes_mask`` likewise replaces the usage
+scatter with a compare-any reduction (tests/test_scatter_free.py pins both
+to the naive forms and asserts the train-step HLO is scatter-free).
 
 Backend choice (measured on v5e, full VQ-VAE train step at bs 256): the XLA
 path is equal-or-faster (69.6k vs 64.7k img/s) because XLA fuses the
