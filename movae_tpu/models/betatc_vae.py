@@ -81,12 +81,13 @@ class BetaTCVAE(MOVAEModel):
         rev = tuple(reversed(hd))
         self.dec_deconvs = [
             nn.ConvTranspose(rev[i + 1], (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype,
+                             padding=((1, 2), (1, 2)), dtype=self.dtype,
                              name=f"dec_deconv_{i}")
             for i in range(len(rev) - 1)
         ]
         self.final_deconv = nn.ConvTranspose(rev[-1], (3, 3), strides=(2, 2),
-                                             padding="SAME", dtype=self.dtype,
+                                             padding=((1, 2), (1, 2)),
+                                             dtype=self.dtype,
                                              name="final_deconv")
         self.final_conv = nn.Conv(self.in_channels, (3, 3), padding="SAME",
                                   dtype=self.dtype, name="final_conv")

@@ -74,7 +74,7 @@ class SphereEncoder(VAE):
     def setup(self):
         hd = tuple(self.hidden_dims)
         self.enc_convs = [
-            nn.Conv(h, (3, 3), strides=(2, 2), padding="SAME",
+            nn.Conv(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name=f"enc_conv_{i}")
             for i, h in enumerate(hd)
         ]
@@ -86,13 +86,14 @@ class SphereEncoder(VAE):
         rev = tuple(reversed(hd))
         self.dec_deconvs = [
             nn.ConvTranspose(rev[i + 1], (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype,
+                             padding=((1, 2), (1, 2)), dtype=self.dtype,
                              name=f"dec_deconv_{i}")
             for i in range(len(rev) - 1)
         ]
         self.dec_norms = self._make_norms(len(rev) - 1, "dec_norm")
         self.final_deconv = nn.ConvTranspose(rev[-1], (3, 3), strides=(2, 2),
-                                             padding="SAME", dtype=self.dtype,
+                                             padding=((1, 2), (1, 2)),
+                                             dtype=self.dtype,
                                              name="final_deconv")
         self.final_norms = self._make_norms(1, "final_norm")
         self.final_conv = nn.Conv(self.in_channels, (3, 3), padding="SAME",

@@ -58,9 +58,17 @@ class VAE(MOVAEModel):
         return self.hidden_dims[-1] * self.spatial_dim * self.spatial_dim
 
     def setup(self):
+        # Torch-exact geometry (enables bit-exact torch checkpoint import,
+        # utils/torch_import.py): the reference encoder convs are k3 s2 p1
+        # (vae.py:122-124) = symmetric (1,1) padding, whereas flax "SAME"
+        # at even input sizes pads only the high side; the reference
+        # decoder deconvs are ConvTranspose k3 s2 p1 output_padding1
+        # (vae.py:150-156) = flax conv_transpose padding ((1,2),(1,2))
+        # (verified exact vs torch in tests/test_torch_import.py).
         hd = tuple(self.hidden_dims)
         self.enc_convs = [
-            nn.Conv(h, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+            nn.Conv(h, kernel_size=(3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name=f"enc_conv_{i}")
             for i, h in enumerate(hd)
         ]
@@ -73,12 +81,15 @@ class VAE(MOVAEModel):
         rev = tuple(reversed(hd))
         self.dec_deconvs = [
             nn.ConvTranspose(rev[i + 1], kernel_size=(3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype, name=f"dec_deconv_{i}")
+                             padding=((1, 2), (1, 2)), dtype=self.dtype,
+                             name=f"dec_deconv_{i}")
             for i in range(len(rev) - 1)
         ]
         self.dec_norms = self._make_norms(len(rev) - 1, "dec_norm")
-        self.final_deconv = nn.ConvTranspose(rev[-1], kernel_size=(3, 3), strides=(2, 2),
-                                             padding="SAME", dtype=self.dtype,
+        self.final_deconv = nn.ConvTranspose(rev[-1], kernel_size=(3, 3),
+                                             strides=(2, 2),
+                                             padding=((1, 2), (1, 2)),
+                                             dtype=self.dtype,
                                              name="final_deconv")
         self.final_norms = self._make_norms(1, "final_norm")
         self.final_conv = nn.Conv(self.in_channels, kernel_size=(3, 3), padding="SAME",

@@ -38,10 +38,12 @@ class ResidualLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # reference order: conv k3 -> ReLU -> conv k1 (vq_vae.py:136-141);
+        # torch-forward-exactness pinned by tests/test_torch_import.py
         h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv3")(nn.relu(x))
+                    dtype=self.dtype, name="conv3")(x)
         h = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(h)
+                    name="conv1")(nn.relu(h))
         return x + h
 
 
