@@ -99,8 +99,32 @@ def _find_prior(model_path: str, model, vq_args):
     if not hasattr(model, "num_embeddings"):
         return None
     save_root = os.path.dirname(os.path.dirname(os.path.abspath(model_path)))
+    hier_arch = arch in ("vq_vae2", "gg_vq_vae2")
     for prior_dir in ("pixelcnn_prior", "pixelsnail_prior"):
         for name in ("best_prior", "final_prior"):
+            # reference torch prior checkpoints live at the same relative
+            # paths with a .pth suffix (reference main.py:1039-1047) —
+            # import them on the fly (utils/torch_import.py)
+            torch_path = os.path.join(save_root, prior_dir, "checkpoints",
+                                      name + ".pth")
+            if os.path.isfile(torch_path):
+                try:
+                    from movae_tpu.utils.torch_import import (
+                        import_torch_state_dict, load_torch_state_dict,
+                        prior_from_state)
+
+                    state, _ = load_torch_state_dict(torch_path)
+                    p_arch = (("hierarchical_" if hier_arch else "")
+                              + ("pixelsnail" if "pixelsnail" in prior_dir
+                                 else "pixelcnn"))
+                    prior_model = prior_from_state(state, p_arch)
+                    p_params, _ = import_torch_state_dict(state, p_arch)
+                    print(f"Using torch prior checkpoint {torch_path} "
+                          "for generation")
+                    return {"model": prior_model, "params": p_params,
+                            "hierarchical": hier_arch}
+                except Exception as e:  # pragma: no cover
+                    print(f"torch prior load failed ({torch_path}): {e}")
             path = os.path.join(save_root, prior_dir, "checkpoints", name)
             if not os.path.exists(os.path.join(path, "meta.json")):
                 continue
@@ -112,7 +136,8 @@ def _find_prior(model_path: str, model, vq_args):
                     merged.prior_type = "pixelsnail"
                 hier = arch in ("vq_vae2", "gg_vq_vae2")
                 prior_model = prior_lib.build_prior(
-                    merged, model.num_embeddings, hier)
+                    merged, model.num_embeddings, hier,
+                    getattr(model, "embedding_dim", None))
                 print(f"Using prior checkpoint {path} for generation")
                 return {"model": prior_model,
                         "params": payload["model_state_dict"]["params"],

@@ -44,7 +44,9 @@ def load_models(model_path: str, prior_path: str, dataset=None,
     explicit = {k: v for k, v in (prior_args or {}).items() if v is not None}
     merged = SimpleNamespace(**{**vars(vq_args), **saved, **explicit})
     prior_model = prior_lib.build_prior(merged, model.num_embeddings,
-                                        hierarchical)
+                                        hierarchical,
+                                        getattr(model, "embedding_dim",
+                                                None))
     prior = {"model": prior_model,
              "params": prior_payload["model_state_dict"]["params"],
              "hierarchical": hierarchical}

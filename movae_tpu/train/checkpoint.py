@@ -56,8 +56,17 @@ def _json_default(o):
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Load a checkpoint saved by :func:`save_checkpoint`; returns the merged
-    payload dict (arrays + metadata)."""
+    payload dict (arrays + metadata).
+
+    A reference *torch* checkpoint file (``final_checkpoint.pth``,
+    main.py:1422-1437) is accepted directly: it is imported bit-exactly via
+    utils/torch_import.py, so ``evaluate.py --model_path .../*.pth`` and the
+    standalone prior trainers work on reference-trained runs unchanged."""
     path = os.path.abspath(path)
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        from movae_tpu.utils.torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
     ckptr = ocp.PyTreeCheckpointer()
     arrays = ckptr.restore(path)
     out: Dict[str, Any] = dict(arrays)

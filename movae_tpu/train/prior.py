@@ -30,15 +30,21 @@ from movae_tpu.utils import AverageMeter
 from movae_tpu.utils.codes_cache import CodeLoader, get_or_extract_codes
 
 
-def build_prior(args, num_embeddings: int, hierarchical: bool):
-    """Prior construction per args (reference main.py:916-952)."""
+def build_prior(args, num_embeddings: int, hierarchical: bool,
+                embedding_dim: int = None):
+    """Prior construction per args (reference main.py:916-952). The prior's
+    code-embedding width follows the VQ model's ``embedding_dim`` as in the
+    reference (main.py passes ``net.embedding_dim``); callers pass
+    ``model.embedding_dim`` (falls back to the args echo, then 64)."""
     prior_type = getattr(args, "prior_type", "pixelcnn")
     hc = getattr(args, "pixelcnn_hidden_channels", 128)
     nl = getattr(args, "pixelcnn_num_layers", 15)
+    d = embedding_dim or getattr(args, "embedding_dim", None) or 64
     if hierarchical:
         if prior_type == "pixelsnail":
             return HierarchicalPixelSNAIL(
-                num_embeddings=num_embeddings, hidden_channels=hc,
+                num_embeddings=num_embeddings, embedding_dim=d,
+                hidden_channels=hc,
                 num_blocks_top=getattr(args, "pixelsnail_num_blocks", 8),
                 num_res_blocks_per_layer=getattr(
                     args, "pixelsnail_num_res_blocks", 2),
@@ -46,17 +52,19 @@ def build_prior(args, num_embeddings: int, hierarchical: bool):
                 num_layers_bottom=nl,
                 dropout=getattr(args, "pixelsnail_dropout", 0.1))
         return HierarchicalPixelCNN(num_embeddings=num_embeddings,
+                                    embedding_dim=d,
                                     hidden_channels=hc, num_layers=nl)
     if prior_type == "pixelsnail":
         return PixelSNAIL(
-            num_embeddings=num_embeddings, hidden_channels=hc,
+            num_embeddings=num_embeddings, embedding_dim=d,
+            hidden_channels=hc,
             num_blocks=getattr(args, "pixelsnail_num_blocks", 8),
             num_res_blocks_per_layer=getattr(args, "pixelsnail_num_res_blocks",
                                              2),
             num_heads=getattr(args, "pixelsnail_num_heads", 8),
             dropout=getattr(args, "pixelsnail_dropout", 0.1))
-    return PixelCNN(num_embeddings=num_embeddings, hidden_channels=hc,
-                    num_layers=nl)
+    return PixelCNN(num_embeddings=num_embeddings, embedding_dim=d,
+                    hidden_channels=hc, num_layers=nl)
 
 
 def prior_args_echo(args) -> Dict[str, Any]:
@@ -141,7 +149,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
                         seed=getattr(args, "seed", 0) or 0,
                         epoch_len=epoch_len)
 
-    prior = build_prior(args, model.num_embeddings, hierarchical)
+    prior = build_prior(args, model.num_embeddings, hierarchical,
+                        getattr(model, "embedding_dim", None))
     att_grid = levels["top" if hierarchical else "codes"]
     warn_long_seq_dropout(prior, att_grid.shape[1], att_grid.shape[2])
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)

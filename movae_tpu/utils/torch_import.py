@@ -445,6 +445,113 @@ def import_torch_state_dict(state: Dict[str, np.ndarray], arch: str
     return im.finish()
 
 
+def prior_from_state(state: Dict[str, np.ndarray], arch: str):
+    """Build the flax prior module whose config matches a reference prior
+    state_dict — shapes/counts inferred from the keys, the same way
+    train_prior_vqvae.py infers K/D from the codebook
+    (train_prior_vqvae.py:169-173)."""
+    from movae_tpu.models.pixelcnn import (HierarchicalPixelCNN,
+                                           HierarchicalPixelSNAIL, PixelCNN,
+                                           PixelSNAIL)
+
+    def count(pat):
+        i = 0
+        while pat.format(i) in state:
+            i += 1
+        return i
+
+    arch = arch.lower()
+    if arch in ("hierarchical_pixelcnn", "hierarchical_pixelsnail"):
+        k, d = state["embedding_top.weight"].shape
+        hc = state["prior_bottom.conv_in.weight"].shape[0]
+        nb = count("prior_bottom.res_blocks.{}.conv1.weight")
+        if arch == "hierarchical_pixelsnail":
+            nt = count("prior_top.blocks.{}.out_conv.weight")
+            nr = count("prior_top.blocks.0.res_blocks.{}.conv1.weight")
+            return HierarchicalPixelSNAIL(
+                num_embeddings=k, embedding_dim=d, hidden_channels=hc,
+                num_blocks_top=nt, num_res_blocks_per_layer=nr,
+                num_layers_bottom=nb)
+        nt = count("prior_top.res_blocks.{}.conv1.weight")
+        return HierarchicalPixelCNN(
+            num_embeddings=k, embedding_dim=d, hidden_channels=hc,
+            num_layers=nt, num_layers_bottom=nb)
+    k, d = state["embedding.weight"].shape
+    hc = state["conv_in.weight"].shape[0]
+    if arch == "pixelsnail":
+        nb = count("blocks.{}.out_conv.weight")
+        nr = count("blocks.0.res_blocks.{}.conv1.weight")
+        return PixelSNAIL(num_embeddings=k, embedding_dim=d,
+                          hidden_channels=hc, num_blocks=nb,
+                          num_res_blocks_per_layer=nr)
+    nl = count("res_blocks.{}.conv1.weight")
+    return PixelCNN(num_embeddings=k, embedding_dim=d, hidden_channels=hc,
+                    num_layers=nl)
+
+
+def sniff_prior_arch(state: Dict[str, np.ndarray]) -> str:
+    """Identify a reference prior state_dict from its keys (the prior
+    checkpoints carry no args echo, main.py:1037-1047). Returns '' if the
+    layout is not a prior."""
+    if "prior_top.embedding.weight" in state:
+        return ("hierarchical_pixelsnail"
+                if "prior_top.blocks.0.out_conv.weight" in state
+                else "hierarchical_pixelcnn")
+    if "embedding.weight" in state and "conv_in.weight" in state:
+        return ("pixelsnail" if "blocks.0.out_conv.weight" in state
+                else "pixelcnn")
+    return ""
+
+
+def load_reference_checkpoint(path: str, arch: str = None) -> Dict[str, Any]:
+    """Load a reference torch ``.pth`` checkpoint file and return it as
+    this framework's checkpoint payload
+    (``{"model_state_dict": {"params", "batch_stats"}, "args", ...}``) —
+    the drop-in hook behind ``train/checkpoint.load_checkpoint`` accepting
+    ``.pth`` paths directly."""
+    state, meta = load_torch_state_dict(path)
+    saved_args = dict(meta.get("args") or {})
+    arch = (arch or saved_args.get("arch") or sniff_prior_arch(state)
+            or "").lower()
+    if not arch:
+        raise TorchImportError(
+            f"{path} has no 'args' echo and no recognizable prior layout; "
+            "import it with scripts/import_torch_checkpoint.py "
+            "--arch <arch>")
+    params, bstats = import_torch_state_dict(state, arch)
+    out: Dict[str, Any] = {
+        "model_state_dict": {"params": params, "batch_stats": bstats},
+        "args": saved_args,
+    }
+    if arch in ("pixelcnn", "pixelsnail", "hierarchical_pixelcnn",
+                "hierarchical_pixelsnail"):
+        # echo the shape-inferrable prior hyperparameters so build_prior
+        # reconstructs the right module without CLI flags (num_heads is not
+        # shape-inferrable; it comes from the VQ-run args echo / CLI)
+        cfg = prior_from_state(state, arch)
+        prior_args = {
+            "prior_type": ("pixelsnail" if "pixelsnail" in arch
+                           else "pixelcnn"),
+            "embedding_dim": cfg.embedding_dim,
+            "pixelcnn_hidden_channels": cfg.hidden_channels,
+        }
+        if "pixelsnail" in arch:
+            prior_args["pixelsnail_num_blocks"] = getattr(
+                cfg, "num_blocks", getattr(cfg, "num_blocks_top", 8))
+            prior_args["pixelsnail_num_res_blocks"] = (
+                cfg.num_res_blocks_per_layer)
+        if arch.startswith("hierarchical"):
+            prior_args["pixelcnn_num_layers"] = cfg.num_layers_bottom
+        elif arch == "pixelcnn":
+            prior_args["pixelcnn_num_layers"] = cfg.num_layers
+        out["prior_args"] = prior_args
+    for k in ("epoch", "train_losses", "eval_losses", "best_eval_loss",
+              "loss"):
+        if k in meta:
+            out[k] = meta[k]
+    return out
+
+
 def load_torch_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
     """torch.load a reference checkpoint file; returns (state_dict as
     numpy, the remaining payload metadata e.g. the echoed ``args``)."""

@@ -30,49 +30,6 @@ PRIORS = ("pixelcnn", "pixelsnail", "hierarchical_pixelcnn",
           "hierarchical_pixelsnail")
 
 
-def prior_from_state(state, arch):
-    """Build the flax prior module whose config matches a reference prior
-    state_dict (shapes/counts inferred from the keys, the same way
-    train_prior_vqvae.py infers K/D from the codebook,
-    train_prior_vqvae.py:169-173)."""
-    from movae_tpu.models.pixelcnn import (HierarchicalPixelCNN,
-                                           HierarchicalPixelSNAIL, PixelCNN,
-                                           PixelSNAIL)
-
-    def count(pat):
-        i = 0
-        while pat.format(i) in state:
-            i += 1
-        return i
-
-    if arch in ("hierarchical_pixelcnn", "hierarchical_pixelsnail"):
-        k, d = state["embedding_top.weight"].shape
-        hc = state["prior_bottom.conv_in.weight"].shape[0]
-        nb = count("prior_bottom.res_blocks.{}.conv1.weight")
-        if arch == "hierarchical_pixelsnail":
-            nt = count("prior_top.blocks.{}.out_conv.weight")
-            nr = count("prior_top.blocks.0.res_blocks.{}.conv1.weight")
-            return HierarchicalPixelSNAIL(
-                num_embeddings=k, embedding_dim=d, hidden_channels=hc,
-                num_blocks_top=nt, num_res_blocks_per_layer=nr,
-                num_layers_bottom=nb)
-        nt = count("prior_top.res_blocks.{}.conv1.weight")
-        return HierarchicalPixelCNN(
-            num_embeddings=k, embedding_dim=d, hidden_channels=hc,
-            num_layers=nt, num_layers_bottom=nb)
-    k, d = state["embedding.weight"].shape
-    hc = state["conv_in.weight"].shape[0]
-    if arch == "pixelsnail":
-        nb = count("blocks.{}.out_conv.weight")
-        nr = count("blocks.0.res_blocks.{}.conv1.weight")
-        return PixelSNAIL(num_embeddings=k, embedding_dim=d,
-                          hidden_channels=hc, num_blocks=nb,
-                          num_res_blocks_per_layer=nr)
-    nl = count("res_blocks.{}.conv1.weight")
-    return PixelCNN(num_embeddings=k, embedding_dim=d, hidden_channels=hc,
-                    num_layers=nl)
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", type=str, required=True)
@@ -89,7 +46,8 @@ def main():
 
     from movae_tpu.train import checkpoint as ckpt_lib
     from movae_tpu.utils.torch_import import (import_torch_state_dict,
-                                              load_torch_state_dict)
+                                              load_torch_state_dict,
+                                              prior_from_state)
 
     state, meta = load_torch_state_dict(args.torch_ckpt)
     saved_args = dict(meta.get("args") or {})

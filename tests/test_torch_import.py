@@ -456,3 +456,119 @@ def test_import_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["vq"]["embedding"]),
         tm.vq_layer.embedding.weight.detach().numpy())
+
+
+def test_load_checkpoint_accepts_pth(tmp_path):
+    """train/checkpoint.load_checkpoint imports reference .pth files
+    directly, so evaluate.py --model_path .../*.pth works unchanged."""
+    from movae_tpu.train import checkpoint as ckpt_lib
+
+    tm = TorchRefVQVAE()
+    pth = tmp_path / "final_checkpoint.pth"
+    torch.save({"model_state_dict": tm.state_dict(), "epoch": 3,
+                "args": {"arch": "vq_vae", "embedding_dim": 8,
+                         "num_embeddings": 32, "hidden_dims": [8, 16],
+                         "num_residual_layers": 2, "input_size": 32}}, pth)
+    payload = ckpt_lib.load_checkpoint(str(pth))
+    assert payload["epoch"] == 3
+    assert payload["args"]["arch"] == "vq_vae"
+    np.testing.assert_allclose(
+        np.asarray(payload["model_state_dict"]["params"]["vq"]["embedding"]),
+        tm.vq_layer.embedding.weight.detach().numpy())
+
+
+def test_find_prior_loads_torch_pth(tmp_path):
+    """evaluate._find_prior picks up reference torch prior checkpoints at
+    their reference paths (main.py:1039-1047) and imports them."""
+    import importlib
+
+    rng = np.random.default_rng(5)
+    k, d, hc, L = 32, 8, 16, 2
+    state = {}
+
+    def conv(t, o, i, kh, kw, mask=False):
+        state[t + ".weight"] = torch.tensor(
+            rng.normal(size=(o, i, kh, kw)).astype(np.float32))
+        state[t + ".bias"] = torch.tensor(
+            rng.normal(size=(o,)).astype(np.float32))
+        if mask:
+            state[t + ".mask"] = torch.ones(o, i, kh, kw)
+
+    state["embedding.weight"] = torch.tensor(
+        rng.normal(size=(k, d)).astype(np.float32))
+    conv("conv_in", hc, d, 7, 7, mask=True)
+    for l in range(L):
+        conv(f"res_blocks.{l}.conv1", hc // 2, hc, 1, 1)
+        conv(f"res_blocks.{l}.conv2", hc // 2, hc // 2, 3, 3, mask=True)
+        conv(f"res_blocks.{l}.conv_gate", hc, hc // 2, 1, 1)
+        conv(f"res_blocks.{l}.conv_feature", hc, hc // 2, 1, 1)
+    conv("conv_out.1", hc, hc, 1, 1)
+    conv("conv_out.3", k, hc, 1, 1)
+
+    ckpt_dir = tmp_path / "run" / "pixelcnn_prior" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    torch.save({"model_state_dict": state, "epoch": 1, "loss": 2.0},
+               ckpt_dir / "best_prior.pth")
+
+    ev = importlib.import_module("evaluate")
+    from types import SimpleNamespace
+
+    class FakeVQ:
+        num_embeddings = k
+
+    model_path = tmp_path / "run" / "checkpoints" / "final_checkpoint.pth"
+    model_path.parent.mkdir(parents=True)
+    model_path.touch()
+    prior = ev._find_prior(str(model_path), FakeVQ(),
+                           SimpleNamespace(arch="vq_vae"))
+    assert prior is not None and not prior["hierarchical"]
+    from movae_tpu.models.pixelcnn import PixelCNN
+    assert isinstance(prior["model"], PixelCNN)
+    assert prior["model"].num_layers == L
+    assert prior["model"].hidden_channels == hc
+
+
+def test_load_checkpoint_sniffs_prior_pth(tmp_path):
+    """A reference prior .pth (no args echo, main.py:1037-1047) is
+    auto-sniffed from its key layout and loads through load_checkpoint
+    with a shape-inferred prior_args echo build_prior understands."""
+    from movae_tpu.train import checkpoint as ckpt_lib
+    from movae_tpu.train.prior import build_prior
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(6)
+    k, d, hc, L = 32, 8, 16, 3
+    state = {}
+
+    def conv(t, o, i, kh, kw):
+        state[t + ".weight"] = torch.tensor(
+            rng.normal(size=(o, i, kh, kw)).astype(np.float32))
+        state[t + ".bias"] = torch.tensor(
+            rng.normal(size=(o,)).astype(np.float32))
+
+    state["embedding.weight"] = torch.tensor(
+        rng.normal(size=(k, d)).astype(np.float32))
+    conv("conv_in", hc, d, 7, 7)
+    for l in range(L):
+        conv(f"res_blocks.{l}.conv1", hc // 2, hc, 1, 1)
+        conv(f"res_blocks.{l}.conv2", hc // 2, hc // 2, 3, 3)
+        conv(f"res_blocks.{l}.conv_gate", hc, hc // 2, 1, 1)
+        conv(f"res_blocks.{l}.conv_feature", hc, hc // 2, 1, 1)
+    conv("conv_out.1", hc, hc, 1, 1)
+    conv("conv_out.3", k, hc, 1, 1)
+    pth = tmp_path / "best_prior.pth"
+    torch.save({"model_state_dict": state, "epoch": 2, "loss": 1.5}, pth)
+
+    payload = ckpt_lib.load_checkpoint(str(pth))
+    assert payload["prior_args"]["prior_type"] == "pixelcnn"
+    assert payload["prior_args"]["pixelcnn_num_layers"] == L
+    assert payload["prior_args"]["pixelcnn_hidden_channels"] == hc
+    model = build_prior(SimpleNamespace(**payload["prior_args"]), k, False)
+    expect = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, 4), jnp.int32))["params"]
+    from flax import traverse_util
+    got = {kk: v.shape for kk, v in traverse_util.flatten_dict(
+        payload["model_state_dict"]["params"]).items()}
+    want = {kk: v.shape
+            for kk, v in traverse_util.flatten_dict(expect).items()}
+    assert got == want
