@@ -247,6 +247,10 @@ def _map_betatc(im: _Importer):
     im.dense("fc_mu", "fc_mu")
     im.dense("fc_var", "fc_var")
     im.dense_to_flat("decoder_input", "decoder_input", c, s)
+    # KLD anneal counter lives in batch_stats here (reference uses a
+    # class-level counter, betatc_vae.py:298-302); a fresh import starts
+    # fully annealed-out at 0 like a fresh reference instance
+    im.bstats[("num_iter",)] = np.zeros((), np.float32)
     for i in range(H - 1):
         im.convT(f"decoder.{i}.0", f"dec_deconv_{i}")
     im.convT("final_layer.0", "final_deconv")

@@ -572,3 +572,194 @@ def test_load_checkpoint_sniffs_prior_pth(tmp_path):
     want = {kk: v.shape
             for kk, v in traverse_util.flatten_dict(expect).items()}
     assert got == want
+
+
+class TorchRefBetaTC(tnn.Module):
+    """Reference BetaTCVAE structure (betatc_vae.py:99-168)."""
+
+    def __init__(self, in_ch=3, hidden=(8, 16), latent=6, size=32):
+        super().__init__()
+        spatial = size // (2 ** len(hidden))
+        flat = hidden[-1] * spatial * spatial
+        mods, c = [], in_ch
+        for h in hidden:
+            mods.append(tnn.Sequential(
+                tnn.Conv2d(c, h, 4, stride=2, padding=1), tnn.LeakyReLU()))
+            c = h
+        self.encoder = tnn.Sequential(*mods)
+        self.fc = tnn.Linear(flat, 256)
+        self.fc_mu = tnn.Linear(256, latent)
+        self.fc_var = tnn.Linear(256, latent)
+        self.decoder_input = tnn.Linear(latent, flat)
+        rev = list(reversed(hidden))
+        dmods = []
+        for i in range(len(rev) - 1):
+            dmods.append(tnn.Sequential(
+                tnn.ConvTranspose2d(rev[i], rev[i + 1], 3, stride=2,
+                                    padding=1, output_padding=1),
+                tnn.LeakyReLU()))
+        self.decoder = tnn.Sequential(*dmods)
+        self.final_layer = tnn.Sequential(
+            tnn.ConvTranspose2d(rev[-1], rev[-1], 3, stride=2, padding=1,
+                                output_padding=1),
+            tnn.LeakyReLU(),
+            tnn.Conv2d(rev[-1], in_ch, 3, padding=1), tnn.Tanh())
+        self._c, self._s = hidden[-1], spatial
+
+    def encode(self, x):
+        h = torch.flatten(self.encoder(x), start_dim=1)
+        h = self.fc(h)
+        return self.fc_mu(h), self.fc_var(h)
+
+    def decode(self, z):
+        h = self.decoder_input(z).view(-1, self._c, self._s, self._s)
+        return self.final_layer(self.decoder(h))
+
+
+def test_betatc_import_forward_matches_torch():
+    from movae_tpu.models import get_network
+
+    tm = TorchRefBetaTC()
+    tm.eval()
+    params, bstats = _import(_np_state(tm), "betatc_vae")
+
+    args = dict(arch="betatc_vae", latent_dim=6, hidden_dims=(8, 16),
+                batch_size=4, dataset_size=64, recons_activation="tanh")
+    fm = get_network(32, 3, args)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_mu, t_lv = tm.encode(torch.tensor(x))
+        z = torch.randn(2, 6)
+        t_rec = tm.decode(z)
+
+    variables = {"params": params, "batch_stats": bstats}
+    f_mu, f_lv = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False, method="encode")
+    np.testing.assert_allclose(np.asarray(f_mu), t_mu.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_lv), t_lv.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    f_rec = fm.apply(variables, jnp.asarray(z.numpy()), train=False,
+                     method="decode")
+    np.testing.assert_allclose(
+        np.asarray(f_rec), t_rec.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
+
+
+class TorchRosResBlock(tnn.Module):
+    """vq_vae2.py:13-28."""
+
+    def __init__(self, c, ch):
+        super().__init__()
+        self.conv = tnn.Sequential(
+            tnn.ReLU(), tnn.Conv2d(c, ch, 3, padding=1),
+            tnn.ReLU(True), tnn.Conv2d(ch, c, 1))
+
+    def forward(self, x):
+        return x + self.conv(x)
+
+
+class TorchRosEncoder(tnn.Module):
+    """vq_vae2.py:31-56."""
+
+    def __init__(self, in_c, c, n_res, res_ch, stride):
+        super().__init__()
+        if stride == 4:
+            blocks = [tnn.Conv2d(in_c, c // 2, 4, stride=2, padding=1),
+                      tnn.ReLU(True),
+                      tnn.Conv2d(c // 2, c, 4, stride=2, padding=1),
+                      tnn.ReLU(True),
+                      tnn.Conv2d(c, c, 3, padding=1)]
+        else:
+            blocks = [tnn.Conv2d(in_c, c // 2, 4, stride=2, padding=1),
+                      tnn.ReLU(True),
+                      tnn.Conv2d(c // 2, c, 3, padding=1)]
+        blocks += [TorchRosResBlock(c, res_ch) for _ in range(n_res)]
+        blocks.append(tnn.ReLU(True))
+        self.blocks = tnn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class TorchRosDecoder(tnn.Module):
+    """vq_vae2.py:62-100 (output_activation none/tanh)."""
+
+    def __init__(self, in_c, out_c, c, n_res, res_ch, stride, act="none"):
+        super().__init__()
+        blocks = [tnn.Conv2d(in_c, c, 3, padding=1)]
+        blocks += [TorchRosResBlock(c, res_ch) for _ in range(n_res)]
+        blocks.append(tnn.ReLU(True))
+        if stride == 4:
+            blocks += [tnn.ConvTranspose2d(c, c // 2, 4, stride=2, padding=1),
+                       tnn.ReLU(True),
+                       tnn.ConvTranspose2d(c // 2, out_c, 4, stride=2,
+                                           padding=1)]
+        else:
+            blocks.append(tnn.ConvTranspose2d(c, out_c, 4, stride=2,
+                                              padding=1))
+        if act == "tanh":
+            blocks.append(tnn.Tanh())
+        self.blocks = tnn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class TorchRefVQVAE2(tnn.Module):
+    """vq_vae2.py:190-242 (forward mirrors encode/decode wiring)."""
+
+    def __init__(self, in_ch=3, hidden=(8, 16), k=32, d=8, r=2, res_ch=32):
+        super().__init__()
+        c = hidden[0]
+        self.enc_b = TorchRosEncoder(in_ch, c, r, res_ch, 4)
+        self.enc_t = TorchRosEncoder(c, c, r, res_ch, 2)
+        self.quantize_conv_t = tnn.Conv2d(c, d, 1)
+        self.quantize_t = TorchRefVQ(k, d)
+        self.dec_t = TorchRosDecoder(d, d, c, r, res_ch, 2)
+        self.quantize_conv_b = tnn.Conv2d(d + c, d, 1)
+        self.quantize_b = TorchRefVQ(k, d)
+        self.upsample_t = tnn.ConvTranspose2d(d, d, 4, stride=2, padding=1)
+        self.dec = TorchRosDecoder(d + d, in_ch, c, r, res_ch, 4, "tanh")
+
+    def forward(self, x):
+        enc_b = self.enc_b(x)
+        enc_t = self.enc_t(enc_b)
+        qt, inds_t = self.quantize_t(self.quantize_conv_t(enc_t))
+        dec_t = self.dec_t(qt)
+        qb_in = self.quantize_conv_b(torch.cat([dec_t, enc_b], 1))
+        qb, inds_b = self.quantize_b(qb_in)
+        up_t = self.upsample_t(qt)
+        rec = self.dec(torch.cat([up_t, qb], 1))
+        return rec, inds_t, inds_b
+
+
+def test_vqvae2_import_forward_matches_torch():
+    from movae_tpu.models import get_network
+
+    tm = TorchRefVQVAE2()
+    tm.eval()
+    params, bstats = _import(_np_state(tm), "vq_vae2")
+
+    args = dict(arch="vq_vae2", embedding_dim=8, num_embeddings=32,
+                hidden_dims=(8, 16), num_residual_layers=2, batch_size=4,
+                dataset_size=64, recons_activation="tanh")
+    fm = get_network(32, 3, args)
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_rec, t_it, t_ib = tm(torch.tensor(x))
+
+    out = fm.apply({"params": params, "batch_stats": bstats},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+                   rngs={"sample": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(
+        np.asarray(out["encoding_inds_top"]).reshape(-1), t_it.numpy())
+    np.testing.assert_array_equal(
+        np.asarray(out["encoding_inds_bottom"]).reshape(-1), t_ib.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out["recons"]), t_rec.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
