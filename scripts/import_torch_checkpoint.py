@@ -30,6 +30,21 @@ PRIORS = ("pixelcnn", "pixelsnail", "hierarchical_pixelcnn",
           "hierarchical_pixelsnail")
 
 
+def _input_size_from_dataset(name):
+    """Per-dataset input sizes (reference utils/utils.py:144-426)."""
+    if not name:
+        return None
+    n = name.lower()
+    if n.startswith("synthetic-"):
+        try:
+            return int(n.split("-")[1])
+        except (IndexError, ValueError):
+            return None
+    return {"cifar10": 32, "cifar100": 32, "celeba": 64, "celeba-128": 128,
+            "celeba-hq": 256, "imagenet": 256, "oxford-flower-102": 256,
+            "flowers102": 256, "afhq": 256, "animal-face": 256}.get(n)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", type=str, required=True)
@@ -71,7 +86,8 @@ def main():
     else:
         from movae_tpu.models import get_network, init_model
 
-        input_size = args.input_size or saved_args.get("input_size")
+        input_size = (args.input_size or saved_args.get("input_size")
+                      or _input_size_from_dataset(saved_args.get("dataset")))
         if input_size is None:
             raise SystemExit("input_size not in checkpoint args; pass "
                              "--input_size")
