@@ -763,3 +763,39 @@ def test_vqvae2_import_forward_matches_torch():
     np.testing.assert_allclose(
         np.asarray(out["recons"]), t_rec.numpy().transpose(0, 2, 3, 1),
         rtol=1e-4, atol=1e-4)
+
+
+def test_gg_vae_import_ignores_sobel_buffers():
+    """GG models register sobel filter buffers (gg_vae.py:44-54); the
+    importer skips them and maps the VAE backbone."""
+    tm = TorchRefVAE()
+    state = _np_state(tm)
+    state["sobel_x"] = np.zeros((1, 1, 3, 3), np.float32)
+    state["sobel_y"] = np.zeros((1, 1, 3, 3), np.float32)
+    params, _ = _import(state, "gg_vae_v3")
+    assert "enc_conv_0" in params and "final_conv" in params
+
+
+def test_main_resume_from_torch_pth(tmp_path):
+    """main.py --resume <reference .pth> fine-tunes a reference-trained
+    checkpoint (load_checkpoint's torch hook feeds the resume path)."""
+    import os
+    import subprocess
+    import sys
+
+    tm = TorchRefVQVAE()
+    pth = tmp_path / "final_checkpoint.pth"
+    torch.save({"model_state_dict": tm.state_dict(), "epoch": 1,
+                "args": {"arch": "vq_vae"}}, pth)
+    proc = subprocess.run(
+        [sys.executable, "main.py", "--dataset", "synthetic-32-48",
+         "--epochs", "2", "--batch_size", "16", "--arch", "vq_vae",
+         "--embedding_dim", "8", "--num_embeddings", "32",
+         "--hidden_dims", "8", "16", "--num_residual_layers", "2",
+         "--aggregator", "sum", "--skip_pixelcnn", "--skip_final_metrics",
+         "--save_freq", "99", "--eval_freq", "99", "--seed", "3",
+         "--save_path", str(tmp_path / "logs"), "--resume", str(pth)],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"Resumed from {pth} at epoch 2" in proc.stdout
