@@ -259,6 +259,45 @@ def _export_vqvae2(ex: _Exporter):
         ex.bstats.pop(f"{side}/ema_embed", None)
 
 
+def _export_vit_block(ex: _Exporter, t: str, f: str):
+    ex.norm(f"{t}.norm1", f"{f}/norm1")
+    ex.dense(f"{t}.attn.qkv", f"{f}/attn/qkv")
+    ex.dense(f"{t}.attn.proj", f"{f}/attn/proj")
+    ex.norm(f"{t}.norm2", f"{f}/norm2")
+    ex.dense(f"{t}.mlp.0", f"{f}/mlp1")
+    ex.dense(f"{t}.mlp.2", f"{f}/mlp2")
+
+
+def _export_mixer(ex: _Exporter, t: str, f: str):
+    B = ex.fcount(f + "/block_{}/norm1/weight")
+    for b in range(B):
+        ex.state[f"{t}.blocks.{b}.norm1.weight"] = ex._get(
+            f"{f}/block_{b}/norm1/weight")
+        ex.dense(f"{t}.blocks.{b}.token_mix.0", f"{f}/block_{b}/tok1")
+        ex.dense(f"{t}.blocks.{b}.token_mix.2", f"{f}/block_{b}/tok2")
+        ex.state[f"{t}.blocks.{b}.norm2.weight"] = ex._get(
+            f"{f}/block_{b}/norm2/weight")
+        ex.dense(f"{t}.blocks.{b}.channel_mix.0", f"{f}/block_{b}/ch1")
+        ex.dense(f"{t}.blocks.{b}.channel_mix.2", f"{f}/block_{b}/ch2")
+    ex.state[f"{t}.norm.weight"] = ex._get(f"{f}/norm/weight")
+
+
+def _export_sphere_vit(ex: _Exporter):
+    ex.conv("patch_embed_enc.proj", "patch_embed_enc")
+    for i in range(ex.fcount("enc_block_{}/norm1/scale")):
+        _export_vit_block(ex, f"blocks_enc.{i}", f"enc_block_{i}")
+    _export_mixer(ex, "mixer_enc", "mixer_enc")
+    ex.state["norm_enc.weight"] = ex._get("norm_enc/weight")
+    ex.dense("latent_proj_enc", "latent_proj_enc")
+    ex.dense("latent_proj_dec", "latent_proj_dec")
+    ex.state["norm_dec_in.weight"] = ex._get("norm_dec_in/weight")
+    _export_mixer(ex, "mixer_dec", "mixer_dec")
+    for i in range(ex.fcount("dec_block_{}/norm1/scale")):
+        _export_vit_block(ex, f"blocks_dec.{i}", f"dec_block_{i}")
+    ex.norm("norm_dec_out", "norm_dec_out")
+    ex.dense("head_dec", "head_dec")
+
+
 def _export_gated_res(ex: _Exporter, tprefix: str, fprefix: str):
     ex.conv(f"{tprefix}.conv1", f"{fprefix}/conv1")
     ex.conv(f"{tprefix}.conv2", f"{fprefix}/conv2")
@@ -309,6 +348,8 @@ def _exporter_for(arch: str):
         return _export_vae
     if a == "sphere_encoder":
         return _export_sphere
+    if a == "sphere_encoder_vit":
+        return _export_sphere_vit
     if a == "betatc_vae":
         return _export_betatc
     if a == "vq_vae" or a.startswith("gg_vq_vae_v") or a == "gg_vq_vae":

@@ -42,7 +42,8 @@ import numpy as np
 # state_dict entries that are buffers/bookkeeping, not parameters:
 # masked-conv masks (pixelcnn_prior.py:25-54), sobel filter buffers
 # (gg_vae.py:44-54, gg_vq_vae.py:57-60), BatchNorm step counters.
-_IGNORE = re.compile(r"(\.mask$|sobel|num_batches_tracked$)")
+_IGNORE = re.compile(r"(\.mask$|sobel|num_batches_tracked$"
+                     r"|\.pe$|rotary\.inv_freq$)")
 
 
 def _conv_w(w: np.ndarray) -> np.ndarray:
@@ -353,6 +354,56 @@ def _map_vqvae2(im: _Importer):
     _map_rosinality_decoder(im, "dec", "dec", stride=4)
 
 
+def _map_vit_block(im: _Importer, t: str, f: str):
+    """TransformerBlock (sphere_encoder_vit.py:170-190): pre-LN, fused-qkv
+    RoPE attention (identical qkv reshape + interleaved rotation in both
+    frameworks), 2-layer GELU MLP."""
+    im.norm(f"{t}.norm1", f"{f}/norm1")
+    im.dense(f"{t}.attn.qkv", f"{f}/attn/qkv")
+    im.dense(f"{t}.attn.proj", f"{f}/attn/proj")
+    im.norm(f"{t}.norm2", f"{f}/norm2")
+    im.dense(f"{t}.mlp.0", f"{f}/mlp1")
+    im.dense(f"{t}.mlp.2", f"{f}/mlp2")
+
+
+def _map_mixer(im: _Importer, t: str, f: str):
+    """MLPMixer (sphere_encoder_vit.py:193-232): RMSNorm (weight only) +
+    token-mix / channel-mix Linear pairs, trailing RMSNorm."""
+    b = 0
+    while im.has(f"{t}.blocks.{b}.norm1.weight"):
+        im._put(f"{f}/block_{b}/norm1/weight",
+                im._take(f"{t}.blocks.{b}.norm1.weight"))
+        im.dense(f"{t}.blocks.{b}.token_mix.0", f"{f}/block_{b}/tok1")
+        im.dense(f"{t}.blocks.{b}.token_mix.2", f"{f}/block_{b}/tok2")
+        im._put(f"{f}/block_{b}/norm2/weight",
+                im._take(f"{t}.blocks.{b}.norm2.weight"))
+        im.dense(f"{t}.blocks.{b}.channel_mix.0", f"{f}/block_{b}/ch1")
+        im.dense(f"{t}.blocks.{b}.channel_mix.2", f"{f}/block_{b}/ch2")
+        b += 1
+    im._put(f"{f}/norm/weight", im._take(f"{t}.norm.weight"))
+
+
+def _map_sphere_vit(im: _Importer):
+    """SphereEncoderViT (sphere_encoder_vit.py:235-320)."""
+    im.conv("patch_embed_enc.proj", "patch_embed_enc")
+    i = 0
+    while im.has(f"blocks_enc.{i}.norm1.weight"):
+        _map_vit_block(im, f"blocks_enc.{i}", f"enc_block_{i}")
+        i += 1
+    _map_mixer(im, "mixer_enc", "mixer_enc")
+    im._put("norm_enc/weight", im._take("norm_enc.weight"))
+    im.dense("latent_proj_enc", "latent_proj_enc")
+    im.dense("latent_proj_dec", "latent_proj_dec")
+    im._put("norm_dec_in/weight", im._take("norm_dec_in.weight"))
+    _map_mixer(im, "mixer_dec", "mixer_dec")
+    i = 0
+    while im.has(f"blocks_dec.{i}.norm1.weight"):
+        _map_vit_block(im, f"blocks_dec.{i}", f"dec_block_{i}")
+        i += 1
+    im.norm("norm_dec_out", "norm_dec_out")
+    im.dense("head_dec", "head_dec")
+
+
 def _map_gated_res(im: _Importer, tprefix: str, fprefix: str):
     im.conv(f"{tprefix}.conv1", f"{fprefix}/conv1")
     im.conv(f"{tprefix}.conv2", f"{fprefix}/conv2")
@@ -422,6 +473,8 @@ def _mapper_for(arch: str):
         return _map_vae
     if a == "sphere_encoder":
         return _map_sphere_encoder
+    if a == "sphere_encoder_vit":
+        return _map_sphere_vit
     if a == "betatc_vae":
         return _map_betatc
     if a == "vq_vae" or a.startswith("gg_vq_vae_v") or a == "gg_vq_vae":
@@ -434,9 +487,7 @@ def _mapper_for(arch: str):
         return _map_pixelsnail
     if a in ("hierarchical_pixelcnn", "hierarchical_pixelsnail"):
         return _map_hierarchical
-    raise TorchImportError(
-        f"torch import not supported for arch '{arch}' "
-        "(sphere_encoder_vit has no reference-trained checkpoints to port)")
+    raise TorchImportError(f"torch import not supported for arch '{arch}'")
 
 
 def import_torch_state_dict(state: Dict[str, np.ndarray], arch: str

@@ -35,6 +35,9 @@ MODEL_CASES = [
     ("vq_vae2", dict(embedding_dim=8, num_embeddings=32,
                      hidden_dims=(8, 16), num_residual_layers=2)),
     ("sphere_encoder", dict(latent_dim=16, hidden_dims=(8, 16))),
+    ("sphere_encoder_vit", dict(latent_dim=128, vit_embed_dim=16,
+                                vit_depth=2, vit_num_heads=2,
+                                patch_size=4, vit_mixer_depth=1)),
 ]
 
 
@@ -98,7 +101,7 @@ def test_export_strict_on_unknown_leaves():
     from movae_tpu.utils.torch_import import TorchImportError
 
     with pytest.raises(TorchImportError, match="not supported"):
-        export_torch_state_dict({}, {}, "sphere_encoder_vit")
+        export_torch_state_dict({}, {}, "no_such_arch")
 
 
 def test_export_loads_into_real_torch_module():

@@ -421,7 +421,7 @@ def test_import_is_strict():
         import_torch_state_dict(state, "vae")
 
     with pytest.raises(TorchImportError, match="not supported"):
-        import_torch_state_dict(_np_state(tm), "sphere_encoder_vit")
+        import_torch_state_dict(_np_state(tm), "no_such_arch")
 
 
 def test_import_cli_end_to_end(tmp_path):
