@@ -102,11 +102,29 @@ def _find_prior(model_path: str, model, vq_args):
     hier_arch = arch in ("vq_vae2", "gg_vq_vae2")
     for prior_dir in ("pixelcnn_prior", "pixelsnail_prior"):
         for name in ("best_prior", "final_prior"):
+            # a locally (re)trained orbax prior wins over a reference torch
+            # .pth of the same name — it is the fresher artifact
+            path = os.path.join(save_root, prior_dir, "checkpoints", name)
+            if os.path.exists(os.path.join(path, "meta.json")):
+                try:
+                    payload = ckpt_lib.load_checkpoint(path)
+                    merged = SimpleNamespace(**{
+                        **vars(vq_args), **(payload.get("prior_args") or {})})
+                    if "pixelsnail" in prior_dir:
+                        merged.prior_type = "pixelsnail"
+                    prior_model = prior_lib.build_prior(
+                        merged, model.num_embeddings, hier_arch,
+                        getattr(model, "embedding_dim", None))
+                    print(f"Using prior checkpoint {path} for generation")
+                    return {"model": prior_model,
+                            "params": payload["model_state_dict"]["params"],
+                            "hierarchical": hier_arch}
+                except Exception as e:  # pragma: no cover
+                    print(f"prior load failed ({path}): {e}")
             # reference torch prior checkpoints live at the same relative
             # paths with a .pth suffix (reference main.py:1039-1047) —
             # import them on the fly (utils/torch_import.py)
-            torch_path = os.path.join(save_root, prior_dir, "checkpoints",
-                                      name + ".pth")
+            torch_path = path + ".pth"
             if os.path.isfile(torch_path):
                 try:
                     from movae_tpu.utils.torch_import import (
@@ -117,7 +135,10 @@ def _find_prior(model_path: str, model, vq_args):
                     p_arch = (("hierarchical_" if hier_arch else "")
                               + ("pixelsnail" if "pixelsnail" in prior_dir
                                  else "pixelcnn"))
-                    prior_model = prior_from_state(state, p_arch)
+                    prior_model = prior_from_state(
+                        state, p_arch,
+                        num_heads=getattr(vq_args, "pixelsnail_num_heads",
+                                          8) or 8)
                     p_params, _ = import_torch_state_dict(state, p_arch)
                     print(f"Using torch prior checkpoint {torch_path} "
                           "for generation")
@@ -125,25 +146,6 @@ def _find_prior(model_path: str, model, vq_args):
                             "hierarchical": hier_arch}
                 except Exception as e:  # pragma: no cover
                     print(f"torch prior load failed ({torch_path}): {e}")
-            path = os.path.join(save_root, prior_dir, "checkpoints", name)
-            if not os.path.exists(os.path.join(path, "meta.json")):
-                continue
-            try:
-                payload = ckpt_lib.load_checkpoint(path)
-                merged = SimpleNamespace(**{
-                    **vars(vq_args), **(payload.get("prior_args") or {})})
-                if "pixelsnail" in prior_dir:
-                    merged.prior_type = "pixelsnail"
-                hier = arch in ("vq_vae2", "gg_vq_vae2")
-                prior_model = prior_lib.build_prior(
-                    merged, model.num_embeddings, hier,
-                    getattr(model, "embedding_dim", None))
-                print(f"Using prior checkpoint {path} for generation")
-                return {"model": prior_model,
-                        "params": payload["model_state_dict"]["params"],
-                        "hierarchical": hier}
-            except Exception as e:  # pragma: no cover
-                print(f"prior load failed ({path}): {e}")
     return None
 
 

@@ -423,8 +423,8 @@ def run_training(args) -> Dict[str, Any]:
                     treedef, [jnp.asarray(l) for l in leaves])
                 state = state.replace(opt_state=jax.device_put(
                     restored, parallel.replicated))
-        start_epoch = int(payload.get("epoch", 0)) + 1
-        step = int(payload.get("step", 0))
+        start_epoch = int(payload.get("epoch") or 0) + 1
+        step = int(payload.get("step") or 0)
         state = state.replace(step=jnp.asarray(step, jnp.int32))
         print(f"Resumed from {resume_from} at epoch {start_epoch}")
 

@@ -39,7 +39,10 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
     prior_type = getattr(args, "prior_type", "pixelcnn")
     hc = getattr(args, "pixelcnn_hidden_channels", 128)
     nl = getattr(args, "pixelcnn_num_layers", 15)
-    d = embedding_dim or getattr(args, "embedding_dim", None) or 64
+    # precedence: a prior checkpoint's own echo (the table width it was
+    # actually built with) > the live VQ model's D > the VQ args echo > 64
+    d = (getattr(args, "prior_embedding_dim", None) or embedding_dim
+         or getattr(args, "embedding_dim", None) or 64)
     if hierarchical:
         if prior_type == "pixelsnail":
             return HierarchicalPixelSNAIL(
@@ -67,7 +70,7 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
                     hidden_channels=hc, num_layers=nl)
 
 
-def prior_args_echo(args) -> Dict[str, Any]:
+def prior_args_echo(args, embedding_dim=None) -> Dict[str, Any]:
     """Prior hyperparameters echoed into prior checkpoints so offline
     loaders can rebuild the module without re-specifying flags (the VQ
     checkpoints already echo the full args; the reference prior payload is
@@ -75,7 +78,13 @@ def prior_args_echo(args) -> Dict[str, Any]:
     keys = ("prior_type", "pixelcnn_hidden_channels", "pixelcnn_num_layers",
             "pixelsnail_num_blocks", "pixelsnail_num_res_blocks",
             "pixelsnail_num_heads", "pixelsnail_dropout")
-    return {k: getattr(args, k) for k in keys if hasattr(args, k)}
+    echo = {k: getattr(args, k) for k in keys if hasattr(args, k)}
+    if embedding_dim is not None:
+        # the table width the prior was actually built with (may differ
+        # from the VQ args echo for checkpoints predating the
+        # embedding_dim plumbing fix)
+        echo["prior_embedding_dim"] = int(embedding_dim)
+    return echo
 
 
 def extract_codes(model, state, hierarchical: bool,
@@ -289,7 +298,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
                     "epoch": epoch,
                     "model_state_dict": {"params": best_params},
                     "loss": best_loss,
-                    "prior_args": prior_args_echo(args)})
+                    "prior_args": prior_args_echo(args, prior.embedding_dim)})
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
@@ -322,6 +331,7 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
             save_root, getattr(args, "prior_type", "pixelcnn")), {
             "epoch": epochs,
             "model_state_dict": {"params": jax.device_get(params)},
-            "loss": meter.avg, "prior_args": prior_args_echo(args)})
+            "loss": meter.avg,
+            "prior_args": prior_args_echo(args, prior.embedding_dim)})
     return {"model": prior, "params": best_params,
             "hierarchical": hierarchical}

@@ -41,11 +41,12 @@ def require_live_backend(max_retries: int = 20, sleep_s: float = 30.0) -> None:
     The TPU in this environment is reached over a tunnel that occasionally
     drops; when JAX's backend init fails it raises ``RuntimeError`` and the
     failure is cached for the life of the process, so an in-process retry
-    is useless — instead we sleep and ``os.execv`` the same command line
+    is useless — instead we sleep and ``os.execv`` the original command line
     (bounded by ``MOVAE_BACKEND_RETRY`` so a hard outage still fails after
-    ~``max_retries * sleep_s`` seconds). Harness entry points (bench.py,
-    __graft_entry__.py) call this so a blip at measurement time doesn't
-    lose the run."""
+    ~``max_retries * sleep_s`` seconds). Script entry points that own their
+    process (bench.py, scripts/step_cost.py, scripts/*_ab.py) call this;
+    __graft_entry__.py deliberately does NOT — it is imported as a module
+    by the driver, and re-exec'ing would restart the importer."""
     import os
     import sys
     import time
@@ -64,7 +65,12 @@ def require_live_backend(max_retries: int = 20, sleep_s: float = 30.0) -> None:
               f"{max_retries} in {sleep_s:.0f}s", file=sys.stderr, flush=True)
         os.environ["MOVAE_BACKEND_RETRY"] = str(n + 1)
         time.sleep(sleep_s)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        # sys.orig_argv preserves interpreter flags (-u, -X, -m ...) that
+        # sys.argv drops; exec the resolved interpreter path (orig_argv[0]
+        # may be a bare 'python')
+        orig = list(getattr(sys, "orig_argv", []) or [])
+        tail = orig[1:] if len(orig) > 1 else sys.argv
+        os.execv(sys.executable, [sys.executable] + tail)
 
 
 def enable_persistent_compilation_cache(path: str = None) -> None:

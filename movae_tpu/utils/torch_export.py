@@ -63,10 +63,7 @@ class _Exporter:
         return fpath in self.params
 
     def fcount(self, pattern: str) -> int:
-        i = 0
-        while pattern.format(i) in self.params:
-            i += 1
-        return i
+        return ti.count_keys(self.params, pattern)
 
     def conv(self, tprefix: str, fpath: str, bias: bool = True):
         self.state[tprefix + ".weight"] = _inv_conv_w(

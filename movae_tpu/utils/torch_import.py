@@ -153,12 +153,7 @@ class _Importer:
                 self._take(tprefix + ".running_var"), np.float32)
 
     def count(self, pattern: str) -> int:
-        """Number of consecutive indices i (from 0) for which
-        ``pattern.format(i)`` is a key."""
-        i = 0
-        while pattern.format(i) in self.state:
-            i += 1
-        return i
+        return count_keys(self.state, pattern)
 
     def finish(self):
         left = [k for k in self.state if not _IGNORE.search(k)]
@@ -500,20 +495,29 @@ def import_torch_state_dict(state: Dict[str, np.ndarray], arch: str
     return im.finish()
 
 
-def prior_from_state(state: Dict[str, np.ndarray], arch: str):
+def count_keys(mapping, pattern: str) -> int:
+    """Number of consecutive indices i (from 0) for which
+    ``pattern.format(i)`` is a key of ``mapping``."""
+    i = 0
+    while pattern.format(i) in mapping:
+        i += 1
+    return i
+
+
+def prior_from_state(state: Dict[str, np.ndarray], arch: str,
+                     num_heads: int = 8):
     """Build the flax prior module whose config matches a reference prior
     state_dict — shapes/counts inferred from the keys, the same way
     train_prior_vqvae.py infers K/D from the codebook
-    (train_prior_vqvae.py:169-173)."""
+    (train_prior_vqvae.py:169-173). ``num_heads`` is NOT shape-inferrable
+    (the q/k/v projections are full-width); callers with a VQ-run args
+    echo should pass its ``pixelsnail_num_heads``."""
     from movae_tpu.models.pixelcnn import (HierarchicalPixelCNN,
                                            HierarchicalPixelSNAIL, PixelCNN,
                                            PixelSNAIL)
 
     def count(pat):
-        i = 0
-        while pat.format(i) in state:
-            i += 1
-        return i
+        return count_keys(state, pat)
 
     arch = arch.lower()
     if arch in ("hierarchical_pixelcnn", "hierarchical_pixelsnail"):
@@ -526,11 +530,17 @@ def prior_from_state(state: Dict[str, np.ndarray], arch: str):
             return HierarchicalPixelSNAIL(
                 num_embeddings=k, embedding_dim=d, hidden_channels=hc,
                 num_blocks_top=nt, num_res_blocks_per_layer=nr,
-                num_layers_bottom=nb)
+                num_heads=num_heads, num_layers_bottom=nb)
+        # the reference hierarchical PixelCNN shares one num_layers between
+        # the two levels (pixelcnn_prior.py:370-390), as does ours
         nt = count("prior_top.res_blocks.{}.conv1.weight")
+        if nt != nb:
+            raise TorchImportError(
+                f"hierarchical_pixelcnn with top/bottom layer counts "
+                f"{nt}/{nb}: the reference constructor cannot produce this")
         return HierarchicalPixelCNN(
             num_embeddings=k, embedding_dim=d, hidden_channels=hc,
-            num_layers=nt, num_layers_bottom=nb)
+            num_layers=nb)
     k, d = state["embedding.weight"].shape
     hc = state["conv_in.weight"].shape[0]
     if arch == "pixelsnail":
@@ -538,7 +548,7 @@ def prior_from_state(state: Dict[str, np.ndarray], arch: str):
         nr = count("blocks.0.res_blocks.{}.conv1.weight")
         return PixelSNAIL(num_embeddings=k, embedding_dim=d,
                           hidden_channels=hc, num_blocks=nb,
-                          num_res_blocks_per_layer=nr)
+                          num_res_blocks_per_layer=nr, num_heads=num_heads)
     nl = count("res_blocks.{}.conv1.weight")
     return PixelCNN(num_embeddings=k, embedding_dim=d, hidden_channels=hc,
                     num_layers=nl)
@@ -587,7 +597,9 @@ def load_reference_checkpoint(path: str, arch: str = None) -> Dict[str, Any]:
         prior_args = {
             "prior_type": ("pixelsnail" if "pixelsnail" in arch
                            else "pixelcnn"),
-            "embedding_dim": cfg.embedding_dim,
+            # distinct key so the echo wins over the VQ model's D in
+            # build_prior without shadowing the VQ args' embedding_dim
+            "prior_embedding_dim": cfg.embedding_dim,
             "pixelcnn_hidden_channels": cfg.hidden_channels,
         }
         if "pixelsnail" in arch:
@@ -596,7 +608,8 @@ def load_reference_checkpoint(path: str, arch: str = None) -> Dict[str, Any]:
             prior_args["pixelsnail_num_res_blocks"] = (
                 cfg.num_res_blocks_per_layer)
         if arch.startswith("hierarchical"):
-            prior_args["pixelcnn_num_layers"] = cfg.num_layers_bottom
+            prior_args["pixelcnn_num_layers"] = getattr(
+                cfg, "num_layers_bottom", getattr(cfg, "num_layers", 15))
         elif arch == "pixelcnn":
             prior_args["pixelcnn_num_layers"] = cfg.num_layers
         out["prior_args"] = prior_args

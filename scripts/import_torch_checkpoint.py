@@ -109,9 +109,10 @@ def main():
 
     payload = {
         "model_state_dict": {"params": params, "batch_stats": bstats},
-        "epoch": meta.get("epoch"),
         "args": saved_args,
     }
+    if meta.get("epoch") is not None:
+        payload["epoch"] = meta["epoch"]
     for k in ("train_losses", "eval_losses", "best_eval_loss", "loss"):
         if k in meta:
             try:

@@ -561,6 +561,7 @@ def test_load_checkpoint_sniffs_prior_pth(tmp_path):
 
     payload = ckpt_lib.load_checkpoint(str(pth))
     assert payload["prior_args"]["prior_type"] == "pixelcnn"
+    assert payload["prior_args"]["prior_embedding_dim"] == d
     assert payload["prior_args"]["pixelcnn_num_layers"] == L
     assert payload["prior_args"]["pixelcnn_hidden_channels"] == hc
     model = build_prior(SimpleNamespace(**payload["prior_args"]), k, False)
@@ -799,3 +800,57 @@ def test_main_resume_from_torch_pth(tmp_path):
             os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert f"Resumed from {pth} at epoch 2" in proc.stdout
+
+
+def test_prior_from_state_hierarchical_pixelcnn():
+    """Regression (r2 code review): prior_from_state crashed for
+    hierarchical_pixelcnn by passing num_layers_bottom, which only the
+    SNAIL variant accepts; the reference shares one num_layers between
+    levels (pixelcnn_prior.py:370-390)."""
+    from movae_tpu.models.pixelcnn import HierarchicalPixelCNN
+    from movae_tpu.utils.torch_import import prior_from_state
+
+    rng = np.random.default_rng(9)
+    k, d, hc, L = 32, 8, 16, 2
+    state = {}
+
+    def conv(t, o, i, kh, kw):
+        state[t + ".weight"] = rng.normal(size=(o, i, kh, kw)).astype(
+            np.float32)
+        state[t + ".bias"] = rng.normal(size=(o,)).astype(np.float32)
+
+    def pcnn(t, cin):
+        state[f"{t}embedding.weight"] = rng.normal(size=(k, d)).astype(
+            np.float32)
+        conv(f"{t}conv_in", hc, cin, 7, 7)
+        for l in range(L):
+            conv(f"{t}res_blocks.{l}.conv1", hc // 2, hc, 1, 1)
+            conv(f"{t}res_blocks.{l}.conv2", hc // 2, hc // 2, 3, 3)
+            conv(f"{t}res_blocks.{l}.conv_gate", hc, hc // 2, 1, 1)
+            conv(f"{t}res_blocks.{l}.conv_feature", hc, hc // 2, 1, 1)
+        conv(f"{t}conv_out.1", hc, hc, 1, 1)
+        conv(f"{t}conv_out.3", k, hc, 1, 1)
+
+    pcnn("prior_top.", d)
+    state["embedding_top.weight"] = rng.normal(size=(k, d)).astype(
+        np.float32)
+    state["upsample_top.weight"] = rng.normal(size=(d, d, 4, 4)).astype(
+        np.float32)
+    state["upsample_top.bias"] = rng.normal(size=(d,)).astype(np.float32)
+    pcnn("prior_bottom.", 2 * d)
+
+    model = prior_from_state(state, "hierarchical_pixelcnn")
+    assert isinstance(model, HierarchicalPixelCNN)
+    assert model.num_layers == L
+    # and the import itself consumes every key into the expected tree
+    from movae_tpu.utils.torch_import import import_torch_state_dict
+    params, _ = import_torch_state_dict(state, "hierarchical_pixelcnn")
+    expect = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 2), jnp.int32),
+                        jnp.zeros((1, 4, 4), jnp.int32))["params"]
+    from flax import traverse_util
+    got = {"/".join(kk): v.shape
+           for kk, v in traverse_util.flatten_dict(params).items()}
+    want = {"/".join(kk): v.shape
+            for kk, v in traverse_util.flatten_dict(expect).items()}
+    assert got == want
