@@ -153,6 +153,11 @@ def build_parser() -> ArgumentParser:
                         help="tensor-parallel partitions over the mesh "
                              "'model' axis (large weights split across "
                              "chips; 1 = pure data parallelism)")
+    parser.add_argument("--context_parallel", type=int, default=1,
+                        help="sequence-parallel partitions over the mesh "
+                             "'seq' axis for the prior stage's long-L "
+                             "attention (ring attention over ICI; 1 = "
+                             "single-device attention)")
     parser.add_argument("--vq_ema", action="store_true",
                         help="EMA-maintained codebook for arch=vq_vae "
                              "(objectives become recon+commitment; the "

@@ -159,7 +159,12 @@ class CausalAttention(nn.Module):
         q, k, v = split(self.q_proj(xf)), split(self.k_proj(xf)), split(
             self.v_proj(xf))
         sm_scale = 1.0 / float(hd) ** 0.5
-        if self.dropout > 0.0 and train and L <= DENSE_ATTENTION_MAX_L:
+        from movae_tpu.parallel.context import get_context_parallel
+        if (self.dropout > 0.0 and train and L <= DENSE_ATTENTION_MAX_L
+                and get_context_parallel() is None):
+            # (under context parallelism the ring path + output dropout is
+            # used even at short L — the dense weight-dropout matrix would
+            # be materialized replicated, defeating the sequence sharding)
             # reference semantics: dropout on attention weights
             # (pixelcnn_prior.py:126-127) — requires the dense L x L matrix,
             # so it is restricted to short sequences where dense is the

@@ -90,9 +90,17 @@ def _flash_ok(q: Array) -> bool:
 
 def causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
                      dense_threshold: int = 1024) -> Array:
-    """Dispatch: dense for small L (cheapest to fuse), flash kernel on TPU
-    (fastest trainable path at long L), blockwise scan otherwise (CPU
-    fallback / test oracle)."""
+    """Dispatch: ring (sequence-parallel) attention when a context-parallel
+    config is installed (movae_tpu.parallel.context), dense for small L
+    (cheapest to fuse), flash kernel on TPU (fastest trainable path at long
+    L), blockwise scan otherwise (CPU fallback / test oracle)."""
+    from movae_tpu.parallel.context import get_context_parallel
+    ctx = get_context_parallel()
+    if ctx is not None and ctx.size > 1:
+        from movae_tpu.ops.ring_attention import ring_causal_attention
+        return ring_causal_attention(q, k, v, sm_scale, ctx.mesh,
+                                     ctx.seq_axis, ctx.batch_axis,
+                                     ctx.head_axis)
     L = q.shape[2]
     if L <= dense_threshold:
         return dense_causal_attention(q, k, v, sm_scale)

@@ -1,0 +1,130 @@
+"""Ring (sequence-parallel) causal attention over a mesh axis.
+
+Context parallelism for long-sequence prior training: the raster sequence
+axis L of the PixelSNAIL attention (reference
+/root/reference/models/pixelcnn_prior.py:109-132, which materializes the
+full L x L matrix on ONE device) is sharded over a ``seq`` mesh axis. Each
+device holds an L/S chunk of Q/K/V; K/V chunks rotate around the ring with
+``jax.lax.ppermute`` while every device accumulates its queries' attention
+over the passing keys with an online (streaming) softmax — the standard
+ring-attention decomposition. Peak memory per device is O(L/S * L/S) for
+the block logits instead of O(L^2), and the K/V traffic rides the ICI ring
+(each step moves only the neighbouring chunk).
+
+Causality note: with contiguous chunking, chunk ``i`` only has work for
+source chunks ``j <= i`` — the later steps of the ring are masked out on
+the early devices (the well-known causal load imbalance; a zigzag/striped
+layout would rebalance it at the cost of a global position remap). The
+masked blocks still ride the same ppermute schedule so the SPMD program is
+identical on every device.
+
+Differentiable by construction: the ring is a ``lax.scan`` whose body is
+``jax.checkpoint``-ed (block logits/probs are rematerialized in the
+backward), and the transpose of ``ppermute`` is the reverse rotation —
+reverse-mode AD yields the standard ring-attention backward (dK/dV
+accumulate while circulating the opposite way) without a custom VJP.
+
+Numerics: logits/softmax/accumulators in float32 regardless of input dtype
+(matching ops/attention.py's flash path); outputs cast back to the input
+dtype. Equality vs the dense oracle is tested to 1e-5 (f32) in
+tests/test_ring_attention.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+Array = jax.Array
+
+_NEG = -1e30  # masked-logit fill; -inf would NaN through exp(m - m) at init
+
+
+def _ring_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
+    """Per-device ring loop. ql/kl/vl: (B, H, Lc, D) local chunks."""
+    idx = jax.lax.axis_index(seq_axis)
+    b, h, Lc, d = ql.shape
+    qpos = idx * Lc + jnp.arange(Lc)  # global positions of my queries
+    qf = ql.astype(jnp.float32)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    @jax.checkpoint
+    def block_update(o, m, l, kc, vc, src):
+        kpos = src * Lc + jnp.arange(Lc)
+        logits = jax.lax.dot_general(
+            qf, kc.astype(jnp.float32),
+            (((3,), (3,)), ((0, 1), (0, 1)))) * sm_scale  # (B,H,Lc,Lc)
+        mask = kpos[None, :] <= qpos[:, None]  # inclusive diagonal
+        logits = jnp.where(mask[None, None], logits, _NEG)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        # fully-masked blocks (src chunk entirely in my future): every
+        # logit is _NEG, p underflows to 0 and the correction is exp(0)=1
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + p.sum(axis=-1)
+        o_new = o * corr[..., None] + jax.lax.dot_general(
+            p, vc.astype(jnp.float32), (((3,), (2,)), ((0, 1), (0, 1))))
+        return o_new, m_new, l_new
+
+    def step(carry, s):
+        o, m, l, kc, vc = carry
+        src = (idx - s) % S  # after s rotations I hold chunk idx-s
+        o, m, l = block_update(o, m, l, kc, vc, src)
+        kc = jax.lax.ppermute(kc, seq_axis, perm)
+        vc = jax.lax.ppermute(vc, seq_axis, perm)
+        return (o, m, l, kc, vc), None
+
+    o0 = jnp.zeros((b, h, Lc, d), jnp.float32)
+    m0 = jnp.full((b, h, Lc), _NEG, jnp.float32)
+    l0 = jnp.zeros((b, h, Lc), jnp.float32)
+    (o, m, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, kl, vl),
+                                      jnp.arange(S))
+    # every query attends at least to itself (step s=0, the diagonal
+    # chunk), so l > 0 — except for pad rows, which are sliced off by the
+    # caller; guard them against 0/0 anyway
+    return (o / jnp.maximum(l, 1e-30)[..., None]).astype(ql.dtype)
+
+
+def ring_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
+                          mesh: Mesh, seq_axis: str = "seq",
+                          batch_axis: Optional[str] = "data",
+                          head_axis: Optional[str] = None) -> Array:
+    """Causal attention with the sequence axis sharded over ``seq_axis``.
+
+    q, k, v: (B, H, L, D) global arrays (under jit, GSPMD-global). L is
+    zero-padded up to a multiple of the ring size; pad keys sit strictly in
+    the future of every real query so causality masks them out, and pad
+    query rows are sliced off (their cotangents are zero in the backward —
+    same trick as the flash-kernel padding in ops/attention.py).
+
+    ``batch_axis``/``head_axis`` optionally map B/H onto mesh axes so ring
+    sequence-parallelism composes with data parallelism and tensor-parallel
+    (per-head) attention; pass None for replicated dims.
+    """
+    S = int(mesh.shape[seq_axis])
+    if S == 1:
+        from movae_tpu.ops.attention import dense_causal_attention
+        return dense_causal_attention(q, k, v, sm_scale)
+    # shard_map needs every mapped axis to divide evenly; small traces
+    # (module init, ragged figure batches) fall back to replicating that
+    # dim instead of failing — a trace-time (static-shape) decision
+    if batch_axis is not None and q.shape[0] % int(mesh.shape[batch_axis]):
+        batch_axis = None
+    if head_axis is not None and q.shape[1] % int(mesh.shape[head_axis]):
+        head_axis = None
+    L = q.shape[2]
+    Lp = -(-L // S) * S
+    if Lp != L:
+        pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    spec = P(batch_axis, head_axis, seq_axis, None)
+    fn = jax.shard_map(
+        partial(_ring_body, seq_axis, S, sm_scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    out = fn(q, k, v)
+    return out[:, :, :L] if Lp != L else out

@@ -1,0 +1,56 @@
+"""Trace-time context-parallel configuration.
+
+The PixelSNAIL attention modules are built by the model registry with no
+knowledge of the device mesh; plumbing a mesh through every module
+signature (and through the KV-cache samplers, which never use it) would be
+invasive. Instead the prior trainer installs a :class:`ContextParallel`
+here for the duration of step tracing, and ``ops.attention.causal_attention``
+consults it: when set, long-sequence attention dispatches to the ring
+(sequence-parallel) path in ``ops/ring_attention.py`` instead of the
+single-device flash/blockwise paths.
+
+This is trace-time state (like jax.config flags): it only affects which
+program gets staged out, never runtime values.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Optional
+
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class ContextParallel:
+    mesh: Mesh
+    seq_axis: str = "seq"
+    batch_axis: Optional[str] = "data"
+    head_axis: Optional[str] = None
+
+    @property
+    def size(self) -> int:
+        return int(self.mesh.shape[self.seq_axis])
+
+
+_current: Optional[ContextParallel] = None
+
+
+def get_context_parallel() -> Optional[ContextParallel]:
+    """The active config, or None (single-device attention paths)."""
+    return _current
+
+
+@contextlib.contextmanager
+def context_parallel(mesh: Mesh, seq_axis: str = "seq",
+                     batch_axis: Optional[str] = "data",
+                     head_axis: Optional[str] = None):
+    """Install a context-parallel config while tracing prior steps."""
+    global _current
+    prev = _current
+    _current = ContextParallel(mesh, seq_axis, batch_axis, head_axis)
+    try:
+        yield _current
+    finally:
+        _current = prev

@@ -20,17 +20,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              num_seq: int = 1) -> Mesh:
+    """('data', 'model', 'seq') mesh: data parallelism, tensor parallelism,
+    and sequence (context) parallelism for long-L prior attention
+    (ops/ring_attention.py). The trailing axes default to size 1 so plain
+    DP runs are unaffected."""
     devices = list(devices if devices is not None else jax.devices())
-    if num_model < 1 or len(devices) % num_model:
+    if num_model < 1 or num_seq < 1 or len(devices) % (num_model * num_seq):
         raise ValueError(
-            f"model_partitions={num_model} must divide the device count "
-            f"({len(devices)})")
+            f"model_partitions={num_model} * context_parallel={num_seq} "
+            f"must divide the device count ({len(devices)})")
     if num_data is None:
-        num_data = len(devices) // num_model
-    devs = np.asarray(devices[: num_data * num_model]).reshape(
-        num_data, num_model)
-    return Mesh(devs, ("data", "model"))
+        num_data = len(devices) // (num_model * num_seq)
+    devs = np.asarray(devices[: num_data * num_model * num_seq]).reshape(
+        num_data, num_model, num_seq)
+    return Mesh(devs, ("data", "model", "seq"))
 
 
 class DataParallel:

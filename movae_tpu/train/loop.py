@@ -294,7 +294,11 @@ def run_training(args) -> Dict[str, Any]:
 
     args.dataset_size = len(train_ds)
     num_model = int(getattr(args, "model_partitions", 1) or 1)
-    parallel = DataParallel(make_mesh(num_model=num_model))
+    num_seq = int(getattr(args, "context_parallel", 1) or 1)
+    # one static mesh for both stages: the VQ stage shards only on 'data'
+    # (a non-trivial 'seq' axis narrows its DP width — context parallelism
+    # is an opt-in for prior-dominated long-L runs)
+    parallel = DataParallel(make_mesh(num_model=num_model, num_seq=num_seq))
     batch_size = parallel.pad_to_devices(args.batch_size)
 
     # hot-loop loaders ship raw uint8 (cast/normalize happens on-device in

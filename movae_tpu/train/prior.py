@@ -111,21 +111,42 @@ def extract_codes(model, state, hierarchical: bool,
 
 
 def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
-    """Train the prior stage; returns {'model','params','hierarchical'}."""
+    """Train the prior stage; returns {'model','params','hierarchical'}.
+
+    The prior trains data-parallel over the same mesh as the VQ stage:
+    code batches sharded on 'data', prior params replicated, grad psum
+    inserted by GSPMD (the reference prior stage is single-device,
+    main.py:890-1051). With ``--context_parallel N`` the mesh carries an
+    N-way 'seq' axis and the PixelSNAIL attention runs ring
+    (sequence-parallel) attention over it (ops/ring_attention.py) — the
+    config is installed trace-time via movae_tpu.parallel.context.
+    """
+    import contextlib
+
+    from movae_tpu.parallel.context import context_parallel
+
+    parallel = results.get("parallel")
+    if parallel is None:
+        from movae_tpu.parallel.mesh import DataParallel, make_mesh
+        cp_n = int(getattr(args, "context_parallel", 1) or 1)
+        parallel = DataParallel(make_mesh(num_seq=cp_n))
+        results = dict(results, parallel=parallel)
+    ctx = (context_parallel(parallel.mesh)
+           if int(parallel.mesh.shape.get("seq", 1)) > 1
+           else contextlib.nullcontext())
+    with ctx:
+        return _train_prior_impl(results, args)
+
+
+def _train_prior_impl(results: Dict[str, Any], args
+                      ) -> Optional[Dict[str, Any]]:
     model = results["model"]
     state = results["state"]
     save_root = results["save_root"]
     hierarchical = args.arch.lower() in ("vq_vae2", "gg_vq_vae2")
 
     epochs = getattr(args, "pixelcnn_epochs", 100)
-    # the prior stage trains data-parallel over the same mesh as the VQ
-    # stage: code batches sharded on 'data', prior params replicated, grad
-    # psum inserted by GSPMD (the reference prior stage is single-device,
-    # main.py:890-1051)
-    parallel = results.get("parallel")
-    if parallel is None:
-        from movae_tpu.parallel.mesh import DataParallel
-        parallel = DataParallel()
+    parallel = results["parallel"]
     batch_size = parallel.pad_to_devices(args.batch_size)
     lr = getattr(args, "pixelcnn_lr", 3e-4)
 

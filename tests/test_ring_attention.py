@@ -1,0 +1,135 @@
+"""Ring (sequence-parallel) attention vs the dense oracle.
+
+Runs on the 8-virtual-CPU-device mesh (conftest). Covers: forward equality,
+the L % S padding path, gradients through the ring (scan + ppermute
+transpose), composition with a data-parallel batch axis, the
+context-parallel dispatch in ops.attention.causal_attention, and a full
+PixelSNAIL loss under the installed context.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _qkv(key, b, h, L, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (jax.random.normal(kq, (b, h, L, d), dtype),
+            jax.random.normal(kk, (b, h, L, d), dtype),
+            jax.random.normal(kv, (b, h, L, d), dtype))
+
+
+def _mesh(num_seq, num_data=1):
+    from movae_tpu.parallel.mesh import make_mesh
+    devs = jax.devices()[: num_data * num_seq]
+    return make_mesh(num_data=num_data, num_model=1, num_seq=num_seq,
+                     devices=devs)
+
+
+@pytest.mark.parametrize("L,S", [(64, 4), (60, 8), (16, 2)])
+def test_ring_matches_dense_forward(L, S):
+    from movae_tpu.ops.attention import dense_causal_attention
+    from movae_tpu.ops.ring_attention import ring_causal_attention
+
+    q, k, v = _qkv(jax.random.PRNGKey(0), 2, 2, L, 16)
+    sm = 0.25
+    mesh = _mesh(S)
+    ring = jax.jit(lambda a, b_, c: ring_causal_attention(
+        a, b_, c, sm, mesh, batch_axis=None))(q, k, v)
+    dense = dense_causal_attention(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_matches_dense_grads():
+    from movae_tpu.ops.attention import dense_causal_attention
+    from movae_tpu.ops.ring_attention import ring_causal_attention
+
+    q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 32, 8)
+    sm = 1.0 / np.sqrt(8.0)
+    mesh = _mesh(4)
+    w = jax.random.normal(jax.random.PRNGKey(2), q.shape)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(w * ring_causal_attention(q, k, v, sm, mesh,
+                                                 batch_axis=None))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(w * dense_causal_attention(q, k, v, sm))
+
+    gr = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_ring_composes_with_data_parallel_batch():
+    from movae_tpu.ops.attention import dense_causal_attention
+    from movae_tpu.ops.ring_attention import ring_causal_attention
+
+    q, k, v = _qkv(jax.random.PRNGKey(3), 4, 2, 24, 8)
+    sm = 0.3
+    mesh = _mesh(num_seq=4, num_data=2)
+    ring = jax.jit(lambda a, b_, c: ring_causal_attention(
+        a, b_, c, sm, mesh, batch_axis="data"))(q, k, v)
+    dense = dense_causal_attention(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_causal_attention_dispatches_ring_under_context():
+    from movae_tpu.ops.attention import causal_attention, \
+        dense_causal_attention
+    from movae_tpu.parallel.context import context_parallel, \
+        get_context_parallel
+
+    q, k, v = _qkv(jax.random.PRNGKey(4), 2, 2, 40, 8)
+    sm = 0.5
+    mesh = _mesh(4)
+    assert get_context_parallel() is None
+    with context_parallel(mesh, batch_axis=None):
+        assert get_context_parallel().size == 4
+        out = jax.jit(lambda a, b_, c: causal_attention(a, b_, c, sm))(
+            q, k, v)
+    assert get_context_parallel() is None
+    dense = dense_causal_attention(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pixelsnail_loss_invariant_under_context_parallel():
+    """Full PixelSNAIL loss_function (train=True, dropout=0) is numerically
+    identical with and without the ring-attention context installed."""
+    from movae_tpu.models.pixelcnn import PixelSNAIL
+    from movae_tpu.parallel.context import context_parallel
+
+    prior = PixelSNAIL(num_embeddings=16, embedding_dim=8,
+                       hidden_channels=16, num_blocks=2,
+                       num_res_blocks_per_layer=1, num_heads=2, dropout=0.0)
+    rng = jax.random.PRNGKey(5)
+    z = jax.random.randint(rng, (2, 6, 6), 0, 16)
+    params = prior.init({"params": rng, "dropout": rng}, z,
+                        train=False)["params"]
+
+    def loss(p, z):
+        return prior.apply({"params": p}, z, train=True,
+                           method="loss_function",
+                           rngs={"dropout": rng})["total_loss"]
+
+    base = jax.jit(loss)(params, z)
+    mesh = _mesh(num_seq=4, num_data=2)
+    with context_parallel(mesh):  # batch_axis='data': L=36 pads to 40
+        cp = jax.jit(loss)(params, z)
+    np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
+
+
+def test_make_mesh_seq_axis_validation():
+    from movae_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_seq=2)
+    assert mesh.shape["seq"] == 2
+    assert mesh.shape["data"] == jax.device_count() // 2
+    with pytest.raises(ValueError):
+        make_mesh(num_model=3, num_seq=3)  # 9 does not divide 8

@@ -115,6 +115,9 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     p.add_argument("--pixelsnail_num_heads", type=int, default=8)
     p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    p.add_argument("--context_parallel", type=int, default=1,
+                   help="ring-attention sequence partitions over the mesh "
+                        "'seq' axis (long-L prior attention)")
     p.add_argument("--prior_sample_every", "--sample_every", type=int,
                    default=0, dest="prior_sample_every",
                    help="write a prior sample grid every N epochs")
