@@ -11,12 +11,22 @@ ring-attention decomposition. Peak memory per device is O(L/S * L/S) for
 the block logits instead of O(L^2), and the K/V traffic rides the ICI ring
 (each step moves only the neighbouring chunk).
 
-Causality note: with contiguous chunking, chunk ``i`` only has work for
-source chunks ``j <= i`` — the later steps of the ring are masked out on
-the early devices (the well-known causal load imbalance; a zigzag/striped
-layout would rebalance it at the cost of a global position remap). The
-masked blocks still ride the same ppermute schedule so the SPMD program is
-identical on every device.
+Two chunk layouts are implemented:
+
+* ``zigzag=True`` (default): the sequence is split into 2S stripes and
+  device ``d`` holds the pair (stripe ``d``, stripe ``2S-1-d``) — the
+  standard zigzag/striped layout. Causal coverage then decomposes into
+  per-step FULL (unmasked) stripe products: each ring step needs exactly
+  two Lc x Lc blocks (the back stripe always attends the arriving front
+  stripe; a ``lax.cond`` on ``src < d`` picks whether the front stripe
+  consumes the arriving front stripe or the back stripe consumes the
+  arriving back stripe), and only the s=0 diagonal step applies an
+  intra-stripe tril mask. Total compute L^2/(2S) per device — half of the
+  contiguous layout — and perfectly balanced across the ring.
+* ``zigzag=False``: contiguous chunking; chunk ``i`` only has work for
+  source chunks ``j <= i``, so later ring steps are fully masked on early
+  devices (the well-known causal load imbalance — kept as the simpler
+  reference implementation and test oracle for the zigzag path).
 
 Differentiable by construction: the ring is a ``lax.scan`` whose body is
 ``jax.checkpoint``-ed (block logits/probs are rematerialized in the
@@ -37,6 +47,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jax.Array
@@ -89,10 +100,84 @@ def _ring_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
     return (o / jnp.maximum(l, 1e-30)[..., None]).astype(ql.dtype)
 
 
+def _softmax_block_update(o, m, l, qf, kc, vc, sm_scale, mask=None):
+    """One online-softmax accumulator update with key/value block (kc, vc).
+    o/m/l: f32 accumulators; qf: f32 queries. mask=None means the block is
+    known fully visible (zigzag full-stripe products)."""
+    logits = jax.lax.dot_general(
+        qf, kc.astype(jnp.float32),
+        (((3,), (3,)), ((0, 1), (0, 1)))) * sm_scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG)
+    m_new = jnp.maximum(m, logits.max(axis=-1))
+    p = jnp.exp(logits - m_new[..., None])
+    corr = jnp.exp(m - m_new)
+    l_new = l * corr + p.sum(axis=-1)
+    o_new = o * corr[..., None] + jax.lax.dot_general(
+        p, vc.astype(jnp.float32), (((3,), (2,)), ((0, 1), (0, 1))))
+    return o_new, m_new, l_new
+
+
+def _zigzag_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
+    """Zigzag ring loop. Local chunks are stripe pairs: ql = [qA; qB] with
+    qA = stripe d, qB = stripe 2S-1-d (B, H, 2*Lc, D). All cross-stripe
+    products are either fully visible or fully masked (skipped); only the
+    s=0 diagonal applies the intra-stripe tril. Pad rows (the caller pads L
+    to a multiple of 2S) occupy the highest stripes/intra-stripe tails, so
+    strict-< stripe products never feed pad keys to real queries."""
+    idx = jax.lax.axis_index(seq_axis)
+    b, h, L2, d_ = ql.shape
+    Lc = L2 // 2
+    qf = ql.astype(jnp.float32)
+    qA, qB = qf[:, :, :Lc], qf[:, :, Lc:]
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    tril = jnp.tril(jnp.ones((Lc, Lc), bool))[None, None]
+
+    upd = jax.checkpoint(partial(_softmax_block_update, sm_scale=sm_scale))
+
+    def zeros():
+        return (jnp.zeros((b, h, Lc, d_), jnp.float32),
+                jnp.full((b, h, Lc), _NEG, jnp.float32),
+                jnp.zeros((b, h, Lc), jnp.float32))
+
+    # s=0 diagonal: my own stripe pair
+    kA0, kB0 = kl[:, :, :Lc], kl[:, :, Lc:]
+    vA0, vB0 = vl[:, :, :Lc], vl[:, :, Lc:]
+    accA = upd(*zeros(), qA, kA0, vA0, mask=tril)     # stripe d, causal
+    accB = upd(*zeros(), qB, kB0, vB0, mask=tril)     # stripe 2S-1-d, causal
+    accB = upd(*accB, qB, kA0, vA0)                   # back always sees front
+
+    def step(carry, s):
+        accA, accB, kc, vc = carry
+        kc = jax.lax.ppermute(kc, seq_axis, perm)
+        vc = jax.lax.ppermute(vc, seq_axis, perm)
+        src = (idx - s) % S
+        kA, kB = kc[:, :, :Lc], kc[:, :, Lc:]
+        vA, vB = vc[:, :, :Lc], vc[:, :, Lc:]
+        accB = upd(*accB, qB, kA, vA)  # stripe 2S-1-d > stripe src, always
+        accA, accB = jax.lax.cond(
+            src < idx,
+            # stripe src < stripe d: front stripe consumes arriving front
+            lambda a, b_, kA, vA, kB, vB: (upd(*a, qA, kA, vA), b_),
+            # stripe 2S-1-src < stripe 2S-1-d: back consumes arriving back
+            lambda a, b_, kA, vA, kB, vB: (a, upd(*b_, qB, kB, vB)),
+            accA, accB, kA, vA, kB, vB)
+        return (accA, accB, kc, vc), None
+
+    if S > 1:
+        (accA, accB, _, _), _ = jax.lax.scan(
+            step, (accA, accB, kl, vl), jnp.arange(1, S))
+    out = jnp.concatenate(
+        [accA[0] / jnp.maximum(accA[2], 1e-30)[..., None],
+         accB[0] / jnp.maximum(accB[2], 1e-30)[..., None]], axis=2)
+    return out.astype(ql.dtype)
+
+
 def ring_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
                           mesh: Mesh, seq_axis: str = "seq",
                           batch_axis: Optional[str] = "data",
-                          head_axis: Optional[str] = None) -> Array:
+                          head_axis: Optional[str] = None,
+                          zigzag: bool = True) -> Array:
     """Causal attention with the sequence axis sharded over ``seq_axis``.
 
     q, k, v: (B, H, L, D) global arrays (under jit, GSPMD-global). L is
@@ -117,14 +202,28 @@ def ring_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
     if head_axis is not None and q.shape[1] % int(mesh.shape[head_axis]):
         head_axis = None
     L = q.shape[2]
-    Lp = -(-L // S) * S
+    stripes = 2 * S if zigzag else S
+    Lp = -(-L // stripes) * stripes
     if Lp != L:
         pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if zigzag:
+        # remap raster order -> stripe pairs so contiguous sharding gives
+        # device d the pair (stripe d, stripe 2S-1-d); static permutation,
+        # inverted on the output
+        Lc = Lp // stripes
+        order = [c for d in range(S) for c in (d, stripes - 1 - d)]
+        fwd = np.concatenate([np.arange(c * Lc, (c + 1) * Lc)
+                              for c in order])
+        inv = np.argsort(fwd)
+        q, k, v = (jnp.take(x, fwd, axis=2) for x in (q, k, v))
+        body = partial(_zigzag_body, seq_axis, S, sm_scale)
+    else:
+        body = partial(_ring_body, seq_axis, S, sm_scale)
     spec = P(batch_axis, head_axis, seq_axis, None)
-    fn = jax.shard_map(
-        partial(_ring_body, seq_axis, S, sm_scale),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
     out = fn(q, k, v)
+    if zigzag:
+        out = jnp.take(out, inv, axis=2)
     return out[:, :, :L] if Lp != L else out

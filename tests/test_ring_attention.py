@@ -27,8 +27,9 @@ def _mesh(num_seq, num_data=1):
                      devices=devs)
 
 
+@pytest.mark.parametrize("zigzag", [True, False])
 @pytest.mark.parametrize("L,S", [(64, 4), (60, 8), (16, 2)])
-def test_ring_matches_dense_forward(L, S):
+def test_ring_matches_dense_forward(L, S, zigzag):
     from movae_tpu.ops.attention import dense_causal_attention
     from movae_tpu.ops.ring_attention import ring_causal_attention
 
@@ -36,13 +37,14 @@ def test_ring_matches_dense_forward(L, S):
     sm = 0.25
     mesh = _mesh(S)
     ring = jax.jit(lambda a, b_, c: ring_causal_attention(
-        a, b_, c, sm, mesh, batch_axis=None))(q, k, v)
+        a, b_, c, sm, mesh, batch_axis=None, zigzag=zigzag))(q, k, v)
     dense = dense_causal_attention(q, k, v, sm)
     np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_ring_matches_dense_grads():
+@pytest.mark.parametrize("zigzag", [True, False])
+def test_ring_matches_dense_grads(zigzag):
     from movae_tpu.ops.attention import dense_causal_attention
     from movae_tpu.ops.ring_attention import ring_causal_attention
 
@@ -53,7 +55,8 @@ def test_ring_matches_dense_grads():
 
     def loss_ring(q, k, v):
         return jnp.sum(w * ring_causal_attention(q, k, v, sm, mesh,
-                                                 batch_axis=None))
+                                                 batch_axis=None,
+                                                 zigzag=zigzag))
 
     def loss_dense(q, k, v):
         return jnp.sum(w * dense_causal_attention(q, k, v, sm))
