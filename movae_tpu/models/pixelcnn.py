@@ -255,9 +255,14 @@ class PixelCNN(nn.Module):
 
     def __call__(self, x: Array, condition: Optional[Array] = None,
                  train: bool = False) -> Array:
+        from movae_tpu.parallel.context import seq_shard_spatial
         h = self.embedding(x)
         if condition is not None:
             h = jnp.concatenate([h, condition.astype(h.dtype)], axis=-1)
+        # under --context_parallel: row-shard the conv trunk over 'seq'
+        # (GSPMD halo-exchanges the masked-conv borders; XLA propagates the
+        # layout through the residual stack)
+        h = seq_shard_spatial(h)
         h = self.conv_in(h)
         for blk in self.res_blocks:
             h = blk(h)
@@ -306,6 +311,7 @@ class PixelSNAIL(nn.Module):
 
     def __call__(self, x: Array, condition: Optional[Array] = None,
                  train: bool = False) -> Array:
+        from movae_tpu.parallel.context import seq_shard_spatial
         b, hh, ww = x.shape
         h = self.embedding(x)
         pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(hh, ww)),
@@ -313,6 +319,10 @@ class PixelSNAIL(nn.Module):
         h = jnp.concatenate([h, pos], axis=-1)
         if condition is not None:
             h = jnp.concatenate([h, condition.astype(h.dtype)], axis=-1)
+        # row-shard the conv trunk over 'seq' under --context_parallel (see
+        # PixelCNN.__call__); the (B, L, C) reshape in CausalAttention then
+        # feeds the ring path already sequence-sharded
+        h = seq_shard_spatial(h)
         h = self.conv_in(h)
         for blk in self.blocks:
             h = h + blk(h, train=train)

@@ -42,6 +42,30 @@ def get_context_parallel() -> Optional[ContextParallel]:
     return _current
 
 
+def seq_shard_spatial(h):
+    """Constrain (B, H, W, C) prior-trunk activations to be row-sharded
+    over the active context-parallel 'seq' axis, so the conv stack computes
+    1/S of the rows per device (GSPMD inserts the causal-conv halo
+    exchanges) instead of running replicated across the seq axis; the
+    row-major reshape to (B, L, C) then hands the ring attention
+    (ops/ring_attention.py) already-sequence-sharded q/k/v. No-op without
+    an active config or when a dim doesn't divide the mesh axis
+    (trace-time static-shape decision, like the ring's fallbacks)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ctx = get_context_parallel()
+    if ctx is None or ctx.size <= 1:
+        return h
+    if h.ndim != 4 or h.shape[1] % ctx.size:
+        return h
+    ba = ctx.batch_axis
+    if ba is not None and h.shape[0] % int(ctx.mesh.shape[ba]):
+        ba = None
+    return jax.lax.with_sharding_constraint(
+        h, NamedSharding(ctx.mesh, P(ba, ctx.seq_axis, None, None)))
+
+
 @contextlib.contextmanager
 def context_parallel(mesh: Mesh, seq_axis: str = "seq",
                      batch_axis: Optional[str] = "data",

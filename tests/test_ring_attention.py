@@ -128,6 +128,65 @@ def test_pixelsnail_loss_invariant_under_context_parallel():
     np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
 
 
+def test_prior_loss_and_grads_invariant_with_seq_sharded_trunk():
+    """With the code grid's row count divisible by the seq axis, the conv
+    trunk is row-sharded (seq_shard_spatial) and the ring gets pre-sharded
+    q/k/v; loss AND grads must match the unsharded trace (conv halo
+    exchange + ring backward are exact). Grid 8x8, seq=4 -> 2 rows/device
+    with a 7x7 masked conv_in (multi-hop halos)."""
+    from movae_tpu.models.pixelcnn import PixelSNAIL
+    from movae_tpu.parallel.context import context_parallel
+
+    prior = PixelSNAIL(num_embeddings=16, embedding_dim=8,
+                       hidden_channels=16, num_blocks=1,
+                       num_res_blocks_per_layer=1, num_heads=2, dropout=0.0)
+    rng = jax.random.PRNGKey(7)
+    z = jax.random.randint(rng, (2, 8, 8), 0, 16)
+    params = prior.init({"params": rng, "dropout": rng}, z,
+                        train=False)["params"]
+
+    def loss(p, z):
+        return prior.apply({"params": p}, z, train=True,
+                           method="loss_function",
+                           rngs={"dropout": rng})["total_loss"]
+
+    base, gbase = jax.jit(jax.value_and_grad(loss))(params, z)
+    mesh = _mesh(num_seq=4, num_data=2)
+    with context_parallel(mesh):
+        cp, gcp = jax.jit(jax.value_and_grad(loss))(params, z)
+    np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
+    flat_b = jax.tree_util.tree_leaves(gbase)
+    flat_c = jax.tree_util.tree_leaves(gcp)
+    for a, b in zip(flat_c, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
+def test_pixelcnn_conv_prior_invariant_under_context_parallel():
+    """The conv-only PixelCNN prior also row-shards its trunk under the
+    context (no attention involved)."""
+    from movae_tpu.models.pixelcnn import PixelCNN
+    from movae_tpu.parallel.context import context_parallel
+
+    prior = PixelCNN(num_embeddings=16, embedding_dim=8,
+                     hidden_channels=12, num_layers=2)
+    rng = jax.random.PRNGKey(8)
+    z = jax.random.randint(rng, (2, 8, 8), 0, 16)
+    params = prior.init({"params": rng, "dropout": rng}, z,
+                        train=False)["params"]
+
+    def loss(p, z):
+        return prior.apply({"params": p}, z, train=True,
+                           method="loss_function",
+                           rngs={"dropout": rng})["total_loss"]
+
+    base = jax.jit(loss)(params, z)
+    mesh = _mesh(num_seq=4, num_data=2)
+    with context_parallel(mesh):
+        cp = jax.jit(loss)(params, z)
+    np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
+
+
 def test_make_mesh_seq_axis_validation():
     from movae_tpu.parallel.mesh import make_mesh
 
