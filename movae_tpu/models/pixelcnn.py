@@ -160,8 +160,9 @@ class CausalAttention(nn.Module):
             self.v_proj(xf))
         sm_scale = 1.0 / float(hd) ** 0.5
         from movae_tpu.parallel.context import get_context_parallel
+        ctx = get_context_parallel()
         if (self.dropout > 0.0 and train and L <= DENSE_ATTENTION_MAX_L
-                and get_context_parallel() is None):
+                and (ctx is None or ctx.size <= 1)):
             # (under context parallelism the ring path + output dropout is
             # used even at short L — the dense weight-dropout matrix would
             # be materialized replicated, defeating the sequence sharding)
@@ -991,15 +992,29 @@ def warn_long_seq_dropout(model, h: int, w: int) -> None:
     (pixelcnn_prior.py:126-127), while the flash path regularizes the
     attention OUTPUT — users comparing val-CE against reference runs should
     know the semantics changed (ADVICE r1)."""
+    from movae_tpu.parallel.context import get_context_parallel
+
     L = h * w
     dropout = float(getattr(model, "dropout", 0.0) or 0.0)
     has_attention = isinstance(model, (PixelSNAIL, HierarchicalPixelSNAIL))
-    if has_attention and dropout > 0.0 and L > DENSE_ATTENTION_MAX_L:
+    if not (has_attention and dropout > 0.0):
+        return
+    ctx = get_context_parallel()
+    cp_active = ctx is not None and ctx.size > 1
+    if L > DENSE_ATTENTION_MAX_L:
         print(f"Note: attention grid {h}x{w} (L={L}) exceeds the dense "
               f"threshold ({DENSE_ATTENTION_MAX_L}); dropout={dropout} is "
               "applied to the attention output (flash-compatible), not the "
               "attention weights as in the reference (pixelcnn_prior.py:"
               "126-127).")
+    elif cp_active:
+        # at short L the dense weight-dropout branch would normally apply;
+        # ring sequence-parallelism replaces it with output dropout, so
+        # val-CE is not directly comparable to a --context_parallel 1 run
+        print(f"Note: --context_parallel {ctx.size} routes attention "
+              f"through the ring path; dropout={dropout} is applied to the "
+              "attention output, not the attention weights as in the "
+              "reference (pixelcnn_prior.py:126-127).")
 
 
 def sample_prior(model, params, rng, batch_size, height, width,

@@ -55,49 +55,28 @@ Array = jax.Array
 _NEG = -1e30  # masked-logit fill; -inf would NaN through exp(m - m) at init
 
 
-def _ring_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
-    """Per-device ring loop. ql/kl/vl: (B, H, Lc, D) local chunks."""
-    idx = jax.lax.axis_index(seq_axis)
-    b, h, Lc, d = ql.shape
-    qpos = idx * Lc + jnp.arange(Lc)  # global positions of my queries
-    qf = ql.astype(jnp.float32)
-    perm = [(i, (i + 1) % S) for i in range(S)]
+def _make_seq_permute(idx: np.ndarray, inv_idx: np.ndarray):
+    """Gather-only static permutation along axis 2. ``jnp.take``'s VJP is a
+    scatter-add, which XLA:TPU serializes per update (the repo's hot paths
+    are scatter-free by design — see ops/vq.py gather_rows); since the
+    permutation is a static bijection its transpose is just the inverse
+    gather, so the custom VJP keeps the zigzag remap (and the whole ring
+    backward) scatter-free."""
+    idx = jnp.asarray(idx)
+    inv_idx = jnp.asarray(inv_idx)
 
-    @jax.checkpoint
-    def block_update(o, m, l, kc, vc, src):
-        kpos = src * Lc + jnp.arange(Lc)
-        logits = jax.lax.dot_general(
-            qf, kc.astype(jnp.float32),
-            (((3,), (3,)), ((0, 1), (0, 1)))) * sm_scale  # (B,H,Lc,Lc)
-        mask = kpos[None, :] <= qpos[:, None]  # inclusive diagonal
-        logits = jnp.where(mask[None, None], logits, _NEG)
-        m_new = jnp.maximum(m, logits.max(axis=-1))
-        p = jnp.exp(logits - m_new[..., None])
-        # fully-masked blocks (src chunk entirely in my future): every
-        # logit is _NEG, p underflows to 0 and the correction is exp(0)=1
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + p.sum(axis=-1)
-        o_new = o * corr[..., None] + jax.lax.dot_general(
-            p, vc.astype(jnp.float32), (((3,), (2,)), ((0, 1), (0, 1))))
-        return o_new, m_new, l_new
+    @jax.custom_vjp
+    def permute(x):
+        return jnp.take(x, idx, axis=2)
 
-    def step(carry, s):
-        o, m, l, kc, vc = carry
-        src = (idx - s) % S  # after s rotations I hold chunk idx-s
-        o, m, l = block_update(o, m, l, kc, vc, src)
-        kc = jax.lax.ppermute(kc, seq_axis, perm)
-        vc = jax.lax.ppermute(vc, seq_axis, perm)
-        return (o, m, l, kc, vc), None
+    def fwd(x):
+        return permute(x), None
 
-    o0 = jnp.zeros((b, h, Lc, d), jnp.float32)
-    m0 = jnp.full((b, h, Lc), _NEG, jnp.float32)
-    l0 = jnp.zeros((b, h, Lc), jnp.float32)
-    (o, m, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, kl, vl),
-                                      jnp.arange(S))
-    # every query attends at least to itself (step s=0, the diagonal
-    # chunk), so l > 0 — except for pad rows, which are sliced off by the
-    # caller; guard them against 0/0 anyway
-    return (o / jnp.maximum(l, 1e-30)[..., None]).astype(ql.dtype)
+    def bwd(_, ct):
+        return (jnp.take(ct, inv_idx, axis=2),)
+
+    permute.defvjp(fwd, bwd)
+    return permute
 
 
 def _softmax_block_update(o, m, l, qf, kc, vc, sm_scale, mask=None):
@@ -116,6 +95,46 @@ def _softmax_block_update(o, m, l, qf, kc, vc, sm_scale, mask=None):
     o_new = o * corr[..., None] + jax.lax.dot_general(
         p, vc.astype(jnp.float32), (((3,), (2,)), ((0, 1), (0, 1))))
     return o_new, m_new, l_new
+
+
+def _ring_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
+    """Per-device contiguous-chunk ring loop. ql/kl/vl: (B, H, Lc, D).
+    The s=0 diagonal (intra-chunk causal) is hoisted before the scan so
+    only S-1 rotations run — the final chunk never needs to travel."""
+    idx = jax.lax.axis_index(seq_axis)
+    b, h, Lc, d = ql.shape
+    qpos = idx * Lc + jnp.arange(Lc)  # global positions of my queries
+    qf = ql.astype(jnp.float32)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    upd = jax.checkpoint(partial(_softmax_block_update, sm_scale=sm_scale))
+
+    tril = jnp.tril(jnp.ones((Lc, Lc), bool))[None, None]
+    acc = upd(jnp.zeros((b, h, Lc, d), jnp.float32),
+              jnp.full((b, h, Lc), _NEG, jnp.float32),
+              jnp.zeros((b, h, Lc), jnp.float32),
+              qf, kl, vl, mask=tril)
+
+    def step(carry, s):
+        o, m, l, kc, vc = carry
+        kc = jax.lax.ppermute(kc, seq_axis, perm)
+        vc = jax.lax.ppermute(vc, seq_axis, perm)
+        src = (idx - s) % S  # after s rotations I hold chunk idx-s
+        kpos = src * Lc + jnp.arange(Lc)
+        # fully-masked blocks (src chunk entirely in my future): every
+        # logit is _NEG, p underflows to 0 and the correction is exp(0)=1
+        mask = (kpos[None, :] <= qpos[:, None])[None, None]
+        o, m, l = upd(o, m, l, qf, kc, vc, mask=mask)
+        return (o, m, l, kc, vc), None
+
+    if S > 1:
+        (o, m, l, _, _), _ = jax.lax.scan(step, acc + (kl, vl),
+                                          jnp.arange(1, S))
+    else:
+        o, m, l = acc
+    # every query attends at least to itself (the hoisted diagonal), so
+    # l > 0 — except for pad rows, which are sliced off by the caller;
+    # guard them against 0/0 anyway
+    return (o / jnp.maximum(l, 1e-30)[..., None]).astype(ql.dtype)
 
 
 def _zigzag_body(seq_axis: str, S: int, sm_scale: float, ql, kl, vl):
@@ -210,13 +229,15 @@ def ring_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
     if zigzag:
         # remap raster order -> stripe pairs so contiguous sharding gives
         # device d the pair (stripe d, stripe 2S-1-d); static permutation,
-        # inverted on the output
+        # inverted on the output (gather-only in both directions)
         Lc = Lp // stripes
         order = [c for d in range(S) for c in (d, stripes - 1 - d)]
         fwd = np.concatenate([np.arange(c * Lc, (c + 1) * Lc)
                               for c in order])
         inv = np.argsort(fwd)
-        q, k, v = (jnp.take(x, fwd, axis=2) for x in (q, k, v))
+        to_stripes = _make_seq_permute(fwd, inv)
+        from_stripes = _make_seq_permute(inv, fwd)
+        q, k, v = to_stripes(q), to_stripes(k), to_stripes(v)
         body = partial(_zigzag_body, seq_axis, S, sm_scale)
     else:
         body = partial(_ring_body, seq_axis, S, sm_scale)
@@ -225,5 +246,5 @@ def ring_causal_attention(q: Array, k: Array, v: Array, sm_scale: float,
                        out_specs=spec, check_vma=False)
     out = fn(q, k, v)
     if zigzag:
-        out = jnp.take(out, inv, axis=2)
+        out = from_stripes(out)
     return out[:, :, :L] if Lp != L else out

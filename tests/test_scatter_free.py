@@ -135,6 +135,31 @@ def test_integer_cross_entropy_matches_optax():
     assert "scatter" not in hlo
 
 
+def test_context_parallel_prior_grad_hlo_is_scatter_free():
+    """The ring-attention (zigzag) prior backward must also compile without
+    scatters: the stripe remap is a static bijection whose custom VJP is
+    the inverse gather (ops/ring_attention.py _make_seq_permute) — a plain
+    jnp.take there would transpose to a scatter-add per attention layer."""
+    from movae_tpu.models.pixelcnn import PixelSNAIL
+    from movae_tpu.parallel.context import context_parallel
+    from movae_tpu.parallel.mesh import make_mesh
+
+    prior = PixelSNAIL(num_embeddings=16, embedding_dim=8,
+                       hidden_channels=16, num_blocks=1,
+                       num_res_blocks_per_layer=1, num_heads=2, dropout=0.0)
+    z = jnp.zeros((2, 8, 8), jnp.int32)
+    params = prior.init(jax.random.PRNGKey(0), z, train=False)["params"]
+
+    def loss(p):
+        return prior.apply({"params": p}, z, train=False,
+                           method="loss_function")["total_loss"]
+
+    mesh = make_mesh(num_data=2, num_seq=4, devices=jax.devices()[:8])
+    with context_parallel(mesh):
+        hlo = jax.jit(jax.grad(loss)).lower(params).as_text()
+    assert "scatter" not in hlo
+
+
 def test_prior_train_grad_hlo_is_scatter_free():
     """PixelCNN prior loss backward (embedding grad + CE grad) must compile
     without scatters."""
