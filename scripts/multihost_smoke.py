@@ -14,7 +14,12 @@ each, gloo collectives) that form one 8-device global mesh and exercise:
   3. process-0 IO gating (only host 0 writes),
   4. get_or_extract_codes lockstep when only ONE host has a warm cache
      (the ADVICE-r1 partial-cache deadlock scenario): all hosts must
-     agree to extract, and both must return identical code sets.
+     agree to extract, and both must return identical code sets,
+  5. ring (sequence-parallel) attention ACROSS the process boundary: a
+     PixelSNAIL loss with the zigzag ring's ppermute ring spanning both
+     hosts (4-way 'seq' axis over the 2x4-device global mesh) must match
+     the single-trace dense-attention loss bitwise-closely and agree
+     across hosts.
 
 Run: python scripts/multihost_smoke.py            (launcher)
 Exit code 0 = all workers passed.
@@ -158,6 +163,45 @@ def worker(pid: int, port: int, workdir: str) -> None:
     assert not cached, "partial cache must force ALL hosts to extract"
     assert (np.asarray(levels["codes"]) == 0).all(), "stale cache served"
     print(f"{tag} codes-cache partial-hit lockstep ok", flush=True)
+
+    # -- 5. ring attention across the process boundary ----------------------
+    from movae_tpu.models.pixelcnn import PixelSNAIL
+    from movae_tpu.parallel.context import context_parallel
+    from movae_tpu.parallel.mesh import make_mesh
+
+    prior = PixelSNAIL(num_embeddings=16, embedding_dim=8,
+                       hidden_channels=16, num_blocks=1,
+                       num_res_blocks_per_layer=1, num_heads=2, dropout=0.0)
+    prng = jax.random.PRNGKey(11)
+    z_np = np.asarray(jax.random.randint(prng, (2, 8, 8), 0, 16))
+    pparams = prior.init({"params": prng, "dropout": prng},
+                         jnp.asarray(z_np), train=False)["params"]
+
+    def prior_loss(p, z):
+        return prior.apply({"params": p}, z, train=True,
+                           method="loss_function",
+                           rngs={"dropout": prng})["total_loss"]
+
+    # interleave the two processes' devices so every 4-device 'seq' ring
+    # contains devices from BOTH hosts (default id order would keep each
+    # ring intra-process and never test the cross-host ppermute hop)
+    devs = sorted(jax.devices(), key=lambda d: d.id)
+    order = [devs[i + DEVICES_PER_PROC * p]
+             for i in range(DEVICES_PER_PROC) for p in range(NUM_PROCS)]
+    cp_mesh = make_mesh(num_data=2, num_model=1, num_seq=4, devices=order)
+    pparams_r = parallel.replicate(pparams)
+    z_r = parallel.replicate(jnp.asarray(z_np))
+    dense = float(jax.jit(prior_loss)(pparams_r, z_r))
+    with context_parallel(cp_mesh):
+        # seq axis spans both processes: the zigzag ring's ppermute hops
+        # cross the gloo (DCN-analog) boundary every step
+        ring = float(jax.jit(prior_loss)(pparams_r, z_r))
+    assert np.isfinite(ring)
+    assert abs(ring - dense) <= 1e-5 * max(1.0, abs(dense)), (ring, dense)
+    rings = np.asarray(multihost_utils.process_allgather(np.float64(ring)))
+    assert (rings == rings[0]).all(), f"ring losses diverged: {rings}"
+    print(f"{tag} cross-host ring attention ok "
+          f"(ring={ring:.6f} dense={dense:.6f})", flush=True)
     multihost_utils.sync_global_devices("done")
 
 
