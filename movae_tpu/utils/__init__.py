@@ -34,22 +34,47 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
-def require_live_backend(max_retries: int = 20, sleep_s: float = 30.0) -> None:
-    """Wait out a transient accelerator-backend outage by re-exec'ing the
-    current process until ``jax.devices()`` initializes.
+def require_live_backend(max_retries: int = 20, sleep_s: float = 30.0,
+                         probe_timeout_s: float = 90.0) -> None:
+    """Wait out a transient accelerator-backend outage until
+    ``jax.devices()`` initializes.
 
-    The TPU in this environment is reached over a tunnel that occasionally
-    drops; when JAX's backend init fails it raises ``RuntimeError`` and the
-    failure is cached for the life of the process, so an in-process retry
-    is useless — instead we sleep and ``os.execv`` the original command line
-    (bounded by ``MOVAE_BACKEND_RETRY`` so a hard outage still fails after
-    ~``max_retries * sleep_s`` seconds). Script entry points that own their
-    process (bench.py, scripts/step_cost.py, scripts/*_ab.py) call this;
-    __graft_entry__.py deliberately does NOT — it is imported as a module
-    by the driver, and re-exec'ing would restart the importer."""
+    The TPU in this environment is reached over a tunnel with two distinct
+    outage modes: backend init can FAIL (RuntimeError, cached for the life
+    of the process) or HANG indefinitely (the tunnel accepts the connection
+    but never answers — observed 2026-08-18). Against the hang, the parent
+    must never be the first process to touch ``jax.devices()``: we probe in
+    a killable SUBPROCESS with a timeout and sleep/retry until a probe
+    succeeds (bounded: ~``max_retries * (sleep_s + probe_timeout_s)``).
+    Against the cached failure, the legacy path re-execs the original
+    command line (``MOVAE_BACKEND_RETRY``-bounded). Script entry points
+    that own their process (bench.py, scripts/step_cost.py,
+    scripts/*_ab.py) call this; __graft_entry__.py deliberately does NOT —
+    it is imported as a module by the driver, and re-exec'ing would restart
+    the importer."""
     import os
+    import subprocess
     import sys
     import time
+
+    for n in range(max_retries + 1):
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True).returncode
+            why = f"probe rc={rc}"
+        except subprocess.TimeoutExpired:
+            rc, why = -1, f"probe hung >{probe_timeout_s:.0f}s"
+        if rc == 0:
+            break
+        if n >= max_retries:
+            raise RuntimeError(
+                f"accelerator backend unreachable after {max_retries} "
+                f"probes ({why})")
+        print(f"[movae_tpu] backend unavailable ({why}); probe "
+              f"{n + 1}/{max_retries} in {sleep_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
 
     try:
         import jax
