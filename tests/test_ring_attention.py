@@ -187,6 +187,54 @@ def test_pixelcnn_conv_prior_invariant_under_context_parallel():
     np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
 
 
+def test_hierarchical_prior_invariant_under_context_parallel():
+    """HierarchicalPixelSNAIL (attention top + conditioned conv bottom):
+    both levels route through the ring/constraint machinery under the
+    context; loss must match the unsharded trace. Top 4x4 (L=16, pads to
+    the 8-stripe zigzag), bottom 8x8 (rows divisible -> sharded trunk)."""
+    from movae_tpu.models.pixelcnn import HierarchicalPixelSNAIL
+    from movae_tpu.parallel.context import context_parallel
+
+    prior = HierarchicalPixelSNAIL(num_embeddings=16, embedding_dim=8,
+                                   hidden_channels=16, num_blocks_top=1,
+                                   num_res_blocks_per_layer=1, num_heads=2,
+                                   num_layers_bottom=2, dropout=0.0)
+    rng = jax.random.PRNGKey(9)
+    zt = jax.random.randint(rng, (2, 4, 4), 0, 16)
+    zb = jax.random.randint(jax.random.PRNGKey(10), (2, 8, 8), 0, 16)
+    params = prior.init({"params": rng, "dropout": rng}, zt, zb,
+                        train=False)["params"]
+
+    def loss(p, zt, zb):
+        return prior.apply({"params": p}, zt, zb, train=True,
+                           method="loss_function",
+                           rngs={"dropout": rng})["total_loss"]
+
+    base = jax.jit(loss)(params, zt, zb)
+    mesh = _mesh(num_seq=4, num_data=2)
+    with context_parallel(mesh):
+        cp = jax.jit(loss)(params, zt, zb)
+    np.testing.assert_allclose(float(cp), float(base), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_bf16_matches_f32_dense():
+    """bf16 inputs: the ring accumulates in f32 (like the flash path), so
+    its outputs should track the f32 dense oracle within bf16 rounding."""
+    from movae_tpu.ops.attention import dense_causal_attention
+    from movae_tpu.ops.ring_attention import ring_causal_attention
+
+    qf, kf, vf = _qkv(jax.random.PRNGKey(12), 2, 2, 32, 8)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+    sm = 1.0 / np.sqrt(8.0)
+    mesh = _mesh(4)
+    ring = jax.jit(lambda a, b_, c: ring_causal_attention(
+        a, b_, c, sm, mesh, batch_axis=None))(q, k, v)
+    assert ring.dtype == jnp.bfloat16
+    dense = dense_causal_attention(qf, kf, vf, sm)
+    np.testing.assert_allclose(np.asarray(ring, np.float32),
+                               np.asarray(dense), rtol=0.05, atol=0.05)
+
+
 def test_make_mesh_seq_axis_validation():
     from movae_tpu.parallel.mesh import make_mesh
 
