@@ -14,6 +14,7 @@ Same output tree as the reference (main.py:1252-1256):
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Any, Dict, Optional
 
@@ -97,8 +98,13 @@ def _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb):
 def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 objective_names, log_every: int = 1,
                 timer: Optional[StepTimer] = None,
-                scan_fn=None, scan_k: int = 1):
+                scan_fn=None, scan_k: int = 1, stop_check=None):
     """One epoch of the hot loop (reference train_epoch, main.py:125-235).
+
+    ``stop_check`` (optional, single-host only): polled between step
+    dispatches; when it returns True the epoch breaks early after the
+    in-flight work is flushed (preemption — utils/preemption.py). The
+    caller decides what to save; partial-epoch meters are still returned.
 
     Metric host-fetches are pipelined: device metric dicts are queued and
     pulled to the host in groups of ``FETCH_GROUP`` steps with one batched
@@ -216,6 +222,8 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             run_single(imgs, n_valid)
         if len(pending) >= FETCH_GROUP:
             flush(pending)
+        if stop_check is not None and stop_check():
+            break
     run_scan_buf(force=True)
     if pending:
         flush(pending)
@@ -438,12 +446,48 @@ def run_training(args) -> Dict[str, Any]:
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    # preemption tolerance (utils/preemption.py): SIGTERM checkpoints at
+    # the next safe point and exits 143 so a scheduler retry can --resume.
+    # Per-step polling is single-host only; multi-host acts at epoch
+    # boundaries via the allgathered flag (collective-cadence safety).
+    from movae_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard()
+    stop_check = ((lambda: guard.triggered)
+                  if jax.process_count() == 1 else None)
+
+    def _save_last(epoch_done: int) -> None:
+        ckpt_lib.save_checkpoint(
+            os.path.join(save_root, "checkpoints", "last_checkpoint"), {
+                "epoch": epoch_done, "step": step,
+                "model_state_dict": {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)},
+                "opt_state": jax.device_get(state.opt_state),
+                "args": {k: v for k, v in vars(args).items()
+                         if isinstance(v, (int, float, str, bool, list,
+                                           dict, type(None), tuple))},
+            })
+
     for epoch in range(start_epoch, args.epochs + 1):
         state, meters, step, rng = train_epoch(
             train_step, state, train_loader, parallel, rng, step, logger,
             model.objective_names, log_every=log_every, timer=timer,
-            scan_fn=scan_fn, scan_k=scan_k)
+            scan_fn=scan_fn, scan_k=scan_k, stop_check=stop_check)
         train_losses.append({k: v.avg for k, v in meters.items()})
+
+        if guard.globally_triggered():
+            # mark THIS epoch as not completed: resume re-runs it with the
+            # mid-epoch params (small data repetition, never a lost epoch)
+            if is_main:
+                _save_last(epoch - 1)
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.stop_trace()
+            guard.uninstall()
+            path = os.path.join(save_root, "checkpoints", "last_checkpoint")
+            print(f"[movae_tpu] preempted during epoch {epoch}: wrote "
+                  f"resumable checkpoint ({path}); exiting 143. "
+                  f"Continue with --resume {path}", flush=True)
+            sys.exit(143)
 
         log_dict = {}
         if hv_indicator is not None:
@@ -486,18 +530,9 @@ def run_training(args) -> Dict[str, Any]:
         # the reference only writes the final checkpoint, main.py:1422-1437)
         if (is_main and epoch % getattr(args, "save_freq", 10) == 0
                 and epoch < args.epochs):
-            ckpt_lib.save_checkpoint(
-                os.path.join(save_root, "checkpoints", "last_checkpoint"), {
-                    "epoch": epoch, "step": step,
-                    "model_state_dict": {
-                        "params": jax.device_get(state.params),
-                        "batch_stats": jax.device_get(state.batch_stats)},
-                    "opt_state": jax.device_get(state.opt_state),
-                    "args": {k: v for k, v in vars(args).items()
-                             if isinstance(v, (int, float, str, bool, list,
-                                               dict, type(None), tuple))},
-                })
+            _save_last(epoch)
 
+    guard.uninstall()  # default SIGTERM semantics outside the epoch loop
     print(f"Training done: {timer.images_per_sec:.1f} images/sec")
 
     # final checkpoint (payload keys per main.py:1422-1437)
