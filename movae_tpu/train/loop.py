@@ -567,6 +567,23 @@ def run_training(args) -> Dict[str, Any]:
         "normalize": normalize,
         "rng": rng,
     }
+    if resume_from:
+        # a run preempted during the PRIOR stage left a last_prior next to
+        # the VQ last_checkpoint (train/prior.py); hand it to train_prior
+        # so `--resume` alone recovers both stages
+        old_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(resume_from)))
+        pr = os.path.join(ckpt_lib._prior_dir(
+            old_root, getattr(args, "prior_type", "pixelcnn")), "last_prior")
+        if os.path.exists(pr):
+            results["prior_resume"] = pr
+        # reuse the interrupted run's code cache too: extraction goes
+        # through the AUGMENTING train loader (random flips, as in the
+        # reference vq_codes_lmdb extraction), so a re-extract in the new
+        # save_root would draw different augmentations and the resumed
+        # prior would continue against a different code snapshot
+        if os.path.isdir(os.path.join(old_root, "codes_cache")):
+            results["prior_cache_root"] = old_root
     return results
 
 

@@ -11,6 +11,7 @@ best_prior/final_prior.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any, Dict, Optional
 
 import jax
@@ -152,9 +153,13 @@ def _train_prior_impl(results: Dict[str, Any], args
 
     extract = extract_codes(model, state, hierarchical,
                             normalize_inputs=results.get("normalize", False))
+    # resumed runs point the cache at the interrupted run's save_root so
+    # the prior continues on the SAME augmented code snapshot (a fresh
+    # extraction would redraw the loader's random flips)
+    cache_root = results.get("prior_cache_root") or save_root
     levels, cached = get_or_extract_codes(
-        extract, results["train_loader"], save_root, args.arch, args.dataset,
-        model.num_embeddings, model.input_size, hierarchical,
+        extract, results["train_loader"], cache_root, args.arch,
+        args.dataset, model.num_embeddings, model.input_size, hierarchical,
         force_extract=getattr(args, "prior_force_extract_codes", False),
         use_cache=getattr(args, "prior_use_lmdb_codes", True))
     pc = jax.process_count()
@@ -203,6 +208,45 @@ def _train_prior_impl(results: Dict[str, Any], args
     params = parallel.replicate(params)
     opt_state = tx.init(params)  # moments inherit the replicated layout
 
+    # --- preemption tolerance + resume (mirrors the VQ loop) -------------
+    # SIGTERM writes <save_root>/<type>_prior/checkpoints/last_prior and
+    # exits 143; a retry resumes it via results["prior_resume"] (derived
+    # from --resume by run_training) or --prior_resume (standalone
+    # trainers). The optimizer state carries the cosine-schedule step, so
+    # the LR continues where it left off.
+    from movae_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard()
+    stop_check = (lambda: guard.triggered) if pc == 1 else None
+    prior_type = getattr(args, "prior_type", "pixelcnn")
+    last_prior_path = os.path.join(
+        os.path.dirname(ckpt_lib.best_prior_path(save_root, prior_type)),
+        "last_prior")
+    start_epoch = 1
+    best_loss = float("inf")
+    resume_src = (results.get("prior_resume")
+                  or getattr(args, "prior_resume", None))
+    if resume_src and os.path.exists(resume_src):
+        payload = ckpt_lib.load_checkpoint(resume_src)
+        rp = payload["model_state_dict"]["params"]
+        params = parallel.replicate(rp)
+        if payload.get("opt_state"):
+            leaves = jax.tree_util.tree_leaves(payload["opt_state"])
+            treedef = jax.tree_util.tree_structure(opt_state)
+            if treedef.num_leaves == len(leaves):
+                opt_state = parallel.replicate(jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(l) for l in leaves]))
+        start_epoch = int(payload.get("epoch") or 0) + 1
+        best_loss = float(payload.get("best_loss", float("inf")))
+        print(f"Resumed prior from {resume_src} at epoch {start_epoch}")
+
+    def _save_last_prior(epoch_done: int, loss: float) -> None:
+        ckpt_lib.save_checkpoint(last_prior_path, {
+            "epoch": epoch_done,
+            "model_state_dict": {"params": jax.device_get(params)},
+            "opt_state": jax.device_get(opt_state),
+            "loss": loss, "best_loss": best_loss,
+            "prior_args": prior_args_echo(args, prior.embedding_dim)})
+
     def _step(params, opt_state, batch, rng):
         def loss_fn(p):
             if hierarchical:
@@ -249,12 +293,11 @@ def _train_prior_impl(results: Dict[str, Any], args
     # step — so gating IO loses nothing); concurrent saves to a shared
     # directory would race
     is_main = jax.process_index() == 0
-    best_loss = float("inf")
     best_params = params
     meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
     meter.update(float("nan"))  # writes a (loss-less) final checkpoint
     n_global = int(getattr(args, "dataset_size", 0) or 0)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         meter = AverageMeter()
         pending = []  # delayed host fetches (overlap device compute)
         scan_buf = []
@@ -306,8 +349,19 @@ def _train_prior_impl(results: Dict[str, Any], args
                 pending.append((out, [w]))
             if len(pending) >= 8:
                 flush()
+            if stop_check is not None and stop_check():
+                break
         dispatch_buf(force=True)
         flush()
+        if guard.globally_triggered():
+            if is_main:
+                _save_last_prior(epoch - 1, meter.avg)
+            guard.uninstall()
+            print(f"[movae_tpu] preempted during prior epoch {epoch}: "
+                  f"wrote resumable checkpoint ({last_prior_path}); "
+                  f"exiting 143. Continue with --resume (main.py) or "
+                  f"--prior_resume {last_prior_path}", flush=True)
+            sys.exit(143)
         if logger is not None and logger.active:
             logger.log({"prior/loss": meter.avg, "prior/epoch": epoch})
         if meter.avg < best_loss:
@@ -320,6 +374,10 @@ def _train_prior_impl(results: Dict[str, Any], args
                     "model_state_dict": {"params": best_params},
                     "loss": best_loss,
                     "prior_args": prior_args_echo(args, prior.embedding_dim)})
+        if is_main:
+            # per-epoch crash tolerance (params are small; the VQ stage
+            # saves per save_freq, priors save every epoch)
+            _save_last_prior(epoch, meter.avg)
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
@@ -347,6 +405,7 @@ def _train_prior_impl(results: Dict[str, Any], args
             except Exception as e:  # pragma: no cover
                 print(f"prior sample figure failed: {e}")
 
+    guard.uninstall()
     if is_main:
         ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
             save_root, getattr(args, "prior_type", "pixelcnn")), {

@@ -118,6 +118,9 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     p.add_argument("--context_parallel", type=int, default=1,
                    help="ring-attention sequence partitions over the mesh "
                         "'seq' axis (long-L prior attention)")
+    p.add_argument("--prior_resume", type=str, default=None,
+                   help="resume prior training from a last_prior checkpoint "
+                        "(written every epoch and on SIGTERM preemption)")
     p.add_argument("--prior_sample_every", "--sample_every", type=int,
                    default=0, dest="prior_sample_every",
                    help="write a prior sample grid every N epochs")
