@@ -158,6 +158,18 @@ def build_parser() -> ArgumentParser:
                              "'seq' axis for the prior stage's long-L "
                              "attention (ring attention over ICI; 1 = "
                              "single-device attention)")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="pipeline-parallel stages over the mesh 'pipe' "
+                             "axis for PixelSNAIL prior training (GPipe "
+                             "microbatching; block params + optimizer "
+                             "moments sharded per stage; 1 = off)")
+    parser.add_argument("--pipeline_microbatches", type=int, default=0,
+                        help="GPipe microbatches per step (0 = auto: the "
+                             "largest per-shard batch divisor <= 2*stages)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard parameters + optimizer state over the "
+                             "'data' axis (ZeRO-3: GSPMD all-gathers "
+                             "weights at use and reduce-scatters grads)")
     parser.add_argument("--vq_ema", action="store_true",
                         help="EMA-maintained codebook for arch=vq_vae "
                              "(objectives become recon+commitment; the "

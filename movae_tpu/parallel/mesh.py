@@ -21,31 +21,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
               devices: Optional[Sequence] = None,
-              num_seq: int = 1) -> Mesh:
-    """('data', 'model', 'seq') mesh: data parallelism, tensor parallelism,
-    and sequence (context) parallelism for long-L prior attention
-    (ops/ring_attention.py). The trailing axes default to size 1 so plain
-    DP runs are unaffected."""
+              num_seq: int = 1, num_pipe: int = 1) -> Mesh:
+    """('data', 'model', 'seq', 'pipe') mesh: data parallelism, tensor
+    parallelism, sequence (context) parallelism for long-L prior attention
+    (ops/ring_attention.py), and pipeline parallelism for the prior block
+    stack (parallel/pipeline.py). The trailing axes default to size 1 so
+    plain DP runs are unaffected."""
     devices = list(devices if devices is not None else jax.devices())
-    if num_model < 1 or num_seq < 1 or len(devices) % (num_model * num_seq):
+    extra = num_model * num_seq * num_pipe
+    if min(num_model, num_seq, num_pipe) < 1 or len(devices) % extra:
         raise ValueError(
-            f"model_partitions={num_model} * context_parallel={num_seq} "
-            f"must divide the device count ({len(devices)})")
+            f"model_partitions={num_model} * context_parallel={num_seq} * "
+            f"pipeline_parallel={num_pipe} must divide the device count "
+            f"({len(devices)})")
     if num_data is None:
-        num_data = len(devices) // (num_model * num_seq)
-    devs = np.asarray(devices[: num_data * num_model * num_seq]).reshape(
-        num_data, num_model, num_seq)
-    return Mesh(devs, ("data", "model", "seq"))
+        num_data = len(devices) // extra
+    devs = np.asarray(devices[: num_data * extra]).reshape(
+        num_data, num_model, num_seq, num_pipe)
+    return Mesh(devs, ("data", "model", "seq", "pipe"))
 
 
 class DataParallel:
     """Shard batches over 'data'; replicate state. When the mesh has a
     non-trivial 'model' axis, :meth:`shard_params` additionally splits large
     weight matrices/conv kernels over it (tensor parallelism) — GSPMD
-    propagates the layout through the step and inserts the collectives."""
+    propagates the layout through the step and inserts the collectives.
 
-    def __init__(self, mesh: Optional[Mesh] = None):
+    With ``fsdp=True`` (ZeRO-3), large parameter leaves are ALSO sharded
+    over the 'data' axis on their largest free dimension: at rest each chip
+    holds 1/dp of the weights and optimizer moments (``tx.init`` on the
+    placed params inherits the layout); GSPMD all-gathers a weight just
+    before use and reduce-scatters its gradient — the standard
+    fully-sharded recipe, expressed purely as placement annotations."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, fsdp: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.fsdp = fsdp
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
 
@@ -88,11 +99,21 @@ class DataParallel:
         for both Dense kernels (in, out) and conv kernels (kh, kw, cin,
         cout) without any model-code change."""
         tp = self.mesh.shape["model"]
+        dp = self.mesh.shape["data"]
 
         def rule(leaf):
-            if (tp > 1 and getattr(leaf, "ndim", 0) >= 2
-                    and leaf.shape[-1] % tp == 0 and leaf.size >= min_elems):
-                spec = [None] * (leaf.ndim - 1) + ["model"]
+            ndim = getattr(leaf, "ndim", 0)
+            spec = [None] * ndim
+            if (tp > 1 and ndim >= 2 and leaf.shape[-1] % tp == 0
+                    and leaf.size >= min_elems):
+                spec[-1] = "model"
+            if self.fsdp and dp > 1 and ndim >= 1 and leaf.size >= min_elems:
+                # largest still-unsharded dim divisible by the data width
+                cands = [d for d in range(ndim)
+                         if spec[d] is None and leaf.shape[d] % dp == 0]
+                if cands:
+                    spec[max(cands, key=lambda d: leaf.shape[d])] = "data"
+            if any(spec):
                 return NamedSharding(self.mesh, P(*spec))
             return self.replicated
 

@@ -303,10 +303,14 @@ def run_training(args) -> Dict[str, Any]:
     args.dataset_size = len(train_ds)
     num_model = int(getattr(args, "model_partitions", 1) or 1)
     num_seq = int(getattr(args, "context_parallel", 1) or 1)
+    num_pipe = int(getattr(args, "pipeline_parallel", 1) or 1)
     # one static mesh for both stages: the VQ stage shards only on 'data'
-    # (a non-trivial 'seq' axis narrows its DP width — context parallelism
-    # is an opt-in for prior-dominated long-L runs)
-    parallel = DataParallel(make_mesh(num_model=num_model, num_seq=num_seq))
+    # (non-trivial 'seq'/'pipe' axes narrow its DP width — context/pipeline
+    # parallelism are opt-ins for prior-dominated runs). --fsdp additionally
+    # shards params + optimizer moments over 'data' (ZeRO-3 placement).
+    parallel = DataParallel(make_mesh(num_model=num_model, num_seq=num_seq,
+                                      num_pipe=num_pipe),
+                            fsdp=bool(getattr(args, "fsdp", False)))
     batch_size = parallel.pad_to_devices(args.batch_size)
 
     # hot-loop loaders ship raw uint8 (cast/normalize happens on-device in

@@ -120,7 +120,10 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     main.py:890-1051). With ``--context_parallel N`` the mesh carries an
     N-way 'seq' axis and the PixelSNAIL attention runs ring
     (sequence-parallel) attention over it (ops/ring_attention.py) — the
-    config is installed trace-time via movae_tpu.parallel.context.
+    config is installed trace-time via movae_tpu.parallel.context. With
+    ``--pipeline_parallel S`` the PixelSNAIL block stack is GPipe-pipelined
+    over a 'pipe' axis instead (parallel/pipeline.py; exclusive with
+    context/tensor parallelism).
     """
     import contextlib
 
@@ -130,7 +133,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     if parallel is None:
         from movae_tpu.parallel.mesh import DataParallel, make_mesh
         cp_n = int(getattr(args, "context_parallel", 1) or 1)
-        parallel = DataParallel(make_mesh(num_seq=cp_n))
+        pp_n = int(getattr(args, "pipeline_parallel", 1) or 1)
+        parallel = DataParallel(make_mesh(num_seq=cp_n, num_pipe=pp_n))
         results = dict(results, parallel=parallel)
     ctx = (context_parallel(parallel.mesh)
            if int(parallel.mesh.shape.get("seq", 1)) > 1
@@ -188,6 +192,38 @@ def _train_prior_impl(results: Dict[str, Any], args
                         getattr(model, "embedding_dim", None))
     att_grid = levels["top" if hierarchical else "codes"]
     warn_long_seq_dropout(prior, att_grid.shape[1], att_grid.shape[2])
+
+    # --- pipeline parallelism (--pipeline_parallel S) --------------------
+    # GPipe microbatching over the mesh 'pipe' axis with the PixelSNAIL
+    # block stack stage-sharded at rest (parallel/pipeline.py). Checkpoints
+    # keep the reference-compatible unstacked params layout (the opt_state
+    # payload stays in the live stacked layout; the resume graft skips it
+    # gracefully if the pipeline config changed).
+    pp_n = int(parallel.mesh.shape.get("pipe", 1))
+    use_pp = pp_n > 1
+    if use_pp:
+        from movae_tpu.parallel import pipeline as pp_lib
+        if hierarchical or not isinstance(prior, PixelSNAIL):
+            raise ValueError("--pipeline_parallel requires the "
+                             "non-hierarchical pixelsnail prior")
+        per_shard = batch_size // int(parallel.mesh.shape["data"])
+        pp_m = (int(getattr(args, "pipeline_microbatches", 0) or 0)
+                or pp_lib.default_microbatches(per_shard, pp_n))
+        pp_loss = pp_lib.make_pipelined_snail_loss(prior, parallel.mesh,
+                                                   pp_m, train=True)
+
+    def _place(p):
+        """Device placement for live prior params (stacked + stage-sharded
+        under pipeline parallelism, replicated otherwise)."""
+        if use_pp:
+            return pp_lib.shard_pp_params(pp_lib.stack_block_params(p),
+                                          parallel.mesh)
+        return parallel.replicate(p)
+
+    def _host_params(p):
+        """Checkpoint/sampler layout: fetched to host, unstacked."""
+        p = jax.device_get(p)
+        return pp_lib.unstack_block_params(p) if use_pp else p
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
     if hierarchical:
         zt = jnp.zeros((2,) + levels["top"].shape[1:], jnp.int32)
@@ -205,8 +241,8 @@ def _train_prior_impl(results: Dict[str, Any], args
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(sched, weight_decay=wd) if wd
                      else optax.adam(sched))
-    params = parallel.replicate(params)
-    opt_state = tx.init(params)  # moments inherit the replicated layout
+    params = _place(params)
+    opt_state = tx.init(params)  # moments inherit the param layout
 
     # --- preemption tolerance + resume (mirrors the VQ loop) -------------
     # SIGTERM writes <save_root>/<type>_prior/checkpoints/last_prior and
@@ -228,13 +264,17 @@ def _train_prior_impl(results: Dict[str, Any], args
     if resume_src and os.path.exists(resume_src):
         payload = ckpt_lib.load_checkpoint(resume_src)
         rp = payload["model_state_dict"]["params"]
-        params = parallel.replicate(rp)
+        params = _place(rp)
         if payload.get("opt_state"):
             leaves = jax.tree_util.tree_leaves(payload["opt_state"])
             treedef = jax.tree_util.tree_structure(opt_state)
             if treedef.num_leaves == len(leaves):
-                opt_state = parallel.replicate(jax.tree_util.tree_unflatten(
-                    treedef, [jnp.asarray(l) for l in leaves]))
+                # graft onto the LIVE placement (stage-sharded moments under
+                # pipeline parallelism, replicated otherwise)
+                live_sh = jax.tree_util.tree_map(lambda x: x.sharding,
+                                                 opt_state)
+                opt_state = jax.device_put(jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(l) for l in leaves]), live_sh)
         start_epoch = int(payload.get("epoch") or 0) + 1
         best_loss = float(payload.get("best_loss", float("inf")))
         print(f"Resumed prior from {resume_src} at epoch {start_epoch}")
@@ -242,14 +282,16 @@ def _train_prior_impl(results: Dict[str, Any], args
     def _save_last_prior(epoch_done: int, loss: float) -> None:
         ckpt_lib.save_checkpoint(last_prior_path, {
             "epoch": epoch_done,
-            "model_state_dict": {"params": jax.device_get(params)},
+            "model_state_dict": {"params": _host_params(params)},
             "opt_state": jax.device_get(opt_state),
             "loss": loss, "best_loss": best_loss,
             "prior_args": prior_args_echo(args, prior.embedding_dim)})
 
     def _step(params, opt_state, batch, rng):
         def loss_fn(p):
-            if hierarchical:
+            if use_pp:
+                out = pp_loss(p, batch["codes"], rng)
+            elif hierarchical:
                 out = prior.apply({"params": p}, batch["top"],
                                   batch["bottom"], train=True,
                                   method="loss_function",
@@ -293,7 +335,7 @@ def _train_prior_impl(results: Dict[str, Any], args
     # step — so gating IO loses nothing); concurrent saves to a shared
     # directory would race
     is_main = jax.process_index() == 0
-    best_params = params
+    best_params = _host_params(params)
     meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
     meter.update(float("nan"))  # writes a (loss-less) final checkpoint
     n_global = int(getattr(args, "dataset_size", 0) or 0)
@@ -366,7 +408,7 @@ def _train_prior_impl(results: Dict[str, Any], args
             logger.log({"prior/loss": meter.avg, "prior/epoch": epoch})
         if meter.avg < best_loss:
             best_loss = meter.avg
-            best_params = jax.device_get(params)
+            best_params = _host_params(params)
             if is_main:
                 ckpt_lib.save_checkpoint(ckpt_lib.best_prior_path(
                     save_root, getattr(args, "prior_type", "pixelcnn")), {
@@ -392,7 +434,7 @@ def _train_prior_impl(results: Dict[str, Any], args
                 from movae_tpu.train import figures as fig_lib
                 from movae_tpu.train.final_metrics import generate_samples
 
-                cur = {"model": prior, "params": jax.device_get(params),
+                cur = {"model": prior, "params": _host_params(params),
                        "hierarchical": hierarchical}
                 n = min(getattr(args, "num_samples", 16), 16)
                 imgs = generate_samples(model, state, args, cur, rng, n,
@@ -410,7 +452,7 @@ def _train_prior_impl(results: Dict[str, Any], args
         ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
             save_root, getattr(args, "prior_type", "pixelcnn")), {
             "epoch": epochs,
-            "model_state_dict": {"params": jax.device_get(params)},
+            "model_state_dict": {"params": _host_params(params)},
             "loss": meter.avg,
             "prior_args": prior_args_echo(args, prior.embedding_dim)})
     return {"model": prior, "params": best_params,

@@ -118,6 +118,12 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     p.add_argument("--context_parallel", type=int, default=1,
                    help="ring-attention sequence partitions over the mesh "
                         "'seq' axis (long-L prior attention)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="pipeline-parallel stages over the mesh 'pipe' axis "
+                        "(PixelSNAIL only: GPipe microbatching, per-stage "
+                        "block/optimizer sharding)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = auto)")
     p.add_argument("--prior_resume", type=str, default=None,
                    help="resume prior training from a last_prior checkpoint "
                         "(written every epoch and on SIGTERM preemption)")
