@@ -40,6 +40,13 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
     prior_type = getattr(args, "prior_type", "pixelcnn")
     hc = getattr(args, "pixelcnn_hidden_channels", 128)
     nl = getattr(args, "pixelcnn_num_layers", 15)
+    # --compute_dtype applies to the prior too (the VQ stage resolves it in
+    # models/get_network): bf16 activations feed the MXU at 2x, while the
+    # logits are cast back to f32 before the CE (PixelCNN/PixelSNAIL
+    # __call__) and params stay f32 (flax dtype= is compute-only)
+    dt = getattr(args, "compute_dtype", jnp.float32)
+    if isinstance(dt, str):
+        dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dt]
     # precedence: a prior checkpoint's own echo (the table width it was
     # actually built with) > the live VQ model's D > the VQ args echo > 64
     d = (getattr(args, "prior_embedding_dim", None) or embedding_dim
@@ -54,10 +61,11 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
                     args, "pixelsnail_num_res_blocks", 2),
                 num_heads=getattr(args, "pixelsnail_num_heads", 8),
                 num_layers_bottom=nl,
-                dropout=getattr(args, "pixelsnail_dropout", 0.1))
+                dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt)
         return HierarchicalPixelCNN(num_embeddings=num_embeddings,
                                     embedding_dim=d,
-                                    hidden_channels=hc, num_layers=nl)
+                                    hidden_channels=hc, num_layers=nl,
+                                    dtype=dt)
     if prior_type == "pixelsnail":
         return PixelSNAIL(
             num_embeddings=num_embeddings, embedding_dim=d,
@@ -66,9 +74,9 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
             num_res_blocks_per_layer=getattr(args, "pixelsnail_num_res_blocks",
                                              2),
             num_heads=getattr(args, "pixelsnail_num_heads", 8),
-            dropout=getattr(args, "pixelsnail_dropout", 0.1))
+            dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt)
     return PixelCNN(num_embeddings=num_embeddings, embedding_dim=d,
-                    hidden_channels=hc, num_layers=nl)
+                    hidden_channels=hc, num_layers=nl, dtype=dt)
 
 
 def prior_args_echo(args, embedding_dim=None) -> Dict[str, Any]:

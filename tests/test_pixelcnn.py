@@ -218,3 +218,35 @@ def test_hierarchical_fast_matches_naive_nondefault_shapes():
                                      fast=False)
     np.testing.assert_array_equal(np.asarray(zt_f), np.asarray(zt_n))
     np.testing.assert_array_equal(np.asarray(zb_f), np.asarray(zb_n))
+
+
+def test_build_prior_honors_compute_dtype():
+    """--compute_dtype bfloat16 reaches the prior stage (build_prior):
+    bf16 compute, f32 logits/CE, f32 params (checkpoint layout unchanged)."""
+    from types import SimpleNamespace
+
+    from movae_tpu.train.prior import build_prior
+
+    args = SimpleNamespace(prior_type="pixelsnail",
+                           pixelcnn_hidden_channels=8,
+                           pixelsnail_num_blocks=1,
+                           pixelsnail_num_res_blocks=1,
+                           pixelsnail_num_heads=2, pixelsnail_dropout=0.0,
+                           compute_dtype="bfloat16")
+    prior = build_prior(args, 16, hierarchical=False, embedding_dim=4)
+    assert prior.dtype == jnp.bfloat16
+    z = jnp.zeros((2, 4, 4), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    params = prior.init({"params": rng, "dropout": rng}, z,
+                        train=False)["params"]
+    out = prior.apply({"params": params}, z, train=False,
+                      method="loss_function")
+    assert out["total_loss"].dtype == jnp.float32
+    assert bool(jnp.isfinite(out["total_loss"]))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(params))
+    args.compute_dtype = "float32"
+    assert build_prior(args, 16, False, 4).dtype == jnp.float32
+    args.prior_type = "pixelcnn"
+    args.compute_dtype = "bfloat16"
+    assert build_prior(args, 16, True, 4).dtype == jnp.bfloat16
