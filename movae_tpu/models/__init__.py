@@ -17,6 +17,15 @@ from movae_tpu.models.vae import VAE
 __all__ = ["VAE", "get_network", "init_model", "MOVAEModel"]
 
 
+def resolve_compute_dtype(dt):
+    """'float32'/'bfloat16' (or an already-resolved jnp dtype) -> jnp dtype.
+    The single resolver for ``--compute_dtype`` (used by get_network and the
+    prior stage's build_prior)."""
+    if isinstance(dt, str):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dt]
+    return dt
+
+
 def _get(args, name, default=None):
     if args is None:
         return default
@@ -92,9 +101,7 @@ def get_network(input_size: int, num_channels: int = 3, args: Any = None
     dataset_size = _get(args, "dataset_size", 50000)
     batch_size = _get(args, "batch_size", 128)
     kld_w = batch_size / dataset_size
-    dtype = _get(args, "compute_dtype", jnp.float32)
-    if isinstance(dtype, str):
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    dtype = resolve_compute_dtype(_get(args, "compute_dtype", jnp.float32))
     vq_ema = bool(_get(args, "vq_ema", False))
     vq_ema_decay = float(_get(args, "vq_ema_decay", 0.99))
     # EMA maintains the codebooks; the gradient-free embedding loss leaves

@@ -37,7 +37,6 @@ Design notes
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
@@ -165,6 +164,9 @@ def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
     def per_device(local_blocks, head_p, h, z, key):
         # h: (Bl, H, W, C) local activations; z: (Bl, H, W) local labels
         s = jax.lax.axis_index(axis)
+        # distinct dropout stream per data shard (each shard holds different
+        # samples); per-tick and per-stage folds happen in tick()/stage()
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         bl = h.shape[0]
         if bl % M:
             raise ValueError(f"per-shard batch {bl} not divisible by "

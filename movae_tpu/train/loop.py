@@ -46,6 +46,21 @@ ARCHS_NEEDING_PRIOR = {
 }
 
 
+def _mesh_shardings(tree, replicated):
+    """Per-leaf LIVE shardings for a checkpoint device_put graft: keep mesh
+    NamedShardings (fsdp/tp/pipe at-rest layouts), replace everything else
+    with ``replicated`` — uncommitted scalar leaves (optax adam count,
+    schedule steps) report a SingleDeviceSharding, and committing restored
+    values there would clash with mesh-placed params inside jit."""
+    from jax.sharding import NamedSharding
+
+    def pick(x):
+        sh = getattr(x, "sharding", None)
+        return sh if isinstance(sh, NamedSharding) else replicated
+
+    return jax.tree_util.tree_map(pick, tree)
+
+
 def is_vq_model(args) -> bool:
     return getattr(args, "arch", "vae").lower() in ARCHS_NEEDING_PRIOR
 
@@ -437,8 +452,15 @@ def run_training(args) -> Dict[str, Any]:
             if treedef.num_leaves == len(leaves):
                 restored = jax.tree_util.tree_unflatten(
                     treedef, [jnp.asarray(l) for l in leaves])
+                # graft onto the LIVE placement (fsdp/tp-sharded moments
+                # when enabled — a blanket replicate would materialize full
+                # moments per chip and defeat the ZeRO-3 at-rest memory).
+                # Scalar optax leaves (adam count etc.) report a
+                # SingleDeviceSharding; committing them there would clash
+                # with the mesh-placed params inside jit — replicate those.
                 state = state.replace(opt_state=jax.device_put(
-                    restored, parallel.replicated))
+                    restored, _mesh_shardings(state.opt_state,
+                                              parallel.replicated)))
         start_epoch = int(payload.get("epoch") or 0) + 1
         step = int(payload.get("step") or 0)
         state = state.replace(step=jnp.asarray(step, jnp.int32))

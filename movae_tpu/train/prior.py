@@ -40,13 +40,12 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
     prior_type = getattr(args, "prior_type", "pixelcnn")
     hc = getattr(args, "pixelcnn_hidden_channels", 128)
     nl = getattr(args, "pixelcnn_num_layers", 15)
-    # --compute_dtype applies to the prior too (the VQ stage resolves it in
-    # models/get_network): bf16 activations feed the MXU at 2x, while the
+    # --compute_dtype applies to the prior too (same resolver as the VQ
+    # stage's get_network): bf16 activations feed the MXU at 2x, while the
     # logits are cast back to f32 before the CE (PixelCNN/PixelSNAIL
     # __call__) and params stay f32 (flax dtype= is compute-only)
-    dt = getattr(args, "compute_dtype", jnp.float32)
-    if isinstance(dt, str):
-        dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dt]
+    from movae_tpu.models import resolve_compute_dtype
+    dt = resolve_compute_dtype(getattr(args, "compute_dtype", jnp.float32))
     # precedence: a prior checkpoint's own echo (the table width it was
     # actually built with) > the live VQ model's D > the VQ args echo > 64
     d = (getattr(args, "prior_embedding_dim", None) or embedding_dim
@@ -217,6 +216,14 @@ def _train_prior_impl(results: Dict[str, Any], args
         per_shard = batch_size // int(parallel.mesh.shape["data"])
         pp_m = (int(getattr(args, "pipeline_microbatches", 0) or 0)
                 or pp_lib.default_microbatches(per_shard, pp_n))
+        if pp_m < pp_n:
+            # GPipe utilization is M/(M+S-1): with M < S most of each tick
+            # is bubble — surface it instead of silently training slow
+            print(f"[movae_tpu] pipeline_parallel={pp_n} got only "
+                  f"{pp_m} microbatch(es) from the per-shard batch "
+                  f"{per_shard} (bubble {(pp_n - 1) / (pp_m + pp_n - 1):.0%});"
+                  f" raise --batch_size or set --pipeline_microbatches",
+                  flush=True)
         pp_loss = pp_lib.make_pipelined_snail_loss(prior, parallel.mesh,
                                                    pp_m, train=True)
 
@@ -278,11 +285,14 @@ def _train_prior_impl(results: Dict[str, Any], args
             treedef = jax.tree_util.tree_structure(opt_state)
             if treedef.num_leaves == len(leaves):
                 # graft onto the LIVE placement (stage-sharded moments under
-                # pipeline parallelism, replicated otherwise)
-                live_sh = jax.tree_util.tree_map(lambda x: x.sharding,
-                                                 opt_state)
-                opt_state = jax.device_put(jax.tree_util.tree_unflatten(
-                    treedef, [jnp.asarray(l) for l in leaves]), live_sh)
+                # pipeline parallelism, replicated otherwise; scalar optax
+                # leaves report SingleDeviceSharding — replicate those, or
+                # the commit would clash with mesh-placed params in jit)
+                from movae_tpu.train.loop import _mesh_shardings
+                opt_state = jax.device_put(
+                    jax.tree_util.tree_unflatten(
+                        treedef, [jnp.asarray(l) for l in leaves]),
+                    _mesh_shardings(opt_state, parallel.replicated))
         start_epoch = int(payload.get("epoch") or 0) + 1
         best_loss = float(payload.get("best_loss", float("inf")))
         print(f"Resumed prior from {resume_src} at epoch {start_epoch}")

@@ -94,13 +94,17 @@ def main():
     for r in range(args.rounds):
         for k, (s, p0, o0, z) in arms.items():
             pp, oo = states[k]
-            t0 = time.perf_counter()
+            reps = []
             for _ in range(args.steps_per_round):
+                # per-rep host-fetch sync (CLAUDE.md: enqueue-N-then-fetch-
+                # once AND block_until_ready both mislead over the tunnel)
+                t0 = time.perf_counter()
                 pp, oo, l = s(pp, oo, z, rng)
-            float(l)  # host fetch = sync barrier (axon tunnel)
-            dt = (time.perf_counter() - t0) / args.steps_per_round
+                float(l)
+                reps.append(time.perf_counter() - t0)
             states[k] = (pp, oo)
-            times[k].append(dt)
+            times[k].extend(reps)
+            dt = median(reps)
             print(f"  round {r} {k}: {dt * 1e3:.2f} ms/step "
                   f"({px / dt / 1e3:.0f}k px/s)", flush=True)
 

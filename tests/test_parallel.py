@@ -159,3 +159,48 @@ def test_fsdp_composes_with_tp():
     assert "model" in str(sh["w"].spec) and "data" in str(sh["w"].spec)
     # bias: 16 % 4 == 0 -> fsdp-sharded over data on its only dim
     assert "data" in str(sh["b"].spec)
+
+
+def test_fsdp_vq_train_step_matches_single_device():
+    """fsdp parity for the flagship VQ path: the codebook + gather_rows
+    custom VJP under a 'data'-sharded at-rest layout."""
+    from movae_tpu.parallel.mesh import make_mesh
+
+    args = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                dataset_size=64)
+    model = get_network(16, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3,
+                            batch_size=2)
+    cfg = AggregatorConfig(name="upgrad",
+                           num_objectives=len(model.objective_names))
+    tx = build_optimizer("sgd", lr_schedule(1e-2, None, 1, 1), momentum=0.0)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+    step = make_train_step(model, cfg, 1, 1)
+
+    s0 = TrainState.create(model.apply, params, bs, tx, init_state(cfg))
+    s1, m1 = jax.jit(step)(s0, x, rng)
+
+    parallel = DataParallel(make_mesh(num_data=8), fsdp=True)
+    sp = parallel.shard_params(params, min_elems=0)
+    # the codebook itself must be sharded over 'data' for this to test
+    # the custom-VJP path under fsdp
+    vq_leaf = [l for p, l in jax.tree_util.tree_leaves_with_path(
+        parallel.param_shardings(params, min_elems=0),
+        is_leaf=lambda l: hasattr(l, "spec"))
+        if "vq" in jax.tree_util.keystr(p)]
+    assert any("data" in str(s.spec) for s in vq_leaf)
+    s0d = TrainState.create(model.apply, sp, bs, tx, init_state(cfg))
+    s0d = s0d.replace(batch_stats=parallel.replicate(s0d.batch_stats),
+                      agg_state=parallel.replicate(s0d.agg_state))
+    with parallel.mesh:
+        s1d, m2 = jax.jit(step)(s0d, parallel.shard_batch(x), rng)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s1d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
