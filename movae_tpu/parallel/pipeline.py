@@ -46,17 +46,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BLOCKS_KEY = "blocks_stacked"
 
 
-def _block_names(params: Dict[str, Any]):
-    names = [k for k in params if k.startswith("block_")]
-    return sorted(names, key=lambda k: int(k.split("_")[1]))
+def _block_names(params: Dict[str, Any], prefix: str):
+    names = [k for k in params
+             if k.startswith(prefix) and k[len(prefix):].isdigit()]
+    return sorted(names, key=lambda k: int(k[len(prefix):]))
 
 
-def stack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """{'block_0': t0, ..} -> {BLOCKS_KEY: stacked}; other keys unchanged.
+def block_prefix(prior) -> str:
+    """Per-block param-subtree prefix for a pipelineable prior module:
+    PixelSNAIL names its stack 'block_i', PixelCNN 'res_i'."""
+    from movae_tpu.models.pixelcnn import PixelSNAIL
+
+    return "block_" if isinstance(prior, PixelSNAIL) else "res_"
+
+
+def stack_block_params(params: Dict[str, Any],
+                       prefix: str = "block_") -> Dict[str, Any]:
+    """{'<prefix>0': t0, ..} -> {BLOCKS_KEY: stacked}; other keys unchanged.
 
     The stacked subtree's leaves gain a leading block axis (N, ...) — the
     axis :func:`pp_param_shardings` splits over 'pipe'."""
-    names = _block_names(params)
+    names = _block_names(params, prefix)
     if not names:
         return dict(params)
     out = {k: v for k, v in params.items() if k not in names}
@@ -65,7 +75,8 @@ def stack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def unstack_block_params(params: Dict[str, Any],
+                         prefix: str = "block_") -> Dict[str, Any]:
     """Inverse of :func:`stack_block_params` (checkpoint layout)."""
     if BLOCKS_KEY not in params:
         return dict(params)
@@ -73,8 +84,8 @@ def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
     stacked = params[BLOCKS_KEY]
     n = int(jax.tree_util.tree_leaves(stacked)[0].shape[0])
     for i in range(n):
-        out[f"block_{i}"] = jax.tree_util.tree_map(lambda x, i=i: x[i],
-                                                   stacked)
+        out[f"{prefix}{i}"] = jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                                     stacked)
     return out
 
 
@@ -106,23 +117,27 @@ def default_microbatches(local_batch: int, num_stages: int) -> int:
     return 1
 
 
-def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
+def make_pipelined_prior_loss(prior, mesh: Mesh, num_microbatches: int,
                               train: bool = True, axis: str = "pipe",
                               data_axis: str = "data", remat: bool = True):
     """loss_fn(params_stacked, z, rng) -> {'total_loss': scalar} running
-    ``prior`` (a :class:`movae_tpu.models.pixelcnn.PixelSNAIL`) with its
+    ``prior`` (a :class:`movae_tpu.models.pixelcnn.PixelSNAIL` or
+    :class:`~movae_tpu.models.pixelcnn.PixelCNN`) with its homogeneous
     block stack pipelined over the mesh's ``pipe`` axis.
 
     Numerics match ``prior.apply(..., method='loss_function')`` exactly at
     dropout=0 (tested); with dropout the rng *stream assignment* differs
-    (keys are folded per (tick, stage, block) so each stage draws
-    independently) but the regularizer semantics are identical.
+    (keys are folded per (data-shard, tick, stage, block) so each stage
+    draws independently) but the regularizer semantics are identical.
     """
     import flax.linen as nn
 
     from movae_tpu.models.pixelcnn import (
+        GatedResBlock,
         GatherEmbed,
         MaskedConv,
+        PixelCNN,
+        PixelSNAIL,
         PixelSNAILBlock,
         _pos_encoding,
     )
@@ -131,32 +146,50 @@ def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
 
     S = int(mesh.shape[axis])
     M = int(num_microbatches)
-    if prior.num_blocks % S:
-        raise ValueError(f"num_blocks={prior.num_blocks} must divide into "
+    if isinstance(prior, PixelSNAIL):
+        num_blocks = prior.num_blocks
+        use_dropout = bool(train) and prior.dropout > 0.0
+        blk = PixelSNAILBlock(prior.hidden_channels,
+                              prior.num_res_blocks_per_layer,
+                              prior.num_heads, prior.dropout,
+                              dtype=prior.dtype)
+
+        def block_step(bp, h, key):
+            # PixelSNAIL.__call__: outer residual around each block
+            rngs = {"dropout": key} if use_dropout else None
+            return h + blk.apply({"params": bp}, h, train=train, rngs=rngs)
+
+        use_pos = True
+    elif isinstance(prior, PixelCNN):
+        num_blocks = prior.num_layers
+        blk = GatedResBlock(prior.hidden_channels, dtype=prior.dtype)
+
+        def block_step(bp, h, key):
+            # PixelCNN.__call__: GatedResBlock carries its own residual
+            return blk.apply({"params": bp}, h)
+
+        use_pos = False
+    else:
+        raise TypeError(f"pipeline parallelism supports PixelSNAIL/PixelCNN "
+                        f"priors, got {type(prior).__name__}")
+    if num_blocks % S:
+        raise ValueError(f"{num_blocks} blocks must divide into "
                          f"pipeline stages ({S})")
     if int(mesh.shape.get("model", 1)) > 1 or int(
             mesh.shape.get("seq", 1)) > 1:
         raise ValueError("pipeline parallelism composes with 'data' only: "
                          "set model_partitions=1 and context_parallel=1")
     if prior.conditional_channels:
-        raise ValueError("pipelined PixelSNAIL does not take a condition")
-    n_local = prior.num_blocks // S
+        raise ValueError("pipelined priors do not take a condition")
+    n_local = num_blocks // S
     dp = int(mesh.shape[data_axis])
-    use_dropout = bool(train) and prior.dropout > 0.0
 
     emb = GatherEmbed(prior.num_embeddings, prior.embedding_dim)
     conv_in = MaskedConv(prior.hidden_channels,
                          (prior.kernel_size, prior.kernel_size), "A",
                          dtype=prior.dtype)
-    blk = PixelSNAILBlock(prior.hidden_channels,
-                          prior.num_res_blocks_per_layer, prior.num_heads,
-                          prior.dropout, dtype=prior.dtype)
     out1 = nn.Conv(prior.hidden_channels, (1, 1), dtype=prior.dtype)
     out2 = nn.Conv(prior.num_embeddings, (1, 1), dtype=prior.dtype)
-
-    def block_step(bp, h, key):
-        rngs = {"dropout": key} if use_dropout else None
-        return h + blk.apply({"params": bp}, h, train=train, rngs=rngs)
 
     if remat:
         block_step = jax.checkpoint(block_step)
@@ -218,7 +251,7 @@ def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
 
     def loss_fn(params, z, rng=None, condition=None):
         if condition is not None:
-            raise ValueError("pipelined PixelSNAIL does not take a condition")
+            raise ValueError("pipelined priors do not take a condition")
         if get_context_parallel() is not None and get_context_parallel(
         ).size > 1:
             raise ValueError("pipeline and context parallelism are exclusive")
@@ -227,11 +260,12 @@ def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
             raise ValueError(f"batch {b} must divide by data_parallel*"
                              f"microbatches ({dp}*{M})")
         # prologue (data-parallel via GSPMD, tiny vs the block stack) —
-        # mirrors PixelSNAIL.__call__ (models/pixelcnn.py)
+        # mirrors PixelSNAIL/PixelCNN.__call__ (models/pixelcnn.py)
         h = emb.apply({"params": params["embedding"]}, z)
-        pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(hh, ww)),
-                               (b, hh, ww, 2)).astype(h.dtype)
-        h = jnp.concatenate([h, pos], axis=-1)
+        if use_pos:
+            pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(hh, ww)),
+                                   (b, hh, ww, 2)).astype(h.dtype)
+            h = jnp.concatenate([h, pos], axis=-1)
         h = conv_in.apply({"params": params["conv_in"]}, h)
         head_p = {"out1": params["out1"], "out2": params["out2"]}
         key = rng if rng is not None else jax.random.PRNGKey(0)
@@ -239,3 +273,7 @@ def make_pipelined_snail_loss(prior, mesh: Mesh, num_microbatches: int,
         return {"total_loss": loss}
 
     return loss_fn
+
+
+# original (PixelSNAIL-only) entry-point name, kept as an alias
+make_pipelined_snail_loss = make_pipelined_prior_loss

@@ -210,9 +210,10 @@ def _train_prior_impl(results: Dict[str, Any], args
     use_pp = pp_n > 1
     if use_pp:
         from movae_tpu.parallel import pipeline as pp_lib
-        if hierarchical or not isinstance(prior, PixelSNAIL):
-            raise ValueError("--pipeline_parallel requires the "
-                             "non-hierarchical pixelsnail prior")
+        if hierarchical:
+            raise ValueError("--pipeline_parallel requires a "
+                             "non-hierarchical (pixelcnn/pixelsnail) prior")
+        pp_prefix = pp_lib.block_prefix(prior)
         per_shard = batch_size // int(parallel.mesh.shape["data"])
         pp_m = (int(getattr(args, "pipeline_microbatches", 0) or 0)
                 or pp_lib.default_microbatches(per_shard, pp_n))
@@ -224,21 +225,21 @@ def _train_prior_impl(results: Dict[str, Any], args
                   f"{per_shard} (bubble {(pp_n - 1) / (pp_m + pp_n - 1):.0%});"
                   f" raise --batch_size or set --pipeline_microbatches",
                   flush=True)
-        pp_loss = pp_lib.make_pipelined_snail_loss(prior, parallel.mesh,
+        pp_loss = pp_lib.make_pipelined_prior_loss(prior, parallel.mesh,
                                                    pp_m, train=True)
 
     def _place(p):
         """Device placement for live prior params (stacked + stage-sharded
         under pipeline parallelism, replicated otherwise)."""
         if use_pp:
-            return pp_lib.shard_pp_params(pp_lib.stack_block_params(p),
-                                          parallel.mesh)
+            return pp_lib.shard_pp_params(
+                pp_lib.stack_block_params(p, pp_prefix), parallel.mesh)
         return parallel.replicate(p)
 
     def _host_params(p):
         """Checkpoint/sampler layout: fetched to host, unstacked."""
         p = jax.device_get(p)
-        return pp_lib.unstack_block_params(p) if use_pp else p
+        return pp_lib.unstack_block_params(p, pp_prefix) if use_pp else p
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
     if hierarchical:
         zt = jnp.zeros((2,) + levels["top"].shape[1:], jnp.int32)

@@ -10,10 +10,12 @@ import optax
 import pytest
 from jax.sharding import Mesh
 
-from movae_tpu.models.pixelcnn import PixelSNAIL
+from movae_tpu.models.pixelcnn import PixelCNN, PixelSNAIL
 from movae_tpu.parallel.pipeline import (
     BLOCKS_KEY,
+    block_prefix,
     default_microbatches,
+    make_pipelined_prior_loss,
     make_pipelined_snail_loss,
     shard_pp_params,
     stack_block_params,
@@ -118,6 +120,39 @@ def test_pipelined_train_step_sharded_smoke():
     # stage sharding preserved through the update
     sh = p1[BLOCKS_KEY]["attention"]["q_proj"]["kernel"].sharding
     assert "pipe" in str(sh.spec)
+
+
+@pytest.mark.parametrize("dp,pp,m", [(2, 2, 2), (1, 4, 2)])
+def test_pipelined_pixelcnn_loss_and_grads_match_plain(dp, pp, m):
+    """The default (PixelCNN) prior pipelines too: 'res_i' stack, no
+    positional channels, block-internal residual."""
+    prior = PixelCNN(num_embeddings=16, embedding_dim=4, hidden_channels=8,
+                     num_layers=4)
+    params, z = _init(prior)
+    mesh = _mesh(dp, pp)
+    assert block_prefix(prior) == "res_"
+    loss_fn = make_pipelined_prior_loss(prior, mesh, m, train=True)
+
+    def plain(p):
+        return prior.apply({"params": p}, z, train=True,
+                           method="loss_function")["total_loss"]
+
+    def piped(p):
+        return loss_fn(p, z, jax.random.PRNGKey(2))["total_loss"]
+
+    l0, g0 = jax.jit(jax.value_and_grad(plain))(params)
+    stacked = shard_pp_params(stack_block_params(params, "res_"), mesh)
+    with mesh:
+        l1, g1 = jax.jit(jax.value_and_grad(piped))(stacked)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    g1u = unstack_block_params(jax.device_get(g1), "res_")
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1u))
+    assert len(flat0) == len(flat1)
+    for path, a in flat0:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(flat1[path]),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_pipeline_rejects_bad_configs():

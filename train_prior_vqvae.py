@@ -120,8 +120,8 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
                         "'seq' axis (long-L prior attention)")
     p.add_argument("--pipeline_parallel", type=int, default=1,
                    help="pipeline-parallel stages over the mesh 'pipe' axis "
-                        "(PixelSNAIL only: GPipe microbatching, per-stage "
-                        "block/optimizer sharding)")
+                        "(GPipe microbatching, per-stage block/optimizer "
+                        "sharding)")
     p.add_argument("--pipeline_microbatches", type=int, default=0,
                    help="GPipe microbatches per step (0 = auto)")
     p.add_argument("--prior_resume", type=str, default=None,
