@@ -166,3 +166,49 @@ def test_pipeline_rejects_bad_configs():
     with pytest.raises(ValueError):  # batch 4 not divisible by M=3
         with mesh:
             loss_fn(shard_pp_params(stack_block_params(params), mesh), z)
+
+
+def test_pp_prior_trains_and_resumes(tmp_path):
+    """train_prior end-to-end under --pipeline_parallel 2: code extraction,
+    stacked/stage-sharded training, unstacked checkpoints, and a resume
+    that grafts the stacked opt_state back onto the live placement."""
+    from types import SimpleNamespace
+
+    from movae_tpu.data import Loader, get_dataset
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.train.prior import train_prior
+
+    train, _, _ = get_dataset("synthetic-16-32")
+    margs = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                 hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                 dataset_size=32)
+    model = get_network(16, 3, margs)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3,
+                            batch_size=2)
+    results = {"model": model,
+               "state": SimpleNamespace(params=params, batch_stats=bs),
+               "save_root": str(tmp_path),
+               "train_loader": Loader(train, 8, shuffle=True, seed=0)}
+
+    def args(**kw):
+        d = dict(arch="vq_vae", dataset="synthetic-16-32", batch_size=8,
+                 seed=0, prior_type="pixelsnail", pixelcnn_epochs=2,
+                 pixelcnn_hidden_channels=8, pixelsnail_num_blocks=2,
+                 pixelsnail_num_res_blocks=1, pixelsnail_num_heads=2,
+                 pixelsnail_dropout=0.1, pipeline_parallel=2,
+                 pixelcnn_lr=3e-4, dataset_size=32)
+        d.update(kw)
+        return SimpleNamespace(**d)
+
+    prior1 = train_prior(results, args())
+    # sampler/checkpoint layout is UNSTACKED (reference-compatible)
+    assert "block_0" in prior1["params"] and BLOCKS_KEY not in prior1["params"]
+    import os
+    last = os.path.join(str(tmp_path), "pixelsnail_prior", "checkpoints",
+                        "last_prior")
+    assert os.path.exists(last)
+
+    prior2 = train_prior(results, args(pixelcnn_epochs=3, prior_resume=last))
+    assert "block_0" in prior2["params"]
+    for leaf in jax.tree_util.tree_leaves(prior2["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
