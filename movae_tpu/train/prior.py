@@ -141,7 +141,8 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
         from movae_tpu.parallel.mesh import DataParallel, make_mesh
         cp_n = int(getattr(args, "context_parallel", 1) or 1)
         pp_n = int(getattr(args, "pipeline_parallel", 1) or 1)
-        parallel = DataParallel(make_mesh(num_seq=cp_n, num_pipe=pp_n))
+        parallel = DataParallel(make_mesh(num_seq=cp_n, num_pipe=pp_n),
+                                fsdp=bool(getattr(args, "fsdp", False)))
         results = dict(results, parallel=parallel)
     ctx = (context_parallel(parallel.mesh)
            if int(parallel.mesh.shape.get("seq", 1)) > 1
@@ -229,11 +230,14 @@ def _train_prior_impl(results: Dict[str, Any], args
                                                    pp_m, train=True)
 
     def _place(p):
-        """Device placement for live prior params (stacked + stage-sharded
-        under pipeline parallelism, replicated otherwise)."""
+        """Device placement for live prior params: stacked + stage-sharded
+        under pipeline parallelism; ZeRO-3 'data'-sharded under --fsdp
+        (optimizer moments inherit via tx.init); replicated otherwise."""
         if use_pp:
             return pp_lib.shard_pp_params(
                 pp_lib.stack_block_params(p, pp_prefix), parallel.mesh)
+        if getattr(parallel, "fsdp", False):
+            return parallel.shard_params(p)
         return parallel.replicate(p)
 
     def _host_params(p):

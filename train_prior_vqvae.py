@@ -124,6 +124,9 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
                         "sharding)")
     p.add_argument("--pipeline_microbatches", type=int, default=0,
                    help="GPipe microbatches per step (0 = auto)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard prior params + optimizer state over the "
+                        "'data' axis (ZeRO-3 placement)")
     p.add_argument("--prior_resume", type=str, default=None,
                    help="resume prior training from a last_prior checkpoint "
                         "(written every epoch and on SIGTERM preemption)")
