@@ -212,3 +212,55 @@ def test_pp_prior_trains_and_resumes(tmp_path):
     assert "block_0" in prior2["params"]
     for leaf in jax.tree_util.tree_leaves(prior2["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pipelined_bf16_matches_plain_bf16():
+    """pp composes with --compute_dtype bfloat16: same bf16 compute as the
+    plain module (loose tolerance — bf16 accumulation order differs)."""
+    prior = PixelSNAIL(num_embeddings=16, embedding_dim=4,
+                       hidden_channels=8, num_blocks=2,
+                       num_res_blocks_per_layer=1, num_heads=2,
+                       dropout=0.0, dtype=jnp.bfloat16)
+    params, z = _init(prior)
+    mesh = _mesh(2, 2)
+    loss_fn = make_pipelined_prior_loss(prior, mesh, 2, train=True)
+    l0 = prior.apply({"params": params}, z, train=True,
+                     method="loss_function")["total_loss"]
+    stacked = shard_pp_params(stack_block_params(params), mesh)
+    with mesh:
+        l1 = jax.jit(lambda p: loss_fn(p, z)["total_loss"])(stacked)
+    assert l1.dtype == jnp.float32
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-2)
+
+
+def test_pp_composes_with_steps_per_dispatch(tmp_path):
+    """shard_map pipeline inside the k-step lax.scan dispatch fusion
+    (train_prior scan path) compiles and trains."""
+    from types import SimpleNamespace
+
+    from movae_tpu.data import Loader, get_dataset
+    from movae_tpu.models import get_network, init_model
+    from movae_tpu.train.prior import train_prior
+
+    train, _, _ = get_dataset("synthetic-16-32")
+    margs = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                 hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                 dataset_size=32)
+    model = get_network(16, 3, margs)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3,
+                            batch_size=2)
+    results = {"model": model,
+               "state": SimpleNamespace(params=params, batch_stats=bs),
+               "save_root": str(tmp_path),
+               "train_loader": Loader(train, 8, shuffle=True, seed=0)}
+    args = SimpleNamespace(
+        arch="vq_vae", dataset="synthetic-16-32", batch_size=8, seed=0,
+        prior_type="pixelsnail", pixelcnn_epochs=1,
+        pixelcnn_hidden_channels=8, pixelsnail_num_blocks=2,
+        pixelsnail_num_res_blocks=1, pixelsnail_num_heads=2,
+        pixelsnail_dropout=0.1, pipeline_parallel=2, pixelcnn_lr=3e-4,
+        dataset_size=32, steps_per_dispatch=2)
+    prior = train_prior(results, args)
+    assert "block_0" in prior["params"]
+    for leaf in jax.tree_util.tree_leaves(prior["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
