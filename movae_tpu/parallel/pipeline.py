@@ -91,14 +91,17 @@ def unstack_block_params(params: Dict[str, Any],
 
 def pp_param_shardings(params: Dict[str, Any], mesh: Mesh,
                        axis: str = "pipe") -> Dict[str, Any]:
-    """Stacked blocks: leading axis over 'pipe'; everything else replicated."""
+    """Stacked blocks: leading axis over 'pipe'; everything else replicated.
+    Works at any nesting depth (hierarchical priors stack their
+    ``prior_top``/``prior_bottom`` subtrees independently)."""
     repl = NamedSharding(mesh, P())
     piped = NamedSharding(mesh, P(axis))
-    return {
-        k: jax.tree_util.tree_map(
-            lambda _: piped if k == BLOCKS_KEY else repl, v)
-        for k, v in params.items()
-    }
+
+    def pick(path, _leaf):
+        keys = {getattr(p, "key", None) for p in path}
+        return piped if BLOCKS_KEY in keys else repl
+
+    return jax.tree_util.tree_map_with_path(pick, params)
 
 
 def shard_pp_params(params: Dict[str, Any], mesh: Mesh,
@@ -179,8 +182,6 @@ def make_pipelined_prior_loss(prior, mesh: Mesh, num_microbatches: int,
             mesh.shape.get("seq", 1)) > 1:
         raise ValueError("pipeline parallelism composes with 'data' only: "
                          "set model_partitions=1 and context_parallel=1")
-    if prior.conditional_channels:
-        raise ValueError("pipelined priors do not take a condition")
     n_local = num_blocks // S
     dp = int(mesh.shape[data_axis])
 
@@ -250,8 +251,9 @@ def make_pipelined_prior_loss(prior, mesh: Mesh, num_microbatches: int,
         out_specs=P(), check_vma=False)
 
     def loss_fn(params, z, rng=None, condition=None):
-        if condition is not None:
-            raise ValueError("pipelined priors do not take a condition")
+        if (condition is None) != (prior.conditional_channels == 0):
+            raise ValueError("condition must be passed iff the prior has "
+                             "conditional_channels")
         if get_context_parallel() is not None and get_context_parallel(
         ).size > 1:
             raise ValueError("pipeline and context parallelism are exclusive")
@@ -260,12 +262,15 @@ def make_pipelined_prior_loss(prior, mesh: Mesh, num_microbatches: int,
             raise ValueError(f"batch {b} must divide by data_parallel*"
                              f"microbatches ({dp}*{M})")
         # prologue (data-parallel via GSPMD, tiny vs the block stack) —
-        # mirrors PixelSNAIL/PixelCNN.__call__ (models/pixelcnn.py)
+        # mirrors PixelSNAIL/PixelCNN.__call__ (models/pixelcnn.py),
+        # including the pos-then-condition concat order
         h = emb.apply({"params": params["embedding"]}, z)
         if use_pos:
             pos = jnp.broadcast_to(jnp.asarray(_pos_encoding(hh, ww)),
                                    (b, hh, ww, 2)).astype(h.dtype)
             h = jnp.concatenate([h, pos], axis=-1)
+        if condition is not None:
+            h = jnp.concatenate([h, condition.astype(h.dtype)], axis=-1)
         h = conv_in.apply({"params": params["conv_in"]}, h)
         head_p = {"out1": params["out1"], "out2": params["out2"]}
         key = rng if rng is not None else jax.random.PRNGKey(0)
@@ -277,3 +282,79 @@ def make_pipelined_prior_loss(prior, mesh: Mesh, num_microbatches: int,
 
 # original (PixelSNAIL-only) entry-point name, kept as an alias
 make_pipelined_snail_loss = make_pipelined_prior_loss
+
+
+def _is_hierarchical(prior) -> bool:
+    return hasattr(prior, "make_top_module")
+
+
+def stack_prior_params(prior, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Stack the pipelineable block subtree(s) of ``prior``'s param tree:
+    the root stack for flat priors; ``prior_top``/``prior_bottom``
+    independently for hierarchical ones."""
+    if _is_hierarchical(prior):
+        out = dict(params)
+        out["prior_top"] = stack_block_params(
+            dict(params["prior_top"]), block_prefix(prior.make_top_module()))
+        out["prior_bottom"] = stack_block_params(
+            dict(params["prior_bottom"]),
+            block_prefix(prior.make_bottom_module()))
+        return out
+    return stack_block_params(params, block_prefix(prior))
+
+
+def unstack_prior_params(prior, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`stack_prior_params` (checkpoint/sampler layout)."""
+    if _is_hierarchical(prior):
+        out = dict(params)
+        out["prior_top"] = unstack_block_params(
+            dict(params["prior_top"]), block_prefix(prior.make_top_module()))
+        out["prior_bottom"] = unstack_block_params(
+            dict(params["prior_bottom"]),
+            block_prefix(prior.make_bottom_module()))
+        return out
+    return unstack_block_params(params, block_prefix(prior))
+
+
+def make_pipelined_hierarchical_loss(prior, mesh: Mesh,
+                                     num_microbatches: int,
+                                     train: bool = True, axis: str = "pipe",
+                                     data_axis: str = "data",
+                                     remat: bool = True):
+    """loss_fn(params_stacked, z_top, z_bottom, rng) for
+    HierarchicalPixelCNN/HierarchicalPixelSNAIL with BOTH level stacks
+    pipelined over 'pipe' (sequentially: the top pipeline drains, then the
+    bottom one fills — each level is its own fill/drain schedule). The
+    conditioning path (embedding_top -> upsample_top -> bottom concat) runs
+    data-parallel in the prologue, exactly as in
+    models/pixelcnn.py condition_from_top."""
+    import flax.linen as nn
+
+    from movae_tpu.models.pixelcnn import GatherEmbed
+
+    top = prior.make_top_module()
+    bottom = prior.make_bottom_module()
+    top_loss = make_pipelined_prior_loss(top, mesh, num_microbatches,
+                                         train=train, axis=axis,
+                                         data_axis=data_axis, remat=remat)
+    bottom_loss = make_pipelined_prior_loss(bottom, mesh, num_microbatches,
+                                            train=train, axis=axis,
+                                            data_axis=data_axis, remat=remat)
+    emb_top = GatherEmbed(prior.num_embeddings, prior.embedding_dim)
+    upsample_top = nn.ConvTranspose(prior.embedding_dim, (4, 4),
+                                    strides=(2, 2), padding="SAME",
+                                    dtype=prior.dtype)
+
+    def loss_fn(params, z_top, z_bottom, rng=None):
+        cond = upsample_top.apply(
+            {"params": params["upsample_top"]},
+            emb_top.apply({"params": params["embedding_top"]}, z_top))
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        lt = top_loss(params["prior_top"], z_top,
+                      jax.random.fold_in(key, 0))["total_loss"]
+        lb = bottom_loss(params["prior_bottom"], z_bottom,
+                         jax.random.fold_in(key, 1),
+                         condition=cond)["total_loss"]
+        return {"loss_top": lt, "loss_bottom": lb, "total_loss": lt + lb}
+
+    return loss_fn

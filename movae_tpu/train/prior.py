@@ -128,9 +128,10 @@ def train_prior(results: Dict[str, Any], args) -> Optional[Dict[str, Any]]:
     N-way 'seq' axis and the PixelSNAIL attention runs ring
     (sequence-parallel) attention over it (ops/ring_attention.py) — the
     config is installed trace-time via movae_tpu.parallel.context. With
-    ``--pipeline_parallel S`` the PixelSNAIL block stack is GPipe-pipelined
-    over a 'pipe' axis instead (parallel/pipeline.py; exclusive with
-    context/tensor parallelism).
+    ``--pipeline_parallel S`` the prior block stack(s) — PixelCNN,
+    PixelSNAIL, or both levels of the hierarchical priors — are
+    GPipe-pipelined over a 'pipe' axis instead (parallel/pipeline.py;
+    exclusive with context/tensor parallelism).
     """
     import contextlib
 
@@ -211,10 +212,6 @@ def _train_prior_impl(results: Dict[str, Any], args
     use_pp = pp_n > 1
     if use_pp:
         from movae_tpu.parallel import pipeline as pp_lib
-        if hierarchical:
-            raise ValueError("--pipeline_parallel requires a "
-                             "non-hierarchical (pixelcnn/pixelsnail) prior")
-        pp_prefix = pp_lib.block_prefix(prior)
         per_shard = batch_size // int(parallel.mesh.shape["data"])
         pp_m = (int(getattr(args, "pipeline_microbatches", 0) or 0)
                 or pp_lib.default_microbatches(per_shard, pp_n))
@@ -226,8 +223,9 @@ def _train_prior_impl(results: Dict[str, Any], args
                   f"{per_shard} (bubble {(pp_n - 1) / (pp_m + pp_n - 1):.0%});"
                   f" raise --batch_size or set --pipeline_microbatches",
                   flush=True)
-        pp_loss = pp_lib.make_pipelined_prior_loss(prior, parallel.mesh,
-                                                   pp_m, train=True)
+        make_pp = (pp_lib.make_pipelined_hierarchical_loss if hierarchical
+                   else pp_lib.make_pipelined_prior_loss)
+        pp_loss = make_pp(prior, parallel.mesh, pp_m, train=True)
 
     def _place(p):
         """Device placement for live prior params: stacked + stage-sharded
@@ -235,7 +233,7 @@ def _train_prior_impl(results: Dict[str, Any], args
         (optimizer moments inherit via tx.init); replicated otherwise."""
         if use_pp:
             return pp_lib.shard_pp_params(
-                pp_lib.stack_block_params(p, pp_prefix), parallel.mesh)
+                pp_lib.stack_prior_params(prior, p), parallel.mesh)
         if getattr(parallel, "fsdp", False):
             return parallel.shard_params(p)
         return parallel.replicate(p)
@@ -243,7 +241,7 @@ def _train_prior_impl(results: Dict[str, Any], args
     def _host_params(p):
         """Checkpoint/sampler layout: fetched to host, unstacked."""
         p = jax.device_get(p)
-        return pp_lib.unstack_block_params(p, pp_prefix) if use_pp else p
+        return pp_lib.unstack_prior_params(prior, p) if use_pp else p
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
     if hierarchical:
         zt = jnp.zeros((2,) + levels["top"].shape[1:], jnp.int32)
@@ -313,7 +311,8 @@ def _train_prior_impl(results: Dict[str, Any], args
     def _step(params, opt_state, batch, rng):
         def loss_fn(p):
             if use_pp:
-                out = pp_loss(p, batch["codes"], rng)
+                out = (pp_loss(p, batch["top"], batch["bottom"], rng)
+                       if hierarchical else pp_loss(p, batch["codes"], rng))
             elif hierarchical:
                 out = prior.apply({"params": p}, batch["top"],
                                   batch["bottom"], train=True,

@@ -264,3 +264,54 @@ def test_pp_composes_with_steps_per_dispatch(tmp_path):
     assert "block_0" in prior["params"]
     for leaf in jax.tree_util.tree_leaves(prior["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("cls", ["snail", "cnn"])
+def test_pipelined_hierarchical_loss_and_grads_match_plain(cls):
+    """Both hierarchical priors pipeline BOTH level stacks (top then
+    bottom, with the conditioning path in the prologue) and match the
+    plain module's loss and grads at dropout=0."""
+    from movae_tpu.models.pixelcnn import (HierarchicalPixelCNN,
+                                           HierarchicalPixelSNAIL)
+    from movae_tpu.parallel.pipeline import (
+        make_pipelined_hierarchical_loss,
+        stack_prior_params,
+        unstack_prior_params,
+    )
+
+    if cls == "snail":
+        prior = HierarchicalPixelSNAIL(
+            num_embeddings=16, embedding_dim=4, hidden_channels=8,
+            num_blocks_top=2, num_res_blocks_per_layer=1, num_heads=2,
+            num_layers_bottom=2, dropout=0.0)
+    else:
+        prior = HierarchicalPixelCNN(num_embeddings=16, embedding_dim=4,
+                                     hidden_channels=8, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    zt = jax.random.randint(jax.random.PRNGKey(1), (4, 2, 2), 0, 16)
+    zb = jax.random.randint(jax.random.PRNGKey(2), (4, 4, 4), 0, 16)
+    params = prior.init({"params": rng, "dropout": rng}, zt[:2], zb[:2],
+                        train=False)["params"]
+    mesh = _mesh(2, 2)
+    loss_fn = make_pipelined_hierarchical_loss(prior, mesh, 2, train=True)
+
+    def plain(p):
+        return prior.apply({"params": p}, zt, zb, train=True,
+                           method="loss_function")["total_loss"]
+
+    def piped(p):
+        return loss_fn(p, zt, zb, jax.random.PRNGKey(3))["total_loss"]
+
+    l0, g0 = jax.jit(jax.value_and_grad(plain))(params)
+    stacked = shard_pp_params(stack_prior_params(prior, params), mesh)
+    with mesh:
+        l1, g1 = jax.jit(jax.value_and_grad(piped))(stacked)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    g1u = unstack_prior_params(prior, jax.device_get(g1))
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1u))
+    assert len(flat0) == len(flat1)
+    for path, a in flat0:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(flat1[path]),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
