@@ -1,8 +1,9 @@
-"""GPipe-style pipeline parallelism for the PixelSNAIL prior stage.
+"""GPipe-style pipeline parallelism for the prior stage (all four prior
+types: PixelCNN, PixelSNAIL, and both hierarchical variants).
 
 The reference prior trainer is strictly single-device
 (/root/reference/main.py:890-1051); this module adds a TPU-native scaling
-axis it has no counterpart for: the PixelSNAIL block stack is split into S
+axis it has no counterpart for: the homogeneous block stack is split into S
 stages over a ``pipe`` mesh axis, and microbatches flow through the stages
 with ``lax.ppermute`` moving activations stage-to-stage over ICI (the
 "pipelining via collective permute" recipe — shard_map + ppermute + a
