@@ -19,7 +19,11 @@ each, gloo collectives) that form one 8-device global mesh and exercise:
      PixelSNAIL loss with the zigzag ring's ppermute ring spanning both
      hosts (4-way 'seq' axis over the 2x4-device global mesh) must match
      the single-trace dense-attention loss bitwise-closely and agree
-     across hosts.
+     across hosts,
+  6. GPipe pipeline parallelism ACROSS the process boundary: a 2-stage
+     pipelined PixelSNAIL loss whose stage-to-stage ppermute hop crosses
+     the two hosts (each 'pipe' pair holds one device per host) must
+     match the plain single-trace loss and agree across hosts.
 
 Run: python scripts/multihost_smoke.py            (launcher)
 Exit code 0 = all workers passed.
@@ -202,6 +206,57 @@ def worker(pid: int, port: int, workdir: str) -> None:
     assert (rings == rings[0]).all(), f"ring losses diverged: {rings}"
     print(f"{tag} cross-host ring attention ok "
           f"(ring={ring:.6f} dense={dense:.6f})", flush=True)
+
+    # -- 6. GPipe pipeline across the process boundary ----------------------
+    from movae_tpu.parallel.pipeline import (
+        make_pipelined_prior_loss,
+        pp_param_shardings,
+        stack_block_params,
+    )
+
+    prior2 = PixelSNAIL(num_embeddings=16, embedding_dim=8,
+                        hidden_channels=16, num_blocks=2,
+                        num_res_blocks_per_layer=1, num_heads=2, dropout=0.0)
+    z2_np = np.asarray(jax.random.randint(jax.random.PRNGKey(12),
+                                          (8, 4, 4), 0, 16))
+    p2 = prior2.init({"params": prng, "dropout": prng},
+                     jnp.asarray(z2_np[:2]), train=False)["params"]
+
+    def prior2_loss(p, z):
+        return prior2.apply({"params": p}, z, train=True,
+                            method="loss_function",
+                            rngs={"dropout": prng})["total_loss"]
+
+    plain = float(jax.jit(prior2_loss)(parallel.replicate(p2),
+                                       parallel.replicate(jnp.asarray(z2_np))))
+    # the interleaved device order makes every (data-row) 'pipe' pair hold
+    # one device from EACH host: the stage hand-off ppermute crosses gloo
+    pp_mesh = make_mesh(num_data=4, num_model=1, num_seq=1, num_pipe=2,
+                        devices=order)
+    pp_loss = make_pipelined_prior_loss(prior2, pp_mesh, num_microbatches=2,
+                                        train=True)
+
+    def to_global(x, sharding):
+        # robust multi-process global-array creation from an identical
+        # host value on every process
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: np.asarray(x)[idx])
+
+    stacked = stack_block_params(p2)
+    shardings = pp_param_shardings(stacked, pp_mesh)
+    stacked_g = jax.tree_util.tree_map(to_global, stacked, shardings)
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+    z2_g = to_global(z2_np, NamedSharding(pp_mesh, PSpec("data")))
+    with pp_mesh:
+        piped = float(jax.jit(
+            lambda p, z: pp_loss(p, z, jax.random.PRNGKey(13))["total_loss"]
+        )(stacked_g, z2_g))
+    assert np.isfinite(piped)
+    assert abs(piped - plain) <= 1e-5 * max(1.0, abs(plain)), (piped, plain)
+    pipes = np.asarray(multihost_utils.process_allgather(np.float64(piped)))
+    assert (pipes == pipes[0]).all(), f"pipeline losses diverged: {pipes}"
+    print(f"{tag} cross-host pipeline parallelism ok "
+          f"(piped={piped:.6f} plain={plain:.6f})", flush=True)
     multihost_utils.sync_global_devices("done")
 
 
