@@ -160,9 +160,10 @@ def build_parser() -> ArgumentParser:
                              "single-device attention)")
     parser.add_argument("--pipeline_parallel", type=int, default=1,
                         help="pipeline-parallel stages over the mesh 'pipe' "
-                             "axis for (non-hierarchical) prior training "
-                             "(GPipe microbatching; block params + "
-                             "optimizer moments sharded per stage; 1 = off)")
+                             "axis for prior training — all prior types "
+                             "incl. hierarchical (GPipe microbatching; "
+                             "block params + optimizer moments sharded per "
+                             "stage; 1 = off)")
     parser.add_argument("--pipeline_microbatches", type=int, default=0,
                         help="GPipe microbatches per step (0 = auto: the "
                              "largest per-shard batch divisor <= 2*stages)")

@@ -91,6 +91,16 @@ class DataParallel:
     def replicate(self, tree: Any):
         return jax.device_put(tree, self.replicated)
 
+    def host_copy(self, tree: Any):
+        """Host copy of a (possibly cross-host-sharded) pytree. On
+        multi-host runs, fsdp/tp/pipe-sharded leaves span non-addressable
+        devices and a bare ``jax.device_get`` raises — re-shard to
+        replicated first. The re-shard is an all-gather COLLECTIVE: every
+        process must call this (gate only the file WRITE on process 0)."""
+        if jax.process_count() > 1:
+            tree = jax.jit(lambda t: t, out_shardings=self.replicated)(tree)
+        return jax.device_get(tree)
+
     def param_shardings(self, params: Any, min_elems: int = 4096) -> Any:
         """Tensor-parallel sharding rule: leaves with >=2 dims whose output
         (last) dimension divides the 'model' axis and that are big enough to

@@ -482,17 +482,22 @@ def run_training(args) -> Dict[str, Any]:
                   if jax.process_count() == 1 else None)
 
     def _save_last(epoch_done: int) -> None:
-        ckpt_lib.save_checkpoint(
-            os.path.join(save_root, "checkpoints", "last_checkpoint"), {
-                "epoch": epoch_done, "step": step,
-                "model_state_dict": {
-                    "params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats)},
-                "opt_state": jax.device_get(state.opt_state),
-                "args": {k: v for k, v in vars(args).items()
-                         if isinstance(v, (int, float, str, bool, list,
-                                           dict, type(None), tuple))},
-            })
+        # host_copy all-gathers fsdp/tp-sharded leaves (a collective —
+        # EVERY process must reach this call); only process 0 writes
+        payload = {
+            "epoch": epoch_done, "step": step,
+            "model_state_dict": {
+                "params": parallel.host_copy(state.params),
+                "batch_stats": parallel.host_copy(state.batch_stats)},
+            "opt_state": parallel.host_copy(state.opt_state),
+            "args": {k: v for k, v in vars(args).items()
+                     if isinstance(v, (int, float, str, bool, list,
+                                       dict, type(None), tuple))},
+        }
+        if is_main:
+            ckpt_lib.save_checkpoint(
+                os.path.join(save_root, "checkpoints", "last_checkpoint"),
+                payload)
 
     for epoch in range(start_epoch, args.epochs + 1):
         state, meters, step, rng = train_epoch(
@@ -504,8 +509,7 @@ def run_training(args) -> Dict[str, Any]:
         if guard.globally_triggered():
             # mark THIS epoch as not completed: resume re-runs it with the
             # mid-epoch params (small data repetition, never a lost epoch)
-            if is_main:
-                _save_last(epoch - 1)
+            _save_last(epoch - 1)  # collective inside; write gated on p0
             if profile_dir and epoch == start_epoch:
                 jax.profiler.stop_trace()
             guard.uninstall()
@@ -554,21 +558,24 @@ def run_training(args) -> Dict[str, Any]:
 
         # fault-tolerance checkpoint every save_freq epochs (resumable;
         # the reference only writes the final checkpoint, main.py:1422-1437)
-        if (is_main and epoch % getattr(args, "save_freq", 10) == 0
+        if (epoch % getattr(args, "save_freq", 10) == 0
                 and epoch < args.epochs):
-            _save_last(epoch)
+            _save_last(epoch)  # collective inside; write gated on p0
 
     guard.uninstall()  # default SIGTERM semantics outside the epoch loop
     print(f"Training done: {timer.images_per_sec:.1f} images/sec")
 
-    # final checkpoint (payload keys per main.py:1422-1437)
+    # final checkpoint (payload keys per main.py:1422-1437); the host fetch
+    # is a collective under multi-host sharded layouts — run it everywhere
     final_path = ckpt_lib.final_checkpoint_path(save_root)
+    final_params = parallel.host_copy(state.params)
+    final_bstats = parallel.host_copy(state.batch_stats)
     if is_main:
         ckpt_lib.save_checkpoint(final_path, {
             "epoch": args.epochs,
             "model_state_dict": {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats)},
+                "params": final_params,
+                "batch_stats": final_bstats},
             "args": {k: v for k, v in vars(args).items()
                      if isinstance(v, (int, float, str, bool, list, dict,
                                        type(None), tuple))},

@@ -212,6 +212,11 @@ def _train_prior_impl(results: Dict[str, Any], args
     use_pp = pp_n > 1
     if use_pp:
         from movae_tpu.parallel import pipeline as pp_lib
+        if getattr(parallel, "fsdp", False):
+            print("[movae_tpu] note: --fsdp does not apply to the "
+                  "pipelined prior — the block stack is stage-sharded "
+                  "over 'pipe' (the bigger at-rest saving) and the "
+                  "prologue/head params stay replicated", flush=True)
         per_shard = batch_size // int(parallel.mesh.shape["data"])
         pp_m = (int(getattr(args, "pipeline_microbatches", 0) or 0)
                 or pp_lib.default_microbatches(per_shard, pp_n))
@@ -239,8 +244,10 @@ def _train_prior_impl(results: Dict[str, Any], args
         return parallel.replicate(p)
 
     def _host_params(p):
-        """Checkpoint/sampler layout: fetched to host, unstacked."""
-        p = jax.device_get(p)
+        """Checkpoint/sampler layout: fetched to host, unstacked.
+        host_copy all-gathers cross-host (fsdp/pipe) shards — a collective;
+        every process must call this, writes stay process-0-gated."""
+        p = parallel.host_copy(p)
         return pp_lib.unstack_prior_params(prior, p) if use_pp else p
     rng = jax.random.PRNGKey((getattr(args, "seed", 0) or 0) + 1)
     if hierarchical:
@@ -301,12 +308,16 @@ def _train_prior_impl(results: Dict[str, Any], args
         print(f"Resumed prior from {resume_src} at epoch {start_epoch}")
 
     def _save_last_prior(epoch_done: int, loss: float) -> None:
-        ckpt_lib.save_checkpoint(last_prior_path, {
+        # the host fetches are collectives under multi-host sharded
+        # layouts — every process runs them; only process 0 writes
+        payload = {
             "epoch": epoch_done,
             "model_state_dict": {"params": _host_params(params)},
-            "opt_state": jax.device_get(opt_state),
+            "opt_state": parallel.host_copy(opt_state),
             "loss": loss, "best_loss": best_loss,
-            "prior_args": prior_args_echo(args, prior.embedding_dim)})
+            "prior_args": prior_args_echo(args, prior.embedding_dim)}
+        if is_main:
+            ckpt_lib.save_checkpoint(last_prior_path, payload)
 
     def _step(params, opt_state, batch, rng):
         def loss_fn(p):
@@ -418,8 +429,7 @@ def _train_prior_impl(results: Dict[str, Any], args
         dispatch_buf(force=True)
         flush()
         if guard.globally_triggered():
-            if is_main:
-                _save_last_prior(epoch - 1, meter.avg)
+            _save_last_prior(epoch - 1, meter.avg)  # write gated inside
             guard.uninstall()
             print(f"[movae_tpu] preempted during prior epoch {epoch}: "
                   f"wrote resumable checkpoint ({last_prior_path}); "
@@ -438,10 +448,9 @@ def _train_prior_impl(results: Dict[str, Any], args
                     "model_state_dict": {"params": best_params},
                     "loss": best_loss,
                     "prior_args": prior_args_echo(args, prior.embedding_dim)})
-        if is_main:
-            # per-epoch crash tolerance (params are small; the VQ stage
-            # saves per save_freq, priors save every epoch)
-            _save_last_prior(epoch, meter.avg)
+        # per-epoch crash tolerance (params are small; the VQ stage saves
+        # per save_freq, priors save every epoch); write gated inside
+        _save_last_prior(epoch, meter.avg)
         if epoch % 10 == 0 or epoch == epochs:
             print(f"prior epoch {epoch}/{epochs}: CE={meter.avg:.4f} "
                   f"(best {best_loss:.4f})")
@@ -470,11 +479,12 @@ def _train_prior_impl(results: Dict[str, Any], args
                 print(f"prior sample figure failed: {e}")
 
     guard.uninstall()
+    final_hp = _host_params(params)  # collective — before the p0 gate
     if is_main:
         ckpt_lib.save_checkpoint(ckpt_lib.final_prior_path(
             save_root, getattr(args, "prior_type", "pixelcnn")), {
             "epoch": epochs,
-            "model_state_dict": {"params": _host_params(params)},
+            "model_state_dict": {"params": final_hp},
             "loss": meter.avg,
             "prior_args": prior_args_echo(args, prior.embedding_dim)})
     return {"model": prior, "params": best_params,

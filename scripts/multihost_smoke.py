@@ -257,6 +257,19 @@ def worker(pid: int, port: int, workdir: str) -> None:
     assert (pipes == pipes[0]).all(), f"pipeline losses diverged: {pipes}"
     print(f"{tag} cross-host pipeline parallelism ok "
           f"(piped={piped:.6f} plain={plain:.6f})", flush=True)
+
+    # -- 7. host_copy of cross-host-sharded params (fsdp checkpoint path) ---
+    # a bare device_get on a 'data'-sharded leaf raises for non-addressable
+    # devices; DataParallel.host_copy must all-gather first on EVERY process
+    fsdp_par = DataParallel(parallel.mesh, fsdp=True)
+    w = np.arange(64, dtype=np.float32).reshape(8, 8)
+    w_sh = fsdp_par.param_shardings({"w": w}, min_elems=0)["w"]
+    assert "data" in str(w_sh.spec), w_sh
+    w_g = jax.make_array_from_callback(w.shape, w_sh,
+                                       lambda idx: w[idx])
+    fetched = fsdp_par.host_copy({"w": w_g})
+    assert (np.asarray(fetched["w"]) == w).all()
+    print(f"{tag} cross-host fsdp host_copy ok", flush=True)
     multihost_utils.sync_global_devices("done")
 
 

@@ -168,15 +168,13 @@ def test_pipeline_rejects_bad_configs():
             loss_fn(shard_pp_params(stack_block_params(params), mesh), z)
 
 
-def test_pp_prior_trains_and_resumes(tmp_path):
-    """train_prior end-to-end under --pipeline_parallel 2: code extraction,
-    stacked/stage-sharded training, unstacked checkpoints, and a resume
-    that grafts the stacked opt_state back onto the live placement."""
+def _vq_prior_setup(tmp_path):
+    """(results, args-factory) for train_prior-level pp tests: a tiny
+    frozen VQ model + loader + save root, and pp-enabled prior args."""
     from types import SimpleNamespace
 
     from movae_tpu.data import Loader, get_dataset
     from movae_tpu.models import get_network, init_model
-    from movae_tpu.train.prior import train_prior
 
     train, _, _ = get_dataset("synthetic-16-32")
     margs = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
@@ -200,6 +198,16 @@ def test_pp_prior_trains_and_resumes(tmp_path):
         d.update(kw)
         return SimpleNamespace(**d)
 
+    return results, args
+
+
+def test_pp_prior_trains_and_resumes(tmp_path):
+    """train_prior end-to-end under --pipeline_parallel 2: code extraction,
+    stacked/stage-sharded training, unstacked checkpoints, and a resume
+    that grafts the stacked opt_state back onto the live placement."""
+    from movae_tpu.train.prior import train_prior
+
+    results, args = _vq_prior_setup(tmp_path)
     prior1 = train_prior(results, args())
     # sampler/checkpoint layout is UNSTACKED (reference-compatible)
     assert "block_0" in prior1["params"] and BLOCKS_KEY not in prior1["params"]
@@ -236,31 +244,11 @@ def test_pipelined_bf16_matches_plain_bf16():
 def test_pp_composes_with_steps_per_dispatch(tmp_path):
     """shard_map pipeline inside the k-step lax.scan dispatch fusion
     (train_prior scan path) compiles and trains."""
-    from types import SimpleNamespace
-
-    from movae_tpu.data import Loader, get_dataset
-    from movae_tpu.models import get_network, init_model
     from movae_tpu.train.prior import train_prior
 
-    train, _, _ = get_dataset("synthetic-16-32")
-    margs = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
-                 hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
-                 dataset_size=32)
-    model = get_network(16, 3, margs)
-    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3,
-                            batch_size=2)
-    results = {"model": model,
-               "state": SimpleNamespace(params=params, batch_stats=bs),
-               "save_root": str(tmp_path),
-               "train_loader": Loader(train, 8, shuffle=True, seed=0)}
-    args = SimpleNamespace(
-        arch="vq_vae", dataset="synthetic-16-32", batch_size=8, seed=0,
-        prior_type="pixelsnail", pixelcnn_epochs=1,
-        pixelcnn_hidden_channels=8, pixelsnail_num_blocks=2,
-        pixelsnail_num_res_blocks=1, pixelsnail_num_heads=2,
-        pixelsnail_dropout=0.1, pipeline_parallel=2, pixelcnn_lr=3e-4,
-        dataset_size=32, steps_per_dispatch=2)
-    prior = train_prior(results, args)
+    results, args = _vq_prior_setup(tmp_path)
+    prior = train_prior(results, args(pixelcnn_epochs=1,
+                                      steps_per_dispatch=2))
     assert "block_0" in prior["params"]
     for leaf in jax.tree_util.tree_leaves(prior["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
