@@ -486,7 +486,9 @@ def sample_naive(model, params, rng: Array, batch_size: int, height: int,
             (0, i, j))
         return samples
 
-    samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+    from movae_tpu.parallel.context import shard_sample_batch
+    samples0 = shard_sample_batch(
+        jnp.zeros((batch_size, height, width), jnp.int32))
     return jax.lax.fori_loop(0, height * width, body, samples0)
 
 
@@ -556,6 +558,12 @@ def sample_fast(model: PixelCNN, params, rng: Array, batch_size: int,
     c1_cache0 = jnp.zeros((n_layers, batch_size, height + 2, width + 2, half),
                           jnp.float32)
     samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+    # under sample_parallel: batch-shard the canvas + caches so the whole
+    # per-pixel loop runs data-parallel over the mesh (no collectives)
+    from movae_tpu.parallel.context import shard_sample_batch
+    in_cache0 = shard_sample_batch(in_cache0)
+    c1_cache0 = shard_sample_batch(c1_cache0, batch_dim=1)
+    samples0 = shard_sample_batch(samples0)
 
     def body(idx, carry):
         samples, in_cache, c1_cache = carry
@@ -691,6 +699,10 @@ def sample_wavefront(model: PixelCNN, params, rng: Array, batch_size: int,
                           jnp.float32)
     # sampled codes in skewed layout (unskewed once at the end)
     skew0 = jnp.zeros((B, height + C, D), jnp.int32)
+    from movae_tpu.parallel.context import shard_sample_batch
+    in_cache0 = shard_sample_batch(in_cache0)
+    c1_cache0 = shard_sample_batch(c1_cache0, batch_dim=1)
+    skew0 = shard_sample_batch(skew0)
     if condition is not None:
         # pre-skew the conditioning plane: cond_skew[b,i,d] = cond[b,i,d-s*i]
         ii_all = jnp.arange(height)[:, None]
@@ -885,6 +897,12 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
     k_cache0 = jnp.zeros((nb_blocks, batch_size, nh, L, hd), cache_dtype)
     v_cache0 = jnp.zeros_like(k_cache0)
     samples0 = jnp.zeros((batch_size, height, width), jnp.int32)
+    from movae_tpu.parallel.context import shard_sample_batch
+    in_cache0 = shard_sample_batch(in_cache0)
+    c1_cache0 = shard_sample_batch(c1_cache0, batch_dim=2)
+    k_cache0 = shard_sample_batch(k_cache0, batch_dim=1)
+    v_cache0 = shard_sample_batch(v_cache0, batch_dim=1)
+    samples0 = shard_sample_batch(samples0)
     key_pos = jnp.arange(L)
 
     def make_body(kv_len: int):

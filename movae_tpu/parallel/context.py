@@ -78,3 +78,56 @@ def context_parallel(mesh: Mesh, seq_axis: str = "seq",
         yield _current
     finally:
         _current = prev
+
+
+# --- data-parallel SAMPLING (trace-time, like context_parallel) -------------
+
+@dataclasses.dataclass(frozen=True)
+class SampleParallel:
+    mesh: Mesh
+    batch_axis: str = "data"
+
+    @property
+    def size(self) -> int:
+        return int(self.mesh.shape[self.batch_axis])
+
+
+_sample: Optional[SampleParallel] = None
+
+
+def get_sample_parallel() -> Optional[SampleParallel]:
+    return _sample
+
+
+def shard_sample_batch(x, batch_dim: int = 0):
+    """Constrain a sampler carry (canvas / incremental cache) to be
+    batch-sharded over the active sample-parallel mesh: the per-pixel
+    sampling loops are embarrassingly batch-parallel (zero collectives),
+    and with partitionable threefry the categorical draws are
+    sharding-INVARIANT, so the sharded sampler emits bitwise-identical
+    codes (tested). No-op without an active config or when the batch dim
+    doesn't divide the mesh axis (trace-time static-shape decision)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ctx = get_sample_parallel()
+    if ctx is None or ctx.size <= 1:
+        return x
+    if x.shape[batch_dim] % ctx.size:
+        return x
+    spec = [None] * x.ndim
+    spec[batch_dim] = ctx.batch_axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx.mesh, P(*spec)))
+
+
+@contextlib.contextmanager
+def sample_parallel(mesh: Mesh, batch_axis: str = "data"):
+    """Install a sample-parallel config while tracing/generating samples."""
+    global _sample
+    prev = _sample
+    _sample = SampleParallel(mesh, batch_axis)
+    try:
+        yield _sample
+    finally:
+        _sample = prev

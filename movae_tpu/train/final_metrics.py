@@ -88,7 +88,44 @@ def evaluate_recon_metrics(model, state, loader, rng,
 def generate_samples(model, state, args, prior: Optional[Dict[str, Any]],
                      rng, num: int, batch: int = 64) -> np.ndarray:
     """Batched sample generation: prior-driven for VQ models
-    (main.py:738-758, 1054-1085), plain model.sample otherwise."""
+    (main.py:738-758, 1054-1085), plain model.sample otherwise.
+
+    Data-parallel over the device mesh: a sample-parallel config
+    (parallel/context.py) batch-shards the samplers' canvases/caches so
+    the per-pixel loops and the VQ decode run SPMD over 'data' with zero
+    collectives — partitionable threefry keeps the draws bitwise identical
+    to the single-device sampler (tested). Auto-installed over all local
+    devices when none is active."""
+    import contextlib
+
+    from movae_tpu.parallel.context import (get_sample_parallel,
+                                            sample_parallel)
+
+    ctx_mgr = contextlib.nullcontext()
+    if get_sample_parallel() is None and jax.device_count() > 1:
+        from movae_tpu.parallel.mesh import make_mesh
+        ctx_mgr = sample_parallel(make_mesh())
+    with ctx_mgr:
+        return _generate_samples_impl(model, state, args, prior, rng, num,
+                                      batch)
+
+
+def _gather_chunk(imgs):
+    """Host copy of one generated chunk; multi-host, sharded chunks span
+    non-addressable devices — re-shard to replicated first (collective:
+    every process runs generation, per the callers' contract)."""
+    from movae_tpu.parallel.context import get_sample_parallel
+
+    sp = get_sample_parallel()
+    if sp is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        imgs = jax.jit(lambda x: x,
+                       out_shardings=NamedSharding(sp.mesh, P()))(imgs)
+    return np.asarray(jax.device_get(imgs))
+
+
+def _generate_samples_impl(model, state, args, prior, rng, num: int,
+                           batch: int) -> np.ndarray:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     temperature = getattr(args, "pixelcnn_temperature", 1.0)
     chunks = []
@@ -114,7 +151,7 @@ def generate_samples(model, state, args, prior: Optional[Dict[str, Any]],
         else:
             imgs = model.apply(variables, b, method="sample",
                                rngs={"sample": sub, "dropout": sub})
-        chunks.append(np.asarray(jax.device_get(imgs)))
+        chunks.append(_gather_chunk(imgs))
         n += b
     return np.concatenate(chunks)[:num]
 
