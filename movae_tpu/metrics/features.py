@@ -87,6 +87,15 @@ class InceptionTower:
         n = len(images)
         if n == 0:
             return (np.array([]), np.array([])) if want_logits else np.array([])
+        # data-parallel tower: shard each (padded, static-shape) batch over
+        # the LOCAL devices — no cross-process collectives, so this is safe
+        # whether or not the caller gates metrics to process 0
+        sharding = None
+        local = jax.local_devices()
+        if len(local) > 1 and batch_size % len(local) == 0:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            sharding = NamedSharding(
+                Mesh(np.asarray(local), ("data",)), PartitionSpec("data"))
         feats, logits = [], []
         for i in range(0, n, batch_size):
             chunk = np.asarray(images[i:i + batch_size])
@@ -96,7 +105,8 @@ class InceptionTower:
                 # second XLA compilation for the remainder
                 pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
                 chunk = np.concatenate([chunk, pad])
-            f, lg = self._run(jnp.asarray(chunk))
+            f, lg = self._run(jnp.asarray(chunk) if sharding is None
+                              else jax.device_put(chunk, sharding))
             feats.append(np.asarray(f)[:valid])
             if want_logits:
                 logits.append(np.asarray(lg)[:valid])
