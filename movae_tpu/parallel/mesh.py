@@ -12,11 +12,24 @@ parallelism is an annotation change, not a rewrite.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@functools.lru_cache(maxsize=None)
+def cached_reshard(sharding: NamedSharding):
+    """Jitted identity with ``out_shardings=sharding``, cached per sharding.
+
+    ``jax.jit``'s dispatch cache is keyed on callable identity, so building
+    ``jax.jit(lambda t: t, ...)`` at every call site retraces AND recompiles
+    the same replicate/reshard program on every invocation — tens of seconds
+    per chunk over the remote-compile tunnel. Reusing one wrapper per
+    sharding restores normal per-signature caching."""
+    return jax.jit(lambda t: t, out_shardings=sharding)
 
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
@@ -98,7 +111,7 @@ class DataParallel:
         replicated first. The re-shard is an all-gather COLLECTIVE: every
         process must call this (gate only the file WRITE on process 0)."""
         if jax.process_count() > 1:
-            tree = jax.jit(lambda t: t, out_shardings=self.replicated)(tree)
+            tree = cached_reshard(self.replicated)(tree)
         return jax.device_get(tree)
 
     def param_shardings(self, params: Any, min_elems: int = 4096) -> Any:

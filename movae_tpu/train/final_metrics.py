@@ -94,8 +94,11 @@ def generate_samples(model, state, args, prior: Optional[Dict[str, Any]],
     (parallel/context.py) batch-shards the samplers' canvases/caches so
     the per-pixel loops and the VQ decode run SPMD over 'data' with zero
     collectives — partitionable threefry keeps the draws bitwise identical
-    to the single-device sampler (tested). Auto-installed over all local
-    devices when none is active."""
+    to the single-device sampler (tested). Auto-installed over all GLOBAL
+    devices when none is active — on multi-host runs the mesh (and
+    _gather_chunk's replicate-reshard) is a cross-process COLLECTIVE, so
+    every process must call this; never gate a generate_samples call on
+    process 0 (gate only what you do with the returned host array)."""
     import contextlib
 
     from movae_tpu.parallel.context import (get_sample_parallel,
@@ -119,8 +122,8 @@ def _gather_chunk(imgs):
     sp = get_sample_parallel()
     if sp is not None and jax.process_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        imgs = jax.jit(lambda x: x,
-                       out_shardings=NamedSharding(sp.mesh, P()))(imgs)
+        from movae_tpu.parallel.mesh import cached_reshard
+        imgs = cached_reshard(NamedSharding(sp.mesh, P()))(imgs)
     return np.asarray(jax.device_get(imgs))
 
 

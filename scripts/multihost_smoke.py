@@ -23,7 +23,13 @@ each, gloo collectives) that form one 8-device global mesh and exercise:
   6. GPipe pipeline parallelism ACROSS the process boundary: a 2-stage
      pipelined PixelSNAIL loss whose stage-to-stage ppermute hop crosses
      the two hosts (each 'pipe' pair holds one device per host) must
-     match the plain single-trace loss and agree across hosts.
+     match the plain single-trace loss and agree across hosts,
+  7. host_copy of cross-host fsdp-sharded params (checkpoint fetch path),
+  8. sample-parallel prior sampling over the cross-host mesh: the
+     batch-sharded KV-cache sampler's draws must be bitwise identical to
+     the unsharded sampler, a ragged batch must no-op safely, and
+     final_metrics._gather_chunk must fetch the cross-host-sharded
+     result on every process.
 
 Run: python scripts/multihost_smoke.py            (launcher)
 Exit code 0 = all workers passed.
@@ -270,6 +276,29 @@ def worker(pid: int, port: int, workdir: str) -> None:
     fetched = fsdp_par.host_copy({"w": w_g})
     assert (np.asarray(fetched["w"]) == w).all()
     print(f"{tag} cross-host fsdp host_copy ok", flush=True)
+
+    # -- 8. sample-parallel prior sampling across the process boundary ------
+    # the 'data' axis of the default mesh spans both hosts, so the
+    # batch-sharded sampler caches live on non-addressable devices and
+    # _gather_chunk's replicate-reshard is a cross-process collective
+    from movae_tpu.models.pixelcnn import sample_prior
+    from movae_tpu.parallel.context import sample_parallel
+    from movae_tpu.train.final_metrics import _gather_chunk
+
+    skey = jax.random.PRNGKey(23)
+    ref8 = np.asarray(sample_prior(prior, pparams, skey, 8, 4, 4))
+    ref2 = np.asarray(sample_prior(prior, pparams, skey, 2, 4, 4))
+    with sample_parallel(parallel.mesh):
+        got8 = _gather_chunk(sample_prior(prior, pparams_r, skey, 8, 4, 4))
+        # ragged batch (2 % 8 != 0): shard_sample_batch must no-op and the
+        # gather must still work
+        got2 = _gather_chunk(sample_prior(prior, pparams_r, skey, 2, 4, 4))
+    assert (got8 == ref8).all(), "sharded draws != unsharded draws"
+    assert (got2 == ref2).all(), "ragged-chunk draws != unsharded draws"
+    sums = np.asarray(multihost_utils.process_allgather(
+        np.float64(got8.sum())))
+    assert (sums == sums[0]).all(), f"sample draws diverged: {sums}"
+    print(f"{tag} cross-host sample-parallel sampling ok", flush=True)
     multihost_utils.sync_global_devices("done")
 
 
