@@ -340,7 +340,11 @@ def _train_prior_impl(results: Dict[str, Any], args
         params = optax.apply_updates(params, updates)
         return params, opt_state, out
 
-    step = jax.jit(_step)
+    # donate params+opt_state: the caller rebinds both every call, so XLA
+    # can update in place instead of holding two copies live through the
+    # optimizer step (matters for fsdp-scale priors; same policy as the
+    # VQ-stage step, train/loop.py)
+    step = jax.jit(_step, donate_argnums=(0, 1))
     # code batches are tiny (int grids), so prior training is dispatch-
     # latency bound like small-image training: fuse k steps per dispatch
     # (same flag + mechanics as the VQ stage, train/step.py
@@ -360,7 +364,7 @@ def _train_prior_impl(results: Dict[str, Any], args
                 body, (params, opt_state), (batches, keys))
             return params, opt_state, outs
 
-        scan_step = jax.jit(_scan)
+        scan_step = jax.jit(_scan, donate_argnums=(0, 1))
 
     logger = results.get("logger")
     # multi-host: only process 0 writes prior checkpoints/figures (the

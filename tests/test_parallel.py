@@ -204,3 +204,28 @@ def test_fsdp_vq_train_step_matches_single_device():
                     jax.tree_util.tree_leaves(s1d.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_cached_reshard_reuses_wrapper_per_sharding():
+    """cached_reshard must return the SAME jitted wrapper for equal
+    shardings (lru_cache keyed on NamedSharding value equality) so repeated
+    host_copy/_gather_chunk calls hit jit's dispatch cache instead of
+    retracing a fresh lambda per call."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from movae_tpu.parallel.mesh import cached_reshard, make_mesh
+
+    mesh = make_mesh(num_data=8)
+    a = NamedSharding(mesh, P())
+    b = NamedSharding(mesh, P())  # distinct instance, equal value
+    assert cached_reshard(a) is cached_reshard(b)
+    assert cached_reshard(a) is not cached_reshard(NamedSharding(mesh,
+                                                                 P("data")))
+
+    x = jnp.arange(16, dtype=jnp.float32).reshape(8, 2)
+    y = cached_reshard(NamedSharding(mesh, P("data")))(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    assert y.sharding == NamedSharding(mesh, P("data"))
+    z = cached_reshard(a)(y)  # replicate back
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+    assert z.sharding.is_fully_replicated
