@@ -1,0 +1,284 @@
+"""AOT serving export: self-contained StableHLO inference artifacts.
+
+The reference framework has no serving layer at all (SURVEY §1: one Python
+process drives one device; deployment means re-importing the torch model
+code and checkpoint). This module is the TPU-native serving story built on
+``jax.export``:
+
+  * the jitted inference functions (reconstruct / sample / encode_codes /
+    decode_codes) are traced with the trained weights captured as
+    CONSTANTS, so one artifact file is the whole deployable — no model
+    code, no checkpoint, no flax at load time, just jax;
+  * lowering is platform-parameterized: a TPU serving artifact can be
+    produced on a CPU-only build host (``platforms=("cpu", "tpu")``) and
+    the right branch is picked at run time;
+  * image-in/image-out functions export with a SYMBOLIC batch dimension
+    where the program allows it, so one artifact serves any batch size
+    (fixed-shape fallback otherwise — e.g. the autoregressive samplers,
+    whose pixel loops carry fixed-shape caches);
+  * the serialized calling convention is versioned by jax.export, so
+    artifacts keep loading across jax upgrades within the supported
+    window.
+
+Artifacts are one directory: ``<name>.jaxexport`` blobs plus a
+``manifest.json`` describing each function's signature, platforms and
+provenance. ``load_serving`` restores them to plain callables.
+
+Reference parity anchor: the exported functions mirror the reference's
+inference surfaces — ``model(images)["recons"]`` (main.py:159),
+``net.sample(n, device)`` (vae.py:230-245), ``get_code_indices`` /
+``decode_code`` (vq_vae.py:393-423) and prior-driven generation
+(main.py:1054-1085) — as pure compiled programs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from movae_tpu.train.step import preprocess_batch
+
+SUFFIX = ".jaxexport"
+MANIFEST = "manifest.json"
+
+
+def _spec(x) -> Dict[str, Any]:
+    return {"shape": [str(d) for d in x.shape], "dtype": str(x.dtype)}
+
+
+def build_serving_fns(model, params, batch_stats, *,
+                      normalize_inputs: bool = False,
+                      prior: Optional[Dict[str, Any]] = None,
+                      sample_batch: int = 16,
+                      temperature: float = 1.0,
+                      image_batch: int = 8,
+                      input_size: Optional[int] = None,
+                      compute_dtype=None) -> Dict[str, Tuple]:
+    """Pure inference callables (weights closed over) + example args.
+
+    Returns ``{name: (fn, example_args, symbolic_batch_ok)}``:
+
+      * ``reconstruct(x_uint8_nhwc) -> recons`` — every arch; input is the
+        serving-friendly raw uint8 image batch, the float cast/normalize
+        runs in-graph (train/step.py preprocess_batch, same as the train
+        hot loop).
+      * ``sample(key) -> images`` — fixed ``sample_batch``; prior-driven
+        for VQ models when a trained prior is supplied
+        (final_metrics._generate_samples_impl semantics), plain
+        ``model.sample`` otherwise.
+      * ``encode_codes(x_uint8) -> indices`` and
+        ``decode_codes(indices) -> images`` — VQ families
+        (``get_code_indices[_pair]`` / ``decode_code``); hierarchical
+        models take/return the (top, bottom) pair.
+
+    ``symbolic_batch_ok`` marks functions whose leading axis may be
+    exported symbolically (everything except ``sample``: the
+    autoregressive pixel loops and ``num_samples`` are static).
+    """
+    variables = {"params": params, "batch_stats": batch_stats or {}}
+    size = int(input_size if input_size is not None
+               else getattr(model, "input_size"))
+    cast = (lambda x: x.astype(compute_dtype)) if compute_dtype else (
+        lambda x: x)
+
+    def reconstruct(x):
+        xf = cast(preprocess_batch(x, normalize_inputs))
+        out = model.apply(variables, xf, train=False,
+                          rngs={"sample": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(0)})
+        return out["recons"].astype(jnp.float32)
+
+    x_ex = jnp.zeros((image_batch, size, size, 3), jnp.uint8)
+    fns: Dict[str, Tuple] = {"reconstruct": (reconstruct, (x_ex,), True)}
+
+    hierarchical = hasattr(model, "latent_spatial_dim_top")
+    is_vq = hasattr(model, "num_embeddings")
+    if is_vq:
+        if hierarchical:
+            def encode_codes(x):
+                xf = cast(preprocess_batch(x, normalize_inputs))
+                return model.apply(variables, xf,
+                                   method="get_code_indices_pair")
+
+            def decode_codes(code_t, code_b):
+                return model.apply(variables, code_t, code_b,
+                                   method="decode_code").astype(jnp.float32)
+
+            st = model.latent_spatial_dim_top
+            sb = model.latent_spatial_dim_bottom
+            code_ex = (jnp.zeros((image_batch, st, st), jnp.int32),
+                       jnp.zeros((image_batch, sb, sb), jnp.int32))
+        else:
+            def encode_codes(x):
+                xf = cast(preprocess_batch(x, normalize_inputs))
+                return model.apply(variables, xf, method="get_code_indices")
+
+            def decode_codes(codes):
+                return model.apply(variables, codes,
+                                   method="decode_code").astype(jnp.float32)
+
+            s = model.latent_spatial_dim
+            code_ex = (jnp.zeros((image_batch, s, s), jnp.int32),)
+        fns["encode_codes"] = (encode_codes, (x_ex,), True)
+        fns["decode_codes"] = (decode_codes, code_ex, True)
+
+    if prior is not None and is_vq:
+        from movae_tpu.models.pixelcnn import (sample_hierarchical,
+                                               sample_prior)
+        pm, pp = prior["model"], prior["params"]
+
+        if prior.get("hierarchical"):
+            def sample(key):
+                z_top, z_bottom = sample_hierarchical(
+                    pm, pp, key, sample_batch,
+                    (model.latent_spatial_dim_top,) * 2,
+                    (model.latent_spatial_dim_bottom,) * 2,
+                    temperature=temperature)
+                return model.apply(variables, z_top, z_bottom,
+                                   method="decode_code").astype(jnp.float32)
+        else:
+            def sample(key):
+                s = model.latent_spatial_dim
+                codes = sample_prior(pm, pp, key, sample_batch, s, s,
+                                     temperature=temperature)
+                return model.apply(variables, codes,
+                                   method="decode_code").astype(jnp.float32)
+    else:
+        def sample(key):
+            return model.apply(variables, sample_batch, method="sample",
+                               rngs={"sample": key, "dropout": key}
+                               ).astype(jnp.float32)
+
+    fns["sample"] = (sample, (jax.random.PRNGKey(0),), False)
+    return fns
+
+
+def _export_one(fn, example_args, platforms, symbolic_batch):
+    """Export ``fn``; symbolic leading batch dim when requested and the
+    program supports it (falls back to the example's fixed shapes)."""
+    if symbolic_batch:
+        try:
+            (b,) = jax_export.symbolic_shape("b")
+            specs = tuple(
+                jax.ShapeDtypeStruct((b,) + tuple(a.shape[1:]), a.dtype)
+                for a in example_args)
+            return jax_export.export(jax.jit(fn),
+                                     platforms=list(platforms))(*specs), True
+        except Exception as e:  # pragma: no cover - shape-dependent
+            print(f"[serving] symbolic-batch export failed ({e}); "
+                  f"falling back to fixed shapes")
+    return jax_export.export(jax.jit(fn),
+                             platforms=list(platforms))(*example_args), False
+
+
+def export_serving(model, params, batch_stats, out_dir: str, *,
+                   platforms: Sequence[str] = ("cpu", "tpu"),
+                   manifest_extra: Optional[Dict[str, Any]] = None,
+                   **build_kwargs) -> Dict[str, Any]:
+    """Export the serving surface of a trained model to ``out_dir``.
+
+    Writes one ``<name>.jaxexport`` serialized artifact per function and a
+    ``manifest.json``. Returns the manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    fns = build_serving_fns(model, params, batch_stats, **build_kwargs)
+    manifest: Dict[str, Any] = {
+        "format": "jax.export", "jax_version": jax.__version__,
+        "platforms": list(platforms), "functions": {}}
+    manifest.update(manifest_extra or {})
+    for name, (fn, example, sym) in fns.items():
+        exp, symbolic = _export_one(fn, example, platforms, sym)
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, name + SUFFIX), "wb") as f:
+            f.write(blob)
+        manifest["functions"][name] = {
+            "in": [_spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
+                   for s in exp.in_avals],
+            "out": [_spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
+                    for s in exp.out_avals],
+            "symbolic_batch": symbolic,
+            "calling_convention": exp.calling_convention_version,
+            "bytes": len(blob)}
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def load_serving(art_dir: str) -> Dict[str, Any]:
+    """Restore an exported serving directory to plain jitted callables.
+
+    Needs only jax — no model code, flax, or checkpoint. Each callable
+    runs the platform branch matching the current default backend."""
+    out: Dict[str, Any] = {}
+    for fname in sorted(os.listdir(art_dir)):
+        if not fname.endswith(SUFFIX):
+            continue
+        with open(os.path.join(art_dir, fname), "rb") as f:
+            exp = jax_export.deserialize(f.read())
+        out[fname[:-len(SUFFIX)]] = jax.jit(exp.call)
+    return out
+
+
+def load_manifest(art_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(art_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def _model_from_checkpoint(model_path: str, arch: Optional[str],
+                           data_dir: str):
+    """Rebuild (model, params, batch_stats, args, input_size) from a saved
+    checkpoint WITHOUT touching the dataset files (evaluate.py's loader
+    builds the dataset; serving export must not need data on disk) —
+    input_size comes from the dataset NAME (data.dataset_input_size)."""
+    from types import SimpleNamespace
+
+    from movae_tpu.data import dataset_input_size
+    from movae_tpu.models import get_network
+    from movae_tpu.train import checkpoint as ckpt_lib
+
+    payload = ckpt_lib.load_checkpoint(model_path)
+    args = SimpleNamespace(**(payload.get("args") or {}))
+    if arch:
+        args.arch = arch
+    input_size = dataset_input_size(getattr(args, "dataset", "cifar10"))
+    model = get_network(input_size, 3, args)
+    sd = payload["model_state_dict"]
+    return (model, sd["params"], sd.get("batch_stats", {}) or {}, args,
+            input_size)
+
+
+def export_checkpoint(model_path: str, out_dir: str, *,
+                      arch: Optional[str] = None,
+                      data_dir: str = "./data",
+                      platforms: Sequence[str] = ("cpu", "tpu"),
+                      sample_batch: int = 16,
+                      with_prior: bool = True,
+                      temperature: float = 1.0) -> Dict[str, Any]:
+    """One-call checkpoint -> serving-artifact export (CLI entry).
+
+    Auto-loads a trained prior next to the checkpoint (evaluate.py
+    _find_prior) so ``sample`` is prior-driven like the training
+    pipeline's generation pass."""
+    model, params, bstats, args, input_size = _model_from_checkpoint(
+        model_path, arch, data_dir)
+    prior = None
+    if with_prior and hasattr(model, "num_embeddings"):
+        from evaluate import _find_prior
+        prior = _find_prior(model_path, model, args)
+    manifest = export_serving(
+        model, params, bstats, out_dir, platforms=platforms,
+        manifest_extra={"arch": getattr(args, "arch", None),
+                        "dataset": getattr(args, "dataset", None),
+                        "input_size": input_size,
+                        "prior": (None if prior is None else
+                                  type(prior["model"]).__name__),
+                        "source_checkpoint": os.path.abspath(model_path)},
+        normalize_inputs=bool(getattr(args, "normalize_inputs", False)),
+        prior=prior, sample_batch=sample_batch, temperature=temperature,
+        input_size=input_size)
+    return manifest

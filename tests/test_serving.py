@@ -1,0 +1,144 @@
+"""AOT serving export (movae_tpu/serving.py): artifacts must reload with
+just jax and reproduce the live model's outputs exactly.
+
+The reference has no serving layer (SURVEY §1); these tests pin the
+beyond-parity contract: weights-baked StableHLO export, symbolic batch
+for the image/code functions, prior-driven sample export, and
+checkpoint-level export without dataset files."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movae_tpu.models import get_network, init_model
+from movae_tpu.serving import (export_serving, load_manifest, load_serving)
+
+
+def _tiny_vq(arch="vq_vae"):
+    args = dict(arch=arch, embedding_dim=8, num_embeddings=32,
+                hidden_dims=(8, 16), num_residual_layers=1, batch_size=8,
+                dataset_size=64, latent_dim=16)
+    model = get_network(16, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 16, 3,
+                            batch_size=2)
+    return model, params, bs
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    model, params, bs = _tiny_vq()
+    out = str(tmp_path / "art")
+    man = export_serving(model, params, bs, out, platforms=("cpu",),
+                        sample_batch=2, image_batch=4, input_size=16)
+    assert set(man["functions"]) == {"reconstruct", "encode_codes",
+                                     "decode_codes", "sample"}
+    fns = load_serving(out)
+
+    x = np.random.default_rng(0).integers(
+        0, 256, (4, 16, 16, 3)).astype(np.uint8)
+    variables = {"params": params, "batch_stats": bs}
+    xf = jnp.asarray(x, jnp.float32) / 255.0
+    live = model.apply(variables, xf, train=False,
+                       rngs={"sample": jax.random.PRNGKey(0),
+                             "dropout": jax.random.PRNGKey(0)})["recons"]
+    np.testing.assert_allclose(np.asarray(fns["reconstruct"](x)),
+                               np.asarray(live), rtol=1e-5, atol=1e-6)
+
+    codes = fns["encode_codes"](x)
+    live_codes = model.apply(variables, xf, method="get_code_indices")
+    np.testing.assert_array_equal(np.asarray(codes),
+                                  np.asarray(live_codes))
+    dec = fns["decode_codes"](codes)
+    live_dec = model.apply(variables, jnp.asarray(codes),
+                           method="decode_code")
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(live_dec),
+                               rtol=1e-5, atol=1e-6)
+
+    key = jax.random.PRNGKey(7)
+    s = fns["sample"](key)
+    live_s = model.apply(variables, 2, method="sample",
+                         rngs={"sample": key, "dropout": key})
+    np.testing.assert_allclose(np.asarray(s), np.asarray(live_s),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_symbolic_batch_serves_any_batch(tmp_path):
+    model, params, bs = _tiny_vq()
+    out = str(tmp_path / "art")
+    man = export_serving(model, params, bs, out, platforms=("cpu",),
+                        sample_batch=2, image_batch=4, input_size=16)
+    for name in ("reconstruct", "encode_codes", "decode_codes"):
+        assert man["functions"][name]["symbolic_batch"], name
+    fns = load_serving(out)
+    for b in (1, 3, 7):
+        x = np.zeros((b, 16, 16, 3), np.uint8)
+        assert fns["reconstruct"](x).shape == (b, 16, 16, 3)
+        assert fns["encode_codes"](x).shape[0] == b
+
+
+def test_hierarchical_code_pair_export(tmp_path):
+    model, params, bs = _tiny_vq("vq_vae2")
+    out = str(tmp_path / "art")
+    export_serving(model, params, bs, out, platforms=("cpu",),
+                   sample_batch=2, image_batch=2, input_size=16)
+    fns = load_serving(out)
+    x = np.zeros((2, 16, 16, 3), np.uint8)
+    ct, cb = fns["encode_codes"](x)
+    assert ct.shape[0] == cb.shape[0] == 2 and cb.shape[1] > ct.shape[1]
+    imgs = fns["decode_codes"](ct, cb)
+    assert imgs.shape == (2, 16, 16, 3)
+
+
+def test_prior_driven_sample_export(tmp_path):
+    from movae_tpu.models.pixelcnn import PixelCNN, sample_prior
+
+    model, params, bs = _tiny_vq()
+    prior_model = PixelCNN(num_embeddings=32, embedding_dim=8,
+                           hidden_channels=8, num_layers=2)
+    s = model.latent_spatial_dim
+    z = jnp.zeros((2, s, s), jnp.int32)
+    pp = prior_model.init({"params": jax.random.PRNGKey(1)}, z,
+                          train=False)["params"]
+    prior = {"model": prior_model, "params": pp, "hierarchical": False}
+    out = str(tmp_path / "art")
+    export_serving(model, params, bs, out, platforms=("cpu",), prior=prior,
+                   sample_batch=2, image_batch=2, input_size=16)
+    fns = load_serving(out)
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(fns["sample"](key))
+    codes = sample_prior(prior_model, pp, key, 2, s, s)
+    want = np.asarray(model.apply({"params": params, "batch_stats": bs},
+                                  codes, method="decode_code"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_export_checkpoint_without_dataset_files(tmp_path):
+    """export_checkpoint rebuilds the model from the checkpoint args alone
+    (dataset_input_size from the NAME — no data files needed)."""
+    from movae_tpu.serving import export_checkpoint
+    from movae_tpu.train import checkpoint as ckpt_lib
+
+    model, params, bs = _tiny_vq()
+    ckpt = str(tmp_path / "ckpt" / "final_checkpoint")
+    ckpt_lib.save_checkpoint(ckpt, {
+        "epoch": 1,
+        "model_state_dict": {"params": params, "batch_stats": bs},
+        "args": dict(arch="vq_vae", dataset="synthetic-16-8",
+                     embedding_dim=8, num_embeddings=32,
+                     hidden_dims=[8, 16], num_residual_layers=1,
+                     batch_size=8, dataset_size=64, latent_dim=16)})
+    out = str(tmp_path / "art")
+    man = export_checkpoint(ckpt, out, platforms=("cpu",), sample_batch=2,
+                            with_prior=False)
+    assert man["input_size"] == 16 and man["arch"] == "vq_vae"
+    fns = load_serving(out)
+    x = np.zeros((2, 16, 16, 3), np.uint8)
+    got = np.asarray(fns["reconstruct"](x))
+    variables = {"params": params, "batch_stats": bs}
+    want = np.asarray(model.apply(
+        variables, jnp.zeros((2, 16, 16, 3), jnp.float32), train=False,
+        rngs={"sample": jax.random.PRNGKey(0),
+              "dropout": jax.random.PRNGKey(0)})["recons"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
