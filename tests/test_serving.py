@@ -142,3 +142,30 @@ def test_export_checkpoint_without_dataset_files(tmp_path):
         rngs={"sample": jax.random.PRNGKey(0),
               "dropout": jax.random.PRNGKey(0)})["recons"])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_hierarchical_prior_sample_export(tmp_path):
+    from movae_tpu.models.pixelcnn import (HierarchicalPixelCNN,
+                                           sample_hierarchical)
+
+    model, params, bs = _tiny_vq("vq_vae2")
+    st = model.latent_spatial_dim_top
+    sb = model.latent_spatial_dim_bottom
+    prior_model = HierarchicalPixelCNN(num_embeddings=32, embedding_dim=8,
+                                       hidden_channels=8, num_layers=2)
+    zt = jnp.zeros((2, st, st), jnp.int32)
+    zb = jnp.zeros((2, sb, sb), jnp.int32)
+    pp = prior_model.init({"params": jax.random.PRNGKey(1)}, zt, zb,
+                          train=False)["params"]
+    prior = {"model": prior_model, "params": pp, "hierarchical": True}
+    out = str(tmp_path / "art")
+    export_serving(model, params, bs, out, platforms=("cpu",), prior=prior,
+                   sample_batch=2, image_batch=2, input_size=16)
+    fns = load_serving(out)
+    key = jax.random.PRNGKey(9)
+    got = np.asarray(fns["sample"](key))
+    ct, cb = sample_hierarchical(prior_model, pp, key, 2, (st, st),
+                                 (sb, sb))
+    want = np.asarray(model.apply({"params": params, "batch_stats": bs},
+                                  ct, cb, method="decode_code"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
