@@ -159,40 +159,73 @@ def build_serving_fns(model, params, batch_stats, *,
     return fns
 
 
-def _export_one(fn, example_args, platforms, symbolic_batch):
+def _export_one(fn, example_args, platforms, symbolic_batch, mesh=None):
     """Export ``fn``; symbolic leading batch dim when requested and the
-    program supports it (falls back to the example's fixed shapes)."""
+    program supports it (falls back to the example's fixed shapes).
+
+    With ``mesh`` the function is exported SPMD over the mesh's 'data'
+    axis: the leading batch axis of every array argument and output is
+    sharded (GSPMD partitions the body), and the symbolic batch becomes
+    ``<n>*b`` so any multiple of the device count serves."""
+    if mesh is None:
+        jf = jax.jit(fn)
+        dim = "b"
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("data"))
+        jf = jax.jit(fn, in_shardings=tuple(sh for _ in example_args),
+                     out_shardings=sh)
+        dim = f"{int(mesh.shape['data'])}*b"
     if symbolic_batch:
         try:
-            (b,) = jax_export.symbolic_shape("b")
+            (b,) = jax_export.symbolic_shape(dim)
             specs = tuple(
                 jax.ShapeDtypeStruct((b,) + tuple(a.shape[1:]), a.dtype)
                 for a in example_args)
-            return jax_export.export(jax.jit(fn),
+            return jax_export.export(jf,
                                      platforms=list(platforms))(*specs), True
         except Exception as e:  # pragma: no cover - shape-dependent
             print(f"[serving] symbolic-batch export failed ({e}); "
                   f"falling back to fixed shapes")
-    return jax_export.export(jax.jit(fn),
-                             platforms=list(platforms))(*example_args), False
+    return jax_export.export(jf, platforms=list(platforms))(*example_args), False
 
 
 def export_serving(model, params, batch_stats, out_dir: str, *,
                    platforms: Sequence[str] = ("cpu", "tpu"),
+                   data_parallel: int = 1,
                    manifest_extra: Optional[Dict[str, Any]] = None,
                    **build_kwargs) -> Dict[str, Any]:
     """Export the serving surface of a trained model to ``out_dir``.
 
     Writes one ``<name>.jaxexport`` serialized artifact per function and a
-    ``manifest.json``. Returns the manifest dict."""
+    ``manifest.json``. Returns the manifest dict.
+
+    ``data_parallel=N`` exports the image/code functions SPMD over an
+    N-device mesh (batch sharded on 'data'; GSPMD partitions the body) —
+    one artifact drives a whole serving slice. N devices must be visible
+    at export time (virtual CPU devices via
+    ``--xla_force_host_platform_device_count`` work) and at load time;
+    batches must be a multiple of N. ``sample`` stays single-device (its
+    autoregressive caches are replicated state; for sharded generation
+    use the training pipeline's sample-parallel path)."""
     os.makedirs(out_dir, exist_ok=True)
+    mesh = None
+    if data_parallel > 1:
+        from movae_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(num_data=data_parallel)
     fns = build_serving_fns(model, params, batch_stats, **build_kwargs)
     manifest: Dict[str, Any] = {
         "format": "jax.export", "jax_version": jax.__version__,
         "platforms": list(platforms), "functions": {}}
     manifest.update(manifest_extra or {})
     for name, (fn, example, sym) in fns.items():
-        exp, symbolic = _export_one(fn, example, platforms, sym)
+        fn_mesh = mesh if sym else None  # sample() stays single-device
+        if fn_mesh is not None:
+            n = int(fn_mesh.shape["data"])
+            example = tuple(
+                jnp.concatenate([a] * n) if a.shape and a.shape[0] % n
+                else a for a in example)
+        exp, symbolic = _export_one(fn, example, platforms, sym, fn_mesh)
         blob = exp.serialize()
         with open(os.path.join(out_dir, name + SUFFIX), "wb") as f:
             f.write(blob)
@@ -202,6 +235,7 @@ def export_serving(model, params, batch_stats, out_dir: str, *,
             "out": [_spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
                     for s in exp.out_avals],
             "symbolic_batch": symbolic,
+            "nr_devices": exp.nr_devices,
             "calling_convention": exp.calling_convention_version,
             "bytes": len(blob)}
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
@@ -213,14 +247,39 @@ def load_serving(art_dir: str) -> Dict[str, Any]:
     """Restore an exported serving directory to plain jitted callables.
 
     Needs only jax — no model code, flax, or checkpoint. Each callable
-    runs the platform branch matching the current default backend."""
+    runs the platform branch matching the current default backend.
+    Sharded artifacts (``data_parallel`` exports) are wrapped to commit
+    their inputs over an ``nr_devices``-device data mesh (batch axis
+    sharded, scalar/key args replicated), so callers still pass plain
+    host arrays."""
     out: Dict[str, Any] = {}
     for fname in sorted(os.listdir(art_dir)):
         if not fname.endswith(SUFFIX):
             continue
         with open(os.path.join(art_dir, fname), "rb") as f:
             exp = jax_export.deserialize(f.read())
-        out[fname[:-len(SUFFIX)]] = jax.jit(exp.call)
+        jitted = jax.jit(exp.call)
+        if exp.nr_devices > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            n = exp.nr_devices
+            if len(jax.devices()) < n:
+                raise RuntimeError(
+                    f"{fname}: exported for {n} devices, "
+                    f"have {len(jax.devices())}")
+            mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
+            batch_sh = NamedSharding(mesh, P("data"))
+            repl_sh = NamedSharding(mesh, P())
+
+            def call(*args, _j=jitted, _n=n, _b=batch_sh, _r=repl_sh):
+                placed = [jax.device_put(
+                    a, _b if (getattr(a, "ndim", 0) > 1
+                              and a.shape[0] % _n == 0) else _r)
+                    for a in args]
+                return _j(*placed)
+
+            out[fname[:-len(SUFFIX)]] = call
+        else:
+            out[fname[:-len(SUFFIX)]] = jitted
     return out
 
 
@@ -258,7 +317,8 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                       platforms: Sequence[str] = ("cpu", "tpu"),
                       sample_batch: int = 16,
                       with_prior: bool = True,
-                      temperature: float = 1.0) -> Dict[str, Any]:
+                      temperature: float = 1.0,
+                      data_parallel: int = 1) -> Dict[str, Any]:
     """One-call checkpoint -> serving-artifact export (CLI entry).
 
     Auto-loads a trained prior next to the checkpoint (evaluate.py
@@ -272,6 +332,7 @@ def export_checkpoint(model_path: str, out_dir: str, *,
         prior = _find_prior(model_path, model, args)
     manifest = export_serving(
         model, params, bstats, out_dir, platforms=platforms,
+        data_parallel=data_parallel,
         manifest_extra={"arch": getattr(args, "arch", None),
                         "dataset": getattr(args, "dataset", None),
                         "input_size": input_size,

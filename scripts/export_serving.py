@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--no_prior", action="store_true",
                     help="skip prior auto-load (naive uniform-code sample)")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="export the image/code fns SPMD over an N-device "
+                         "data mesh (N devices must be visible)")
     args = ap.parse_args()
 
     from movae_tpu.serving import export_checkpoint
@@ -58,7 +61,7 @@ def main() -> None:
         args.model_path, args.out, arch=args.arch, data_dir=args.data_dir,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p),
         sample_batch=args.sample_batch, with_prior=not args.no_prior,
-        temperature=args.temperature)
+        temperature=args.temperature, data_parallel=args.data_parallel)
     print(json.dumps(manifest, indent=2, sort_keys=True))
     print(f"exported {len(manifest['functions'])} functions -> {args.out}")
 

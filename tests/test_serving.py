@@ -169,3 +169,41 @@ def test_hierarchical_prior_sample_export(tmp_path):
     want = np.asarray(model.apply({"params": params, "batch_stats": bs},
                                   ct, cb, method="decode_code"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_data_parallel_export_matches_unsharded(tmp_path):
+    """data_parallel=8: the image/code artifacts are SPMD over the 8-device
+    mesh (manifest nr_devices), accept plain host arrays through the
+    loader's placement wrapper, serve any multiple-of-8 batch via the
+    symbolic 8*b dim, and agree with the unsharded artifact exactly."""
+    model, params, bs = _tiny_vq()
+    plain_dir = str(tmp_path / "plain")
+    dp_dir = str(tmp_path / "dp")
+    export_serving(model, params, bs, plain_dir, platforms=("cpu",),
+                   sample_batch=2, image_batch=4, input_size=16)
+    man = export_serving(model, params, bs, dp_dir, platforms=("cpu",),
+                         data_parallel=8, sample_batch=2, image_batch=4,
+                         input_size=16)
+    for name in ("reconstruct", "encode_codes", "decode_codes"):
+        assert man["functions"][name]["nr_devices"] == 8, name
+        assert man["functions"][name]["symbolic_batch"], name
+    assert man["functions"]["sample"]["nr_devices"] == 1
+
+    plain = load_serving(plain_dir)
+    dp = load_serving(dp_dir)
+    for b in (8, 24):
+        x = np.random.default_rng(b).integers(
+            0, 256, (b, 16, 16, 3)).astype(np.uint8)
+        np.testing.assert_allclose(np.asarray(dp["reconstruct"](x)),
+                                   np.asarray(plain["reconstruct"](x)),
+                                   rtol=1e-5, atol=1e-6)
+        codes_dp = np.asarray(dp["encode_codes"](x))
+        np.testing.assert_array_equal(codes_dp,
+                                      np.asarray(plain["encode_codes"](x)))
+        np.testing.assert_allclose(np.asarray(dp["decode_codes"](codes_dp)),
+                                   np.asarray(plain["decode_codes"](codes_dp)),
+                                   rtol=1e-5, atol=1e-6)
+    key = jax.random.PRNGKey(2)
+    np.testing.assert_allclose(np.asarray(dp["sample"](key)),
+                               np.asarray(plain["sample"](key)),
+                               rtol=1e-5, atol=1e-6)
