@@ -86,67 +86,9 @@ def print_results_table(results: dict):
             print(f"{k:40s} {v}")
 
 
-def _find_prior(model_path: str, model, vq_args):
-    """Auto-load a trained prior living next to the model checkpoint
-    (<save_root>/<pixelcnn|pixelsnail>_prior/checkpoints/{best,final}_prior)
-    so gFID uses prior-driven sampling like the training pipeline; falls
-    back to None -> naive uniform-code sampling (reference evaluate.py:318)."""
-    import os
-
-    from movae_tpu.train import prior as prior_lib
-
-    arch = vq_args.arch.lower() if hasattr(vq_args, "arch") else ""
-    if not hasattr(model, "num_embeddings"):
-        return None
-    save_root = os.path.dirname(os.path.dirname(os.path.abspath(model_path)))
-    hier_arch = arch in ("vq_vae2", "gg_vq_vae2")
-    for prior_dir in ("pixelcnn_prior", "pixelsnail_prior"):
-        for name in ("best_prior", "final_prior"):
-            # a locally (re)trained orbax prior wins over a reference torch
-            # .pth of the same name — it is the fresher artifact
-            path = os.path.join(save_root, prior_dir, "checkpoints", name)
-            if os.path.exists(os.path.join(path, "meta.json")):
-                try:
-                    payload = ckpt_lib.load_checkpoint(path)
-                    merged = SimpleNamespace(**{
-                        **vars(vq_args), **(payload.get("prior_args") or {})})
-                    if "pixelsnail" in prior_dir:
-                        merged.prior_type = "pixelsnail"
-                    prior_model = prior_lib.build_prior(
-                        merged, model.num_embeddings, hier_arch,
-                        getattr(model, "embedding_dim", None))
-                    print(f"Using prior checkpoint {path} for generation")
-                    return {"model": prior_model,
-                            "params": payload["model_state_dict"]["params"],
-                            "hierarchical": hier_arch}
-                except Exception as e:  # pragma: no cover
-                    print(f"prior load failed ({path}): {e}")
-            # reference torch prior checkpoints live at the same relative
-            # paths with a .pth suffix (reference main.py:1039-1047) —
-            # import them on the fly (utils/torch_import.py)
-            torch_path = path + ".pth"
-            if os.path.isfile(torch_path):
-                try:
-                    from movae_tpu.utils.torch_import import (
-                        import_torch_state_dict, load_torch_state_dict,
-                        prior_from_state)
-
-                    state, _ = load_torch_state_dict(torch_path)
-                    p_arch = (("hierarchical_" if hier_arch else "")
-                              + ("pixelsnail" if "pixelsnail" in prior_dir
-                                 else "pixelcnn"))
-                    prior_model = prior_from_state(
-                        state, p_arch,
-                        num_heads=getattr(vq_args, "pixelsnail_num_heads",
-                                          8) or 8)
-                    p_params, _ = import_torch_state_dict(state, p_arch)
-                    print(f"Using torch prior checkpoint {torch_path} "
-                          "for generation")
-                    return {"model": prior_model, "params": p_params,
-                            "hierarchical": hier_arch}
-                except Exception as e:  # pragma: no cover
-                    print(f"torch prior load failed ({torch_path}): {e}")
-    return None
+# prior auto-load lives in the package (shared with the serving exporter);
+# the name is kept for callers of evaluate._find_prior
+from movae_tpu.train.prior import find_prior as _find_prior
 
 
 def evaluate(arch: str = None, dataset: str = None, model_path: str = None,

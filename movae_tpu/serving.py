@@ -212,7 +212,14 @@ def export_serving(model, params, batch_stats, out_dir: str, *,
     mesh = None
     if data_parallel > 1:
         from movae_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(num_data=data_parallel)
+        if len(jax.devices()) < data_parallel:
+            raise ValueError(
+                f"data_parallel={data_parallel} needs that many devices "
+                f"visible at export time, have {len(jax.devices())} "
+                f"(virtual CPU devices work: "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+        mesh = make_mesh(num_data=data_parallel,
+                         devices=jax.devices()[:data_parallel])
     fns = build_serving_fns(model, params, batch_stats, **build_kwargs)
     manifest: Dict[str, Any] = {
         "format": "jax.export", "jax_version": jax.__version__,
@@ -270,11 +277,19 @@ def load_serving(art_dir: str) -> Dict[str, Any]:
             batch_sh = NamedSharding(mesh, P("data"))
             repl_sh = NamedSharding(mesh, P())
 
-            def call(*args, _j=jitted, _n=n, _b=batch_sh, _r=repl_sh):
-                placed = [jax.device_put(
-                    a, _b if (getattr(a, "ndim", 0) > 1
-                              and a.shape[0] % _n == 0) else _r)
-                    for a in args]
+            def call(*args, _j=jitted, _n=n, _b=batch_sh, _r=repl_sh,
+                     _f=fname):
+                placed = []
+                for a in args:
+                    if getattr(a, "ndim", 0) > 1:
+                        if a.shape[0] % _n != 0:
+                            raise ValueError(
+                                f"{_f}: sharded artifact needs the batch "
+                                f"to be a multiple of {_n}, got "
+                                f"{a.shape[0]}")
+                        placed.append(jax.device_put(a, _b))
+                    else:  # keys / scalars replicate
+                        placed.append(jax.device_put(a, _r))
                 return _j(*placed)
 
             out[fname[:-len(SUFFIX)]] = call
@@ -288,8 +303,7 @@ def load_manifest(art_dir: str) -> Dict[str, Any]:
         return json.load(f)
 
 
-def _model_from_checkpoint(model_path: str, arch: Optional[str],
-                           data_dir: str):
+def _model_from_checkpoint(model_path: str, arch: Optional[str]):
     """Rebuild (model, params, batch_stats, args, input_size) from a saved
     checkpoint WITHOUT touching the dataset files (evaluate.py's loader
     builds the dataset; serving export must not need data on disk) —
@@ -302,8 +316,16 @@ def _model_from_checkpoint(model_path: str, arch: Optional[str],
 
     payload = ckpt_lib.load_checkpoint(model_path)
     args = SimpleNamespace(**(payload.get("args") or {}))
-    if arch:
-        args.arch = arch
+    if arch is not None:
+        # mismatches warn and the checkpoint wins — the saved weights only
+        # fit the saved arch (same policy as evaluate.py's loader,
+        # reference evaluate.py:48-59)
+        saved_arch = getattr(args, "arch", None)
+        if saved_arch is not None and saved_arch.lower() != arch.lower():
+            print(f"Warning: checkpoint arch ({saved_arch}) does not match "
+                  f"provided arch ({arch}); using the checkpoint arch.")
+        else:
+            args.arch = arch
     input_size = dataset_input_size(getattr(args, "dataset", "cifar10"))
     model = get_network(input_size, 3, args)
     sd = payload["model_state_dict"]
@@ -313,7 +335,6 @@ def _model_from_checkpoint(model_path: str, arch: Optional[str],
 
 def export_checkpoint(model_path: str, out_dir: str, *,
                       arch: Optional[str] = None,
-                      data_dir: str = "./data",
                       platforms: Sequence[str] = ("cpu", "tpu"),
                       sample_batch: int = 16,
                       with_prior: bool = True,
@@ -321,15 +342,15 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                       data_parallel: int = 1) -> Dict[str, Any]:
     """One-call checkpoint -> serving-artifact export (CLI entry).
 
-    Auto-loads a trained prior next to the checkpoint (evaluate.py
-    _find_prior) so ``sample`` is prior-driven like the training
-    pipeline's generation pass."""
+    Auto-loads a trained prior next to the checkpoint
+    (train.prior.find_prior) so ``sample`` is prior-driven like the
+    training pipeline's generation pass."""
     model, params, bstats, args, input_size = _model_from_checkpoint(
-        model_path, arch, data_dir)
+        model_path, arch)
     prior = None
     if with_prior and hasattr(model, "num_embeddings"):
-        from evaluate import _find_prior
-        prior = _find_prior(model_path, model, args)
+        from movae_tpu.train.prior import find_prior
+        prior = find_prior(model_path, model, args)
     manifest = export_serving(
         model, params, bstats, out_dir, platforms=platforms,
         data_parallel=data_parallel,

@@ -31,9 +31,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from movae_tpu.utils import enable_persistent_compilation_cache
+from movae_tpu.utils import (enable_persistent_compilation_cache,
+                             require_live_backend)
 
 enable_persistent_compilation_cache()
+require_live_backend()  # tunnel outages HANG backend init — probe first
 
 
 def main() -> None:
@@ -42,7 +44,6 @@ def main() -> None:
                     help="checkpoint dir (orbax) or reference .pth")
     ap.add_argument("--out", required=True, help="artifact output dir")
     ap.add_argument("--arch", default=None)
-    ap.add_argument("--data_dir", default="./data")
     ap.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering platforms")
     ap.add_argument("--sample_batch", type=int, default=16,
@@ -58,7 +59,7 @@ def main() -> None:
     from movae_tpu.serving import export_checkpoint
 
     manifest = export_checkpoint(
-        args.model_path, args.out, arch=args.arch, data_dir=args.data_dir,
+        args.model_path, args.out, arch=args.arch,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p),
         sample_batch=args.sample_batch, with_prior=not args.no_prior,
         temperature=args.temperature, data_parallel=args.data_parallel)

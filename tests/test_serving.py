@@ -207,3 +207,7 @@ def test_data_parallel_export_matches_unsharded(tmp_path):
     np.testing.assert_allclose(np.asarray(dp["sample"](key)),
                                np.asarray(plain["sample"](key)),
                                rtol=1e-5, atol=1e-6)
+    # non-multiple batches must fail with the real contract, not a
+    # symbolic-shape refinement error
+    with pytest.raises(ValueError, match="multiple of 8"):
+        dp["reconstruct"](np.zeros((12, 16, 16, 3), np.uint8))
