@@ -58,8 +58,7 @@ def build_serving_fns(model, params, batch_stats, *,
                       sample_batch: int = 16,
                       temperature: float = 1.0,
                       image_batch: int = 8,
-                      input_size: Optional[int] = None,
-                      compute_dtype=None) -> Dict[str, Tuple]:
+                      input_size: Optional[int] = None) -> Dict[str, Tuple]:
     """Pure inference callables (weights closed over) + example args.
 
     Returns ``{name: (fn, example_args, symbolic_batch_ok)}``:
@@ -84,11 +83,9 @@ def build_serving_fns(model, params, batch_stats, *,
     variables = {"params": params, "batch_stats": batch_stats or {}}
     size = int(input_size if input_size is not None
                else getattr(model, "input_size"))
-    cast = (lambda x: x.astype(compute_dtype)) if compute_dtype else (
-        lambda x: x)
 
     def reconstruct(x):
-        xf = cast(preprocess_batch(x, normalize_inputs))
+        xf = preprocess_batch(x, normalize_inputs)
         out = model.apply(variables, xf, train=False,
                           rngs={"sample": jax.random.PRNGKey(0),
                                 "dropout": jax.random.PRNGKey(0)})
@@ -102,7 +99,7 @@ def build_serving_fns(model, params, batch_stats, *,
     if is_vq:
         if hierarchical:
             def encode_codes(x):
-                xf = cast(preprocess_batch(x, normalize_inputs))
+                xf = preprocess_batch(x, normalize_inputs)
                 return model.apply(variables, xf,
                                    method="get_code_indices_pair")
 
@@ -116,7 +113,7 @@ def build_serving_fns(model, params, batch_stats, *,
                        jnp.zeros((image_batch, sb, sb), jnp.int32))
         else:
             def encode_codes(x):
-                xf = cast(preprocess_batch(x, normalize_inputs))
+                xf = preprocess_batch(x, normalize_inputs)
                 return model.apply(variables, xf, method="get_code_indices")
 
             def decode_codes(codes):
