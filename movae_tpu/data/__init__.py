@@ -60,7 +60,7 @@ class ArrayDataset:
             # stores 300px archives for a 256px model) — never skip it just
             # because the caller wants a deterministic batch (figure panels)
             rng = np.random.default_rng(0)
-        if self.random_resized_crop is None or rng is None:
+        if self.random_resized_crop is None:
             # fused native path: gather (+ f32 + normalize unless raw) + flip
             from movae_tpu.data import native
             flip_mask = None

@@ -205,7 +205,9 @@ def inception_score_from_probs(probs: np.ndarray, splits: int = 10):
     n = len(probs)
     scores = []
     for i in range(splits):
-        part = probs[i * n // splits: (i + 1) * n // splits]
+        # floor-size splits, tail REMAINDER DROPPED — bug-for-bug with the
+        # reference slicing i*(n//splits):(i+1)*(n//splits) (metrics.py:905)
+        part = probs[i * (n // splits): (i + 1) * (n // splits)]
         if len(part) == 0:
             continue
         py = part.mean(axis=0, keepdims=True)

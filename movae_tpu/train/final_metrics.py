@@ -134,7 +134,14 @@ def _generate_samples_impl(model, state, args, prior, rng, num: int,
     chunks = []
     n = 0
     while n < num:
-        b = min(batch, num - n)
+        need = min(batch, num - n)
+        # multi-chunk runs keep ONE static batch shape: a ragged tail
+        # chunk would compile a second per-pixel sampler program (minutes
+        # over a remote-compile path) and, not dividing the mesh 'data'
+        # axis, silently lose the sample-parallel sharding — generate a
+        # full batch and slice on the host instead. Single-chunk calls
+        # (figures: num <= batch) keep their exact size.
+        b = batch if num > batch else need
         rng, sub = jax.random.split(rng)
         if prior is not None:
             pm, pp = prior["model"], prior["params"]
@@ -154,16 +161,30 @@ def _generate_samples_impl(model, state, args, prior, rng, num: int,
         else:
             imgs = model.apply(variables, b, method="sample",
                                rngs={"sample": sub, "dropout": sub})
-        chunks.append(_gather_chunk(imgs))
-        n += b
+        chunks.append(_gather_chunk(imgs)[:need])
+        n += need
     return np.concatenate(chunks)[:num]
 
 
 def evaluate_generative_metrics(model, state, loader, args,
                                 prior: Optional[Dict[str, Any]], rng,
                                 max_samples: int = 10000) -> Dict[str, float]:
-    """gFID / IS / KID (main.py:695-887)."""
-    num = min(max_samples, getattr(args, "max_fid_samples", 10000))
+    """gFID / IS / KID (main.py:695-887).
+
+    The sample count is ``--max_gen_metrics_samples`` (main.py:721 — NOT
+    max_fid_samples, which only governs the recon-metrics pass), and real
+    vs generated sets are mutually truncated to min(n_real, n_fake)
+    before every metric (main.py:811-816). The 'precision'/'recall' keys
+    are always present as nan — the reference returns them but keeps the
+    computation commented out (main.py:845-846, 876-883)."""
+    num = min(max_samples, getattr(args, "max_gen_metrics_samples", 10000))
+    out: Dict[str, float] = {k: float("nan") for k in (
+        "gfid", "inception_score_mean", "inception_score_std",
+        "precision", "recall", "kid")}
+    if num <= 0:
+        print(f"Warning: max_gen_metrics_samples is {num}, skipping "
+              "generative metrics evaluation.")
+        return out
     # prior sampling is per-pixel-latency bound: px/s scales ~linearly with
     # batch (see bench.py --mode sampling), so generate at up to 256/batch
     fake = generate_samples(model, state, args, prior, rng, num,
@@ -176,7 +197,11 @@ def evaluate_generative_metrics(model, state, loader, args,
         if n >= len(fake):
             break
     real = np.concatenate(reals)[: len(fake)]
-    out: Dict[str, float] = {}
+    n = min(len(fake), len(real))
+    if n < num:
+        print(f"Warning: Only {n} samples available (requested {num}). "
+              f"Using {n} samples for metrics.")
+    fake, real = fake[:n], real[:n]
     try:
         rf = feat_lib.extract_inception_features(real)
         ff = feat_lib.extract_inception_features(fake)
@@ -184,17 +209,12 @@ def evaluate_generative_metrics(model, state, loader, args,
         out["kid"] = feat_lib.kid_from_features(rf, ff)
     except Exception as e:  # pragma: no cover
         print(f"gfid/kid failed: {e}")
-        out["gfid"] = out["kid"] = float("nan")
     try:
-        is_num = min(len(fake), getattr(args, "max_gen_metrics_samples",
-                                        10000))
-        is_mean, is_std = feat_lib.calculate_inception_score(fake[:is_num])
+        is_mean, is_std = feat_lib.calculate_inception_score(fake)
         out["inception_score_mean"] = is_mean
         out["inception_score_std"] = is_std
     except Exception as e:  # pragma: no cover
         print(f"inception score failed: {e}")
-        out["inception_score_mean"] = float("nan")
-        out["inception_score_std"] = float("nan")
     return out
 
 
@@ -220,5 +240,5 @@ def run_final_metrics(results: Dict[str, Any], args,
         max_samples=getattr(args, "max_fid_samples", 10000)))
     finals.update(evaluate_generative_metrics(
         model, state, loader, args, prior, gen_key,
-        max_samples=getattr(args, "max_fid_samples", 10000)))
+        max_samples=getattr(args, "max_gen_metrics_samples", 10000)))
     return finals

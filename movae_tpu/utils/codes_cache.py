@@ -34,12 +34,8 @@ def cache_key(arch: str, dataset: str, num_embeddings: int,
     key = hashlib.md5(s.encode()).hexdigest()[:12]
     # multi-host: each process sweeps only its loader slice, so its cache
     # holds a shard — key it as such rather than masquerading as the full set
-    try:
-        import jax
-        if jax.process_count() > 1:
-            key += f"_p{jax.process_index()}of{jax.process_count()}"
-    except Exception:  # pragma: no cover
-        pass
+    if jax.process_count() > 1:
+        key += f"_p{jax.process_index()}of{jax.process_count()}"
     return key
 
 
@@ -54,16 +50,27 @@ class CodeCache:
         return os.path.exists(self.meta_path)
 
     def write(self, levels: Dict[str, np.ndarray], meta: Optional[dict] = None):
+        """Atomic publish: concurrent same-key writers (two runner.py
+        subprocesses on the same arch/dataset) or a force_extract rewrite
+        under an existing meta.json must never expose torn arrays — each
+        file lands via pid-suffixed tmp + os.replace (the same pattern as
+        data._materialize_memmap), and meta.json (the exists() marker)
+        goes last."""
         os.makedirs(self.root, exist_ok=True)
         info = {"levels": {}, **(meta or {})}
         for name, arr in levels.items():
             arr = np.ascontiguousarray(arr, np.int32)
             path = os.path.join(self.root, f"{name}.npy")
-            np.save(path, arr)
+            # keep the .npy suffix on the tmp name or np.save appends one
+            tmp = os.path.join(self.root, f".{name}.{os.getpid()}.tmp.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, path)
             info["levels"][name] = {"shape": list(arr.shape)}
         info["__len__"] = int(next(iter(levels.values())).shape[0])
-        with open(self.meta_path, "w") as f:
+        tmp = f"{self.meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(info, f, indent=2)
+        os.replace(tmp, self.meta_path)
 
     def open(self) -> Dict[str, np.ndarray]:
         with open(self.meta_path) as f:

@@ -268,7 +268,8 @@ def run_post_prior_metrics(model, state, test_ds, merged, prior, rng, a,
                            logger):
     from movae_tpu.train.final_metrics import evaluate_generative_metrics
 
-    merged.max_fid_samples = a.max_gen_metrics_samples
+    # the CLI's count wins over whatever the checkpoint args echoed
+    merged.max_gen_metrics_samples = a.max_gen_metrics_samples
     test_loader = Loader(test_ds, a.batch_size, shuffle=False)
     rng, sub = jax.random.split(rng)
     finals = evaluate_generative_metrics(
