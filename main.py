@@ -181,6 +181,12 @@ def build_parser() -> ArgumentParser:
                              "device dispatch (lax.scan) — lifts the "
                              "dispatch-latency floor at small per-chip "
                              "batch sizes; 1 = off")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="gradient accumulation: average gradients over "
+                             "this many microbatches (each runs the full "
+                             "multi-objective aggregation) before ONE "
+                             "optimizer update — large effective batches at "
+                             "256px; composes with --remat/--fsdp; 1 = off")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize forward activations in the "
                              "backward pass (large-image configs: trades "

@@ -113,7 +113,8 @@ def _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb):
 def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 objective_names, log_every: int = 1,
                 timer: Optional[StepTimer] = None,
-                scan_fn=None, scan_k: int = 1, stop_check=None):
+                scan_fn=None, scan_k: int = 1, stop_check=None,
+                accum_fn=None, accum_k: int = 1):
     """One epoch of the hot loop (reference train_epoch, main.py:125-235).
 
     ``stop_check`` (optional, single-host only): polled between step
@@ -182,6 +183,7 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
     if timer is not None:
         timer.start()
     scan_buf = []  # full-size host batches awaiting one fused dispatch
+    accum_buf = []  # microbatches awaiting one grad-accumulation update
     last_metrics = None  # device dict of the most recent step (epoch barrier)
 
     def run_single(imgs, n_valid):
@@ -196,6 +198,28 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         # updates its AverageMeters per batch); log_every only gates the
         # per-step logger records inside drain_one
         pending.append((step, n_valid, metrics))
+
+    def run_accum_buf(force=False):
+        """Dispatch A buffered microbatches as ONE gradient-accumulation
+        update (make_train_step(grad_accum=A)); leftovers at epoch end run
+        as independent single-batch updates (a documented smaller effective
+        batch for the ragged tail)."""
+        nonlocal state, rng, step, n_images, last_metrics
+        if len(accum_buf) == accum_k:
+            stacked = parallel.shard_batch_stacked(
+                np.stack([b for b, _ in accum_buf]))
+            rng, sub = jax.random.split(rng)
+            state, mets = accum_fn(state, stacked, sub)
+            last_metrics = mets
+            step += 1  # A microbatches = ONE optimizer step
+            nv = sum(n for _, n in accum_buf)
+            n_images += nv
+            pending.append((step, nv, mets))
+            accum_buf.clear()
+        elif force:
+            for b, nv in accum_buf:
+                run_single(b, nv)
+            accum_buf.clear()
 
     def run_scan_buf(force=False):
         """Dispatch k buffered batches as ONE fused k-step program
@@ -225,7 +249,12 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         # shard; with nd > 1 shards up to nd-1 wrap duplicates remain in
         # the kept rows — see _trim_tail)
         imgs, _gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
-        if (scan_fn is not None and scan_k > 1
+        if (accum_fn is not None and accum_k > 1
+                and len(imgs) == loader.batch_size
+                and n_valid == loader.batch_size):
+            accum_buf.append((np.asarray(imgs), n_valid))
+            run_accum_buf()
+        elif (scan_fn is not None and scan_k > 1
                 and len(imgs) == loader.batch_size
                 and n_valid == loader.batch_size):
             scan_buf.append((np.asarray(imgs), n_valid))
@@ -233,12 +262,14 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         else:
             # trimmed/ragged tail keeps the single-step path (its own jit
             # specialization, as before)
+            run_accum_buf(force=True)
             run_scan_buf(force=True)
             run_single(imgs, n_valid)
         if len(pending) >= FETCH_GROUP:
             flush(pending)
         if stop_check is not None and stop_check():
             break
+    run_accum_buf(force=True)
     run_scan_buf(force=True)
     if pending:
         flush(pending)
@@ -359,6 +390,16 @@ def run_training(args) -> Dict[str, Any]:
         setattr(args, f"{name}_weight", w)
 
     steps_per_epoch = len(train_loader)
+    # gradient accumulation: A loader microbatches per optimizer update, so
+    # every step-counted cadence (lr schedule, comfort beta, nashmtl
+    # update-every) runs on OPTIMIZER steps per epoch
+    accum_k = int(getattr(args, "grad_accum", 1) or 1)
+    if accum_k > 1:
+        if int(getattr(args, "steps_per_dispatch", 1) or 1) > 1:
+            raise ValueError(
+                "--grad_accum and --steps_per_dispatch are mutually "
+                "exclusive (an accumulation group is already one dispatch)")
+        steps_per_epoch = max(1, steps_per_epoch // accum_k)
     sched = lr_schedule(args.lr, getattr(args, "scheduler", None), args.epochs,
                         steps_per_epoch,
                         lr_min=getattr(args, "scheduler_lr_min", 0.0),
@@ -424,6 +465,14 @@ def run_training(args) -> Dict[str, Any]:
     scan_k = int(getattr(args, "steps_per_dispatch", 1) or 1)
     scan_fn = (jax.jit(make_scanned_train_step(raw_step, scan_k),
                        donate_argnums=(0,)) if scan_k > 1 else None)
+    # gradient accumulation (see make_train_step grad_accum); the plain
+    # train_step handles ragged tails as independent updates
+    accum_fn = (jax.jit(
+        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
+                        normalize_inputs=normalize,
+                        remat=getattr(args, "remat", False),
+                        grad_accum=accum_k),
+        donate_argnums=(0,)) if accum_k > 1 else None)
     eval_fn = jax.jit(make_eval_step(model, normalize_inputs=normalize))
 
     step = 0
@@ -503,7 +552,8 @@ def run_training(args) -> Dict[str, Any]:
         state, meters, step, rng = train_epoch(
             train_step, state, train_loader, parallel, rng, step, logger,
             model.objective_names, log_every=log_every, timer=timer,
-            scan_fn=scan_fn, scan_k=scan_k, stop_check=stop_check)
+            scan_fn=scan_fn, scan_k=scan_k, stop_check=stop_check,
+            accum_fn=accum_fn, accum_k=accum_k)
         train_losses.append({k: v.avg for k, v in meters.items()})
 
         if guard.globally_triggered():

@@ -322,7 +322,12 @@ def _train_prior_impl(results: Dict[str, Any], args
         params = prior.init({"params": rng, "dropout": rng}, z,
                             train=False)["params"]
 
-    sched = optax.cosine_decay_schedule(lr, epochs * max(len(loader), 1),
+    # --grad_accum A: A code microbatches per optimizer update (same flag +
+    # semantics as the VQ stage, train/step.py make_train_step grad_accum) —
+    # the cosine horizon counts OPTIMIZER steps
+    accum_k = int(getattr(args, "grad_accum", 1) or 1)
+    opt_steps_per_epoch = -(-max(len(loader), 1) // accum_k)
+    sched = optax.cosine_decay_schedule(lr, epochs * opt_steps_per_epoch,
                                         alpha=1e-6 / lr)
     wd = getattr(args, "pixelcnn_weight_decay", 0.0) or 0.0
     tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -381,7 +386,7 @@ def _train_prior_impl(results: Dict[str, Any], args
         if is_main:
             ckpt_lib.save_checkpoint(last_prior_path, payload)
 
-    def _step(params, opt_state, batch, rng):
+    def _grads(params, batch, rng):
         def loss_fn(p):
             if use_pp:
                 out = (pp_loss(p, batch["top"], batch["bottom"], rng)
@@ -397,7 +402,11 @@ def _train_prior_impl(results: Dict[str, Any], args
                                   rngs={"dropout": rng})
             return out["total_loss"], out
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, out
+
+    def _step(params, opt_state, batch, rng):
+        grads, out = _grads(params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, out
@@ -412,6 +421,33 @@ def _train_prior_impl(results: Dict[str, Any], args
     # (same flag + mechanics as the VQ stage, train/step.py
     # make_scanned_train_step)
     scan_k = int(getattr(args, "steps_per_dispatch", 1) or 1)
+    if accum_k > 1 and scan_k > 1:
+        # (also raised by run_training for the VQ stage; the standalone
+        # prior trainers reach here directly)
+        raise ValueError(
+            "--grad_accum and --steps_per_dispatch are mutually exclusive "
+            "(an accumulation group is already one dispatch)")
+    if accum_k > 1:
+        _inv = 1.0 / accum_k
+
+        def _accum(params, opt_state, batches, rng):
+            keys = jax.random.split(rng, accum_k)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def body(acc, xs):
+                b, kk = xs
+                grads, out = _grads(params, b, kk)
+                acc = jax.tree_util.tree_map(
+                    lambda a, g: a + _inv * g.astype(a.dtype), acc, grads)
+                return acc, out
+
+            acc, outs = jax.lax.scan(body, zeros, (batches, keys))
+            updates, opt_state = tx.update(acc, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            out = jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), outs)
+            return params, opt_state, out
+
+        accum_step = jax.jit(_accum, donate_argnums=(0, 1))
     if scan_k > 1:
         def _scan(params, opt_state, batches, rng):
             keys = jax.random.split(rng, scan_k)
@@ -442,6 +478,7 @@ def _train_prior_impl(results: Dict[str, Any], args
         meter = AverageMeter()
         pending = []  # delayed host fetches (overlap device compute)
         scan_buf = []
+        accum_buf = []
 
         def flush():
             for out, ws in pending:
@@ -470,6 +507,30 @@ def _train_prior_impl(results: Dict[str, Any], args
                     pending.append((out, [w]))
                 scan_buf.clear()
 
+        def dispatch_accum(force=False):
+            # A microbatches -> ONE optimizer update; the scanned out dict
+            # is the microbatch MEAN, weighted by the group's total images
+            # (exact when the group's per-batch weights are equal — ragged
+            # leftovers at epoch end run as independent single steps)
+            nonlocal params, opt_state, rng
+            if len(accum_buf) == accum_k:
+                stacked = {k: parallel.shard_batch_stacked(
+                    np.stack([b[k] for b, _ in accum_buf]))
+                    for k in accum_buf[0][0]}
+                rng, sub = jax.random.split(rng)
+                params, opt_state, out = accum_step(params, opt_state,
+                                                    stacked, sub)
+                pending.append((out, [sum(w for _, w in accum_buf)]))
+                accum_buf.clear()
+            elif force:
+                for b, w in accum_buf:
+                    batch = {k: parallel.shard_batch(v) for k, v in b.items()}
+                    rng, sub = jax.random.split(rng)
+                    p, o, out = step(params, opt_state, batch, sub)
+                    params, opt_state = p, o
+                    pending.append((out, [w]))
+                accum_buf.clear()
+
         for bi, (batch_np, n_valid) in enumerate(loader):
             if pc > 1 and n_global:
                 # host-INVARIANT weight from the global counts: per-host
@@ -479,7 +540,10 @@ def _train_prior_impl(results: Dict[str, Any], args
                 w = max(1, min(batch_size, n_global - bi * batch_size)) / pc
             else:
                 w = n_valid
-            if scan_k > 1:
+            if accum_k > 1:
+                accum_buf.append((batch_np, w))
+                dispatch_accum()
+            elif scan_k > 1:
                 scan_buf.append((batch_np, w))
                 dispatch_buf()
             else:
@@ -492,6 +556,7 @@ def _train_prior_impl(results: Dict[str, Any], args
                 flush()
             if stop_check is not None and stop_check():
                 break
+        dispatch_accum(force=True)
         dispatch_buf(force=True)
         flush()
         if guard.globally_triggered():

@@ -81,11 +81,21 @@ def make_train_step(
     normalize_inputs: bool = False,
     guard_nonfinite: bool = True,
     remat: bool = False,
+    grad_accum: int = 1,
 ):
     """Build the (un-jitted) train step for ``model`` under ``agg_cfg``.
 
     Callers jit it themselves (optionally with shardings — see
     movae_tpu.parallel.mesh).
+
+    ``grad_accum > 1`` returns an ACCUMULATING step ``(state, batches, rng)``
+    over a ``(A, B, ...)`` stack of A microbatches: each microbatch runs the
+    full multi-objective machinery (its own Gramian + alpha — the semantics
+    a torchjd user stepping every A batches would get; the reference itself
+    has no accumulation, main.py:125-235), gradients are averaged across the
+    A microbatches inside one ``lax.scan`` dispatch, and ONE optimizer
+    update is applied. This is the memory lever for large effective batches
+    at 256px (composes with --remat/--fsdp); metrics are microbatch means.
     """
     m = len(model.objective_names)
     if agg_cfg.is_sum:
@@ -111,12 +121,14 @@ def make_train_step(
             apply_losses, static_argnums=(),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
-    def train_step(state: TrainState, batch: Array, rng: Array
-                   ) -> Tuple[TrainState, Dict[str, Array]]:
+    def compute_grads(params, bs, agg_state, step_ctr, batch: Array,
+                      rng: Array):
+        """One microbatch: forward + per-objective grads + aggregation.
+        Returns ``(grads, new_bs, new_agg_state, metrics)`` without touching
+        the optimizer — shared by the plain and accumulating steps."""
         x = preprocess_batch(batch, normalize_inputs)
         rng, agg_key = jax.random.split(rng)
         rngs = _rngs(rng)
-        params, bs = state.params, state.batch_stats
 
         if mode == "sum":
             def loss_fn(p):
@@ -129,7 +141,7 @@ def make_train_step(
                 loss_fn, has_aux=True)(params)
             alpha = jnp.ones((m,), jnp.float32)
             similarity = jnp.asarray(1.0, jnp.float32)
-            new_agg_state = state.agg_state
+            new_agg_state = agg_state
 
         elif mode == "full":
             def loss_tuple_fn(p):
@@ -144,9 +156,9 @@ def make_train_step(
             loss_vec, (loss_dict, outputs, new_bs), J, G = engine.full_jacobian(
                 loss_tuple_fn, params, m)
             beta = agg_lib.comfort_beta(
-                agg_cfg, state.step // steps_per_epoch + 1, total_epochs)
+                agg_cfg, step_ctr // steps_per_epoch + 1, total_epochs)
             alpha, new_agg_state = agg_lib.compute_weights(
-                agg_cfg, G, loss_vec, agg_key, state.agg_state, beta)
+                agg_cfg, G, loss_vec, agg_key, agg_state, beta)
             grads = engine.combine(J, alpha)
             similarity = agg_lib.gradient_similarity(G, alpha)
 
@@ -184,15 +196,27 @@ def make_train_step(
             _, trunk_bs = fj.trunk_aux
             new_bs = _merge_collections(bs, trunk_bs, heads_bs)
             beta = agg_lib.comfort_beta(
-                agg_cfg, state.step // steps_per_epoch + 1, total_epochs)
+                agg_cfg, step_ctr // steps_per_epoch + 1, total_epochs)
             alpha, new_agg_state = agg_lib.compute_weights(
-                agg_cfg, fj.G, loss_vec, agg_key, state.agg_state, beta)
+                agg_cfg, fj.G, loss_vec, agg_key, agg_state, beta)
             grads = fj.grads(alpha)
             similarity = agg_lib.gradient_similarity(fj.G, alpha)
 
         if mode != "feature":
             new_bs = _merge_collections(bs, new_bs)
 
+        metrics = {k: loss_dict[k] for k in model.objective_names}
+        metrics["total_loss"] = loss_dict["total_loss"]
+        for i in range(m):
+            metrics[f"task_{i}_weight"] = alpha[i]
+        metrics["gradient_similarity"] = similarity
+        usage = _codebook_usage(outputs, num_embeddings)
+        if usage is not None:
+            metrics["codebook_usage_percentage"] = usage
+        return grads, new_bs, new_agg_state, metrics
+
+    def finish(state, grads, new_bs, new_agg_state, metrics, losses_ok):
+        """Apply ONE optimizer update from (possibly accumulated) grads."""
         new_state = state.replace(
             batch_stats=new_bs, agg_state=new_agg_state
         ).apply_gradients(grads)
@@ -201,25 +225,54 @@ def make_train_step(
             # TPU-native equivalent of the reference's catch-and-skip-batch
             # fault handling (main.py:197-208): a non-finite loss or gradient
             # leaves the entire train state untouched for this step.
-            ok = jnp.isfinite(loss_dict["total_loss"])
+            ok = losses_ok
             for leaf in jax.tree_util.tree_leaves(grads):
                 ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
             new_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), new_state, state)
-
-        metrics = {k: loss_dict[k] for k in model.objective_names}
-        if guard_nonfinite:
             metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
-        metrics["total_loss"] = loss_dict["total_loss"]
-        for i in range(m):
-            metrics[f"task_{i}_weight"] = alpha[i]
-        metrics["gradient_similarity"] = similarity
-        usage = _codebook_usage(outputs, num_embeddings)
-        if usage is not None:
-            metrics["codebook_usage_percentage"] = usage
         return new_state, metrics
 
-    return train_step
+    if grad_accum <= 1:
+        def train_step(state: TrainState, batch: Array, rng: Array
+                       ) -> Tuple[TrainState, Dict[str, Array]]:
+            grads, new_bs, new_agg_state, metrics = compute_grads(
+                state.params, state.batch_stats, state.agg_state, state.step,
+                batch, rng)
+            return finish(state, grads, new_bs, new_agg_state, metrics,
+                          jnp.isfinite(metrics["total_loss"]))
+
+        return train_step
+
+    inv = 1.0 / grad_accum
+
+    def accum_step(state: TrainState, batches: Array, rng: Array
+                   ) -> Tuple[TrainState, Dict[str, Array]]:
+        """A microbatches -> averaged grads -> one update (see docstring)."""
+        keys = jax.random.split(rng, grad_accum)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            bs_c, agg_c, acc, ok = carry
+            xb, kb = xs
+            # params and the step counter stay at the update's starting
+            # values; batch_stats/agg_state advance sequentially through
+            # the microbatches (the semantics of A independent torch steps)
+            grads, new_bs, new_agg, mets = compute_grads(
+                state.params, bs_c, agg_c, state.step, xb, kb)
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + inv * g.astype(a.dtype), acc, grads)
+            ok = jnp.logical_and(ok, jnp.isfinite(mets["total_loss"]))
+            return (new_bs, new_agg, acc, ok), mets
+
+        carry0 = (state.batch_stats, state.agg_state, zeros,
+                  jnp.asarray(True))
+        (new_bs, new_agg, acc, ok), mets = jax.lax.scan(
+            body, carry0, (batches, keys))
+        metrics = jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), mets)
+        return finish(state, acc, new_bs, new_agg, metrics, ok)
+
+    return accum_step
 
 
 def make_scanned_train_step(step_fn, k: int):
