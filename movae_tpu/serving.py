@@ -52,13 +52,64 @@ def _spec(x) -> Dict[str, Any]:
     return {"shape": [str(d) for d in x.shape], "dtype": str(x.dtype)}
 
 
+def quantize_params(params, exclude: Sequence[str] = ("embedding",)):
+    """Weight-only symmetric int8 quantization of a params pytree.
+
+    Every leaf with ndim >= 2 whose path avoids ``exclude`` substrings is
+    replaced by ``{"_q8": int8, "_scale": float32}`` with a per-OUTPUT-
+    channel scale (max-abs over all axes but the last — flax Dense/Conv/
+    ConvTranspose kernels all put output features last). Biases, norm
+    parameters and 1-D leaves stay float. The VQ codebook ("embedding") is
+    excluded by default: its values drive the discrete nearest-code argmin,
+    where quantization error would flip code assignments rather than add
+    bounded output noise.
+
+    The reference has no quantized deployment path at all (torch f32
+    checkpoints, SURVEY §1); this is a serving-side extension: artifacts
+    shrink ~4x and weight HBM traffic drops for weight-bound inference.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, w in flat.items():
+        name = "/".join(str(p) for p in path)
+        w = jnp.asarray(w)
+        if w.ndim < 2 or any(e in name for e in exclude):
+            out[path] = w
+            continue
+        axes = tuple(range(w.ndim - 1))
+        s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axes,
+                    keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q8 = jnp.clip(jnp.round(w.astype(jnp.float32) / s),
+                      -127, 127).astype(jnp.int8)
+        out[path] = {"_q8": q8, "_scale": s}
+    return traverse_util.unflatten_dict(out)
+
+
+def _is_qleaf(n) -> bool:
+    return isinstance(n, dict) and "_q8" in n
+
+
+def dequantize_params(qparams):
+    """Inverse of :func:`quantize_params`: ``W ~= q8 * scale`` per leaf.
+    Called INSIDE the traced serving functions so the int8 arrays are the
+    captured artifact constants and the dequant runs in-graph."""
+    return jax.tree_util.tree_map(
+        lambda n: (n["_q8"].astype(jnp.float32) * n["_scale"]
+                   if _is_qleaf(n) else n),
+        qparams, is_leaf=_is_qleaf)
+
+
 def build_serving_fns(model, params, batch_stats, *,
                       normalize_inputs: bool = False,
                       prior: Optional[Dict[str, Any]] = None,
                       sample_batch: int = 16,
                       temperature: float = 1.0,
                       image_batch: int = 8,
-                      input_size: Optional[int] = None) -> Dict[str, Tuple]:
+                      input_size: Optional[int] = None,
+                      quantize: Optional[str] = None) -> Dict[str, Tuple]:
     """Pure inference callables (weights closed over) + example args.
 
     Returns ``{name: (fn, example_args, symbolic_batch_ok)}``:
@@ -79,14 +130,35 @@ def build_serving_fns(model, params, batch_stats, *,
     ``symbolic_batch_ok`` marks functions whose leading axis may be
     exported symbolically (everything except ``sample``: the
     autoregressive pixel loops and ``num_samples`` are static).
+
+    ``quantize="int8"`` exports weight-only int8 artifacts: the model's
+    >=2-D kernels are stored as int8 + per-output-channel scales
+    (:func:`quantize_params`) and dequantized in-graph, so the artifact
+    constants — and the weights resident in HBM — are a quarter the size.
+    Prior params stay float (the autoregressive argmax chain compounds
+    error; the prior is a training-side artifact anyway).
     """
-    variables = {"params": params, "batch_stats": batch_stats or {}}
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unsupported quantize={quantize!r} "
+                             f"(only 'int8')")
+        qparams = quantize_params(params)
+
+        def _vars():
+            # dequant must trace INSIDE each exported fn so the artifact
+            # captures the int8 tensors as its constants
+            return {"params": dequantize_params(qparams),
+                    "batch_stats": batch_stats or {}}
+    else:
+        def _vars():
+            return {"params": params, "batch_stats": batch_stats or {}}
+
     size = int(input_size if input_size is not None
                else getattr(model, "input_size"))
 
     def reconstruct(x):
         xf = preprocess_batch(x, normalize_inputs)
-        out = model.apply(variables, xf, train=False,
+        out = model.apply(_vars(), xf, train=False,
                           rngs={"sample": jax.random.PRNGKey(0),
                                 "dropout": jax.random.PRNGKey(0)})
         return out["recons"].astype(jnp.float32)
@@ -100,11 +172,11 @@ def build_serving_fns(model, params, batch_stats, *,
         if hierarchical:
             def encode_codes(x):
                 xf = preprocess_batch(x, normalize_inputs)
-                return model.apply(variables, xf,
+                return model.apply(_vars(), xf,
                                    method="get_code_indices_pair")
 
             def decode_codes(code_t, code_b):
-                return model.apply(variables, code_t, code_b,
+                return model.apply(_vars(), code_t, code_b,
                                    method="decode_code").astype(jnp.float32)
 
             st = model.latent_spatial_dim_top
@@ -114,10 +186,10 @@ def build_serving_fns(model, params, batch_stats, *,
         else:
             def encode_codes(x):
                 xf = preprocess_batch(x, normalize_inputs)
-                return model.apply(variables, xf, method="get_code_indices")
+                return model.apply(_vars(), xf, method="get_code_indices")
 
             def decode_codes(codes):
-                return model.apply(variables, codes,
+                return model.apply(_vars(), codes,
                                    method="decode_code").astype(jnp.float32)
 
             s = model.latent_spatial_dim
@@ -137,18 +209,18 @@ def build_serving_fns(model, params, batch_stats, *,
                     (model.latent_spatial_dim_top,) * 2,
                     (model.latent_spatial_dim_bottom,) * 2,
                     temperature=temperature)
-                return model.apply(variables, z_top, z_bottom,
+                return model.apply(_vars(), z_top, z_bottom,
                                    method="decode_code").astype(jnp.float32)
         else:
             def sample(key):
                 s = model.latent_spatial_dim
                 codes = sample_prior(pm, pp, key, sample_batch, s, s,
                                      temperature=temperature)
-                return model.apply(variables, codes,
+                return model.apply(_vars(), codes,
                                    method="decode_code").astype(jnp.float32)
     else:
         def sample(key):
-            return model.apply(variables, sample_batch, method="sample",
+            return model.apply(_vars(), sample_batch, method="sample",
                                rngs={"sample": key, "dropout": key}
                                ).astype(jnp.float32)
 
@@ -220,7 +292,8 @@ def export_serving(model, params, batch_stats, out_dir: str, *,
     fns = build_serving_fns(model, params, batch_stats, **build_kwargs)
     manifest: Dict[str, Any] = {
         "format": "jax.export", "jax_version": jax.__version__,
-        "platforms": list(platforms), "functions": {}}
+        "platforms": list(platforms),
+        "quantize": build_kwargs.get("quantize"), "functions": {}}
     manifest.update(manifest_extra or {})
     for name, (fn, example, sym) in fns.items():
         fn_mesh = mesh if sym else None  # sample() stays single-device
@@ -336,7 +409,8 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                       sample_batch: int = 16,
                       with_prior: bool = True,
                       temperature: float = 1.0,
-                      data_parallel: int = 1) -> Dict[str, Any]:
+                      data_parallel: int = 1,
+                      quantize: Optional[str] = None) -> Dict[str, Any]:
     """One-call checkpoint -> serving-artifact export (CLI entry).
 
     Auto-loads a trained prior next to the checkpoint
@@ -359,5 +433,5 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                         "source_checkpoint": os.path.abspath(model_path)},
         normalize_inputs=bool(getattr(args, "normalize_inputs", False)),
         prior=prior, sample_batch=sample_batch, temperature=temperature,
-        input_size=input_size)
+        input_size=input_size, quantize=quantize)
     return manifest

@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--data_parallel", type=int, default=1,
                     help="export the image/code fns SPMD over an N-device "
                          "data mesh (N devices must be visible)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only int8 artifacts: kernels stored as "
+                         "int8 + per-output-channel scales, dequantized "
+                         "in-graph (~4x smaller; VQ codebook stays float)")
     args = ap.parse_args()
 
     from movae_tpu.serving import export_checkpoint
@@ -62,7 +66,8 @@ def main() -> None:
         args.model_path, args.out, arch=args.arch,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p),
         sample_batch=args.sample_batch, with_prior=not args.no_prior,
-        temperature=args.temperature, data_parallel=args.data_parallel)
+        temperature=args.temperature, data_parallel=args.data_parallel,
+        quantize=args.quantize)
     print(json.dumps(manifest, indent=2, sort_keys=True))
     print(f"exported {len(manifest['functions'])} functions -> {args.out}")
 

@@ -211,3 +211,59 @@ def test_data_parallel_export_matches_unsharded(tmp_path):
     # symbolic-shape refinement error
     with pytest.raises(ValueError, match="multiple of 8"):
         dp["reconstruct"](np.zeros((12, 16, 16, 3), np.uint8))
+
+
+def test_int8_quantized_export(tmp_path):
+    """--quantize int8: kernels stored as int8 + per-output-channel scales,
+    dequantized in-graph — artifacts shrink ~4x, outputs stay close, the
+    VQ codebook stays float (its argmin decides discrete codes)."""
+    from flax import traverse_util
+
+    from movae_tpu.serving import dequantize_params, quantize_params
+
+    args = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                hidden_dims=(32, 64), num_residual_layers=1, batch_size=8,
+                dataset_size=64, latent_dim=16)
+    model = get_network(32, 3, args)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 32, 3,
+                            batch_size=2)
+
+    q = quantize_params(params)
+    qpaths = {"/".join(map(str, p)) for p
+              in traverse_util.flatten_dict(q) if p[-1] == "_q8"}
+    assert qpaths  # conv/dense kernels quantized
+    assert not any("embedding" in p for p in qpaths)  # codebook float
+    # rounding bound: |W - deq(W)| <= scale/2 per output channel
+    dq = dequantize_params(q)
+    errs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params, dq))
+    assert max(errs) < 0.01
+
+    d_f = str(tmp_path / "f32")
+    d_q = str(tmp_path / "int8")
+    man_f = export_serving(model, params, bs, d_f, platforms=("cpu",),
+                           sample_batch=2, image_batch=4, input_size=32)
+    man_q = export_serving(model, params, bs, d_q, platforms=("cpu",),
+                           sample_batch=2, image_batch=4, input_size=32,
+                           quantize="int8")
+    assert man_q["quantize"] == "int8" and man_f["quantize"] is None
+    ratio = (man_q["functions"]["reconstruct"]["bytes"]
+             / man_f["functions"]["reconstruct"]["bytes"])
+    assert ratio < 0.5, ratio  # int8 constants dominate the artifact
+
+    f_f, f_q = load_serving(d_f), load_serving(d_q)
+    x = np.random.default_rng(0).integers(
+        0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    r_f = np.asarray(f_f["reconstruct"](x))
+    r_q = np.asarray(f_q["reconstruct"](x))
+    assert np.abs(r_f - r_q).max() < 0.02
+    s = model.latent_spatial_dim
+    codes = np.random.default_rng(1).integers(
+        0, 32, (4, s, s)).astype(np.int32)
+    d_out_f = np.asarray(f_f["decode_codes"](codes))
+    d_out_q = np.asarray(f_q["decode_codes"](codes))
+    assert np.abs(d_out_f - d_out_q).max() < 0.02
+
+    with pytest.raises(ValueError, match="quantize"):
+        export_serving(model, params, bs, str(tmp_path / "bad"),
+                       platforms=("cpu",), input_size=32, quantize="int4")
