@@ -248,15 +248,16 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         # torch batch, main.py:125-235, exactly when the data axis has one
         # shard; with nd > 1 shards up to nd-1 wrap duplicates remain in
         # the kept rows — see _trim_tail)
-        imgs, _gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
-        if (accum_fn is not None and accum_k > 1
-                and len(imgs) == loader.batch_size
-                and n_valid == loader.batch_size):
+        imgs, gv = _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb)
+        # buffer only GLOBALLY full batches, judged by the host-invariant
+        # global valid count gv (per-host n_valid can differ by one on the
+        # tail under multi-host sharding — hosts branching differently
+        # would enter mismatched collective programs and deadlock)
+        full = len(imgs) == loader.batch_size and gv == gb
+        if accum_fn is not None and accum_k > 1 and full:
             accum_buf.append((np.asarray(imgs), n_valid))
             run_accum_buf()
-        elif (scan_fn is not None and scan_k > 1
-                and len(imgs) == loader.batch_size
-                and n_valid == loader.batch_size):
+        elif scan_fn is not None and scan_k > 1 and full:
             scan_buf.append((np.asarray(imgs), n_valid))
             run_scan_buf()
         else:
@@ -390,16 +391,21 @@ def run_training(args) -> Dict[str, Any]:
         setattr(args, f"{name}_weight", w)
 
     steps_per_epoch = len(train_loader)
+    batches_per_epoch = steps_per_epoch  # loader batches == aggregations
     # gradient accumulation: A loader microbatches per optimizer update, so
-    # every step-counted cadence (lr schedule, comfort beta, nashmtl
-    # update-every) runs on OPTIMIZER steps per epoch
+    # every step-counted cadence (lr schedule, comfort beta) runs on
+    # OPTIMIZER steps per epoch: full batches accumulate in groups of A;
+    # leftover full batches and the ragged global tail run as independent
+    # single updates (train_epoch run_accum_buf)
     accum_k = int(getattr(args, "grad_accum", 1) or 1)
     if accum_k > 1:
         if int(getattr(args, "steps_per_dispatch", 1) or 1) > 1:
             raise ValueError(
                 "--grad_accum and --steps_per_dispatch are mutually "
                 "exclusive (an accumulation group is already one dispatch)")
-        steps_per_epoch = max(1, steps_per_epoch // accum_k)
+        n_full = min(len(train_ds) // batch_size, steps_per_epoch)
+        steps_per_epoch = max(1, n_full // accum_k + n_full % accum_k
+                              + (steps_per_epoch - n_full))
     sched = lr_schedule(args.lr, getattr(args, "scheduler", None), args.epochs,
                         steps_per_epoch,
                         lr_min=getattr(args, "scheduler_lr_min", 0.0),
@@ -416,9 +422,13 @@ def run_training(args) -> Dict[str, Any]:
             and not getattr(args, "nashmtl_update_every", None)):
         # reference default: recompute Nash weights once per epoch
         # (update_weights_every=len(train_loader), main.py:1230-1235); an
-        # explicit args value wins
+        # explicit args value wins. The counter advances once per GRADIENT
+        # AGGREGATION (the reference's per-batch counting) — under
+        # --grad_accum that is once per microbatch, so the per-epoch
+        # default is the loader batch count, not the optimizer-step count
         agg_cfg = AggregatorConfig(
-            **{**agg_cfg.__dict__, "nashmtl_update_every": steps_per_epoch})
+            **{**agg_cfg.__dict__,
+               "nashmtl_update_every": batches_per_epoch})
     args.aggregator = agg_cfg.name
 
     # placement: params sharded over the 'model' axis when

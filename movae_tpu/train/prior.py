@@ -324,9 +324,17 @@ def _train_prior_impl(results: Dict[str, Any], args
 
     # --grad_accum A: A code microbatches per optimizer update (same flag +
     # semantics as the VQ stage, train/step.py make_train_step grad_accum) —
-    # the cosine horizon counts OPTIMIZER steps
+    # the cosine horizon counts OPTIMIZER steps: fully-valid batches
+    # accumulate in groups of A, leftover full batches and the ragged tail
+    # run as independent single updates (dispatch_accum below)
     accum_k = int(getattr(args, "grad_accum", 1) or 1)
-    opt_steps_per_epoch = -(-max(len(loader), 1) // accum_k)
+    n_batches = max(len(loader), 1)
+    if pc > 1:
+        n_full = min(n_batches, n_global // batch_size)
+    else:
+        n_full = min(n_batches, loader.n // local_bs)
+    opt_steps_per_epoch = max(1, n_full // accum_k + n_full % accum_k
+                              + (n_batches - n_full))
     sched = optax.cosine_decay_schedule(lr, epochs * opt_steps_per_epoch,
                                         alpha=1e-6 / lr)
     wd = getattr(args, "pixelcnn_weight_decay", 0.0) or 0.0
@@ -473,7 +481,11 @@ def _train_prior_impl(results: Dict[str, Any], args
     best_params = _host_params(params)
     meter = AverageMeter()  # pre-bound so --pixelcnn_epochs 0 still
     meter.update(float("nan"))  # writes a (loss-less) final checkpoint
-    n_global = int(getattr(args, "dataset_size", 0) or 0)
+    if pc == 1:
+        n_global = int(getattr(args, "dataset_size", 0) or 0)
+    # (pc > 1: n_global stays the allgathered global code count computed
+    # above — args.dataset_size can be a guessed echo on checkpoint-restored
+    # runs and must not drive the host-invariant tail weights)
     for epoch in range(start_epoch, epochs + 1):
         meter = AverageMeter()
         pending = []  # delayed host fetches (overlap device compute)
@@ -508,10 +520,10 @@ def _train_prior_impl(results: Dict[str, Any], args
                 scan_buf.clear()
 
         def dispatch_accum(force=False):
-            # A microbatches -> ONE optimizer update; the scanned out dict
-            # is the microbatch MEAN, weighted by the group's total images
-            # (exact when the group's per-batch weights are equal — ragged
-            # leftovers at epoch end run as independent single steps)
+            # A fully-valid microbatches -> ONE optimizer update; the
+            # scanned out dict is the microbatch MEAN, weighted by the
+            # group's total images (exact: only equal-weight full batches
+            # are buffered; ragged batches run as independent single steps)
             nonlocal params, opt_state, rng
             if len(accum_buf) == accum_k:
                 stacked = {k: parallel.shard_batch_stacked(
@@ -540,9 +552,21 @@ def _train_prior_impl(results: Dict[str, Any], args
                 w = max(1, min(batch_size, n_global - bi * batch_size)) / pc
             else:
                 w = n_valid
-            if accum_k > 1:
+            if accum_k > 1 and w == local_bs:
+                # only fully-valid batches join an accumulation group (w is
+                # host-invariant: derived from global counts under
+                # multi-host); the ragged tail takes the single-step path
+                # in dispatch_accum(force=True) at epoch end
                 accum_buf.append((batch_np, w))
                 dispatch_accum()
+            elif accum_k > 1:
+                # ragged batch mid-stream: flush the group, run it singly
+                dispatch_accum(force=True)
+                batch = {k: parallel.shard_batch(v)
+                         for k, v in batch_np.items()}
+                rng, sub = jax.random.split(rng)
+                params, opt_state, out = step(params, opt_state, batch, sub)
+                pending.append((out, [w]))
             elif scan_k > 1:
                 scan_buf.append((batch_np, w))
                 dispatch_buf()

@@ -19,9 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from movae_tpu.utils import enable_persistent_compilation_cache
+from movae_tpu.utils import (enable_persistent_compilation_cache,
+                             require_live_backend)
 
 enable_persistent_compilation_cache()
+require_live_backend()  # tunnel outages HANG backend init — probe first
 
 import jax
 import jax.numpy as jnp
