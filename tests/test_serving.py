@@ -267,3 +267,72 @@ def test_int8_quantized_export(tmp_path):
     with pytest.raises(ValueError, match="quantize"):
         export_serving(model, params, bs, str(tmp_path / "bad"),
                        platforms=("cpu",), input_size=32, quantize="int4")
+
+
+def test_http_artifact_server(tmp_path):
+    """scripts/serve_artifacts.py: the exported artifact dir serves over
+    HTTP with .npy bodies — health, manifest, reconstruct, encode/decode,
+    sample, and a clean 400 on contract violations."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "serve_artifacts", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "serve_artifacts.py"))
+    sa = ilu.module_from_spec(spec)
+    spec.loader.exec_module(sa)
+
+    model, params, bs = _tiny_vq()
+    art = str(tmp_path / "art")
+    export_serving(model, params, bs, art, platforms=("cpu",),
+                   sample_batch=2, image_batch=4, input_size=16)
+    httpd = sa.serve(art, "127.0.0.1", 0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=30) as r:
+            return r.read()
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.read()
+
+    try:
+        h = json.loads(get("/healthz"))
+        assert h["ok"] and "reconstruct" in h["functions"]
+        assert json.loads(get("/manifest"))["functions"]
+
+        x = np.random.default_rng(0).integers(
+            0, 256, (2, 16, 16, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        recon = np.load(io.BytesIO(post("/reconstruct", buf.getvalue())))
+        assert recon.shape == (2, 16, 16, 3) and np.isfinite(recon).all()
+
+        codes = np.load(io.BytesIO(post("/encode_codes", buf.getvalue())))
+        cbuf = io.BytesIO()
+        np.save(cbuf, codes)
+        dec = np.load(io.BytesIO(post("/decode_codes", cbuf.getvalue())))
+        assert dec.shape == (2, 16, 16, 3)
+
+        s = np.load(io.BytesIO(post("/sample?seed=3")))
+        assert s.shape[0] == 2 and np.isfinite(np.asarray(s)).all()
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/nosuchfn", b"")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/reconstruct", b"not-an-npy")
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
