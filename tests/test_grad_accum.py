@@ -192,3 +192,32 @@ def test_run_training_and_prior_with_accum(tmp_path):
     args.steps_per_dispatch = 2
     with pytest.raises(ValueError, match="mutually exclusive"):
         run_training(args)
+
+
+def test_accum_composes_with_fsdp():
+    """--grad_accum under fsdp/ZeRO-3 placement is a pure layout change:
+    identical numerics to the unsharded accumulating step on the 8-device
+    mesh (the accumulator zeros_like inherits the param sharding)."""
+    from movae_tpu.parallel.mesh import DataParallel, make_mesh
+
+    a = 2
+    model, state, accum_fn = build("upgrad", grad_accum=a)
+    batches = microbatches(a, n=8, seed=7)
+    rng = jax.random.PRNGKey(1)
+    s1, m1 = accum_fn(state, batches, rng)
+
+    parallel = DataParallel(make_mesh(num_data=8), fsdp=True)
+    _, state_d, accum_raw = build("upgrad", grad_accum=a)
+    sp = parallel.shard_params(state_d.params, min_elems=0)
+    state_d = state_d.replace(
+        params=sp,
+        opt_state=state_d.tx.init(sp),
+        batch_stats=parallel.replicate(state_d.batch_stats),
+        agg_state=parallel.replicate(state_d.agg_state))
+    with parallel.mesh:
+        s2, m2 = accum_raw(state_d, parallel.shard_batch_stacked(
+            np.asarray(batches)), rng)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for x, y in zip(_leaves(s1.params), _leaves(s2.params)):
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-6)
