@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Interleaved A/B: PixelSNAIL KV-cache dtype (f32 vs bf16) in the
-incremental-cache sampler, plus PixelCNN before/after structural fusions.
+"""Interleaved A/B: PixelSNAIL KV-cache dtype (f32 vs bf16 vs int8 +
+per-row scales) in the incremental-cache sampler.
 
 The per-pixel PixelSNAIL step is HBM-bound on reading the full static-L
 KV caches (masked attention still reads all L keys): at bs 256, L=256,
@@ -52,6 +52,7 @@ def main():
         "f32-seg1": (jnp.float32, 1),
         "bf16-seg1": (jnp.bfloat16, 1),
         "bf16-seg4": (jnp.bfloat16, 4),
+        "int8-seg4": (jnp.int8, 4),
     }
     arms = {}
     rng = jax.random.PRNGKey(1)
@@ -81,7 +82,9 @@ def main():
           f"{med['f32-seg1']/med['bf16-seg1']:.3f}x")
     print(f"speedup bf16-seg4 vs bf16-seg1: "
           f"{med['bf16-seg1']/med['bf16-seg4']:.3f}x")
-    print(f"total vs f32-seg1: {med['f32-seg1']/med['bf16-seg4']:.3f}x")
+    print(f"speedup int8-seg4 vs bf16-seg4: "
+          f"{med['bf16-seg4']/med['int8-seg4']:.3f}x")
+    print(f"total vs f32-seg1: {med['f32-seg1']/med['int8-seg4']:.3f}x")
 
 
 if __name__ == "__main__":

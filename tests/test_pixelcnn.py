@@ -150,6 +150,27 @@ def test_fast_snail_bf16_cache_samples_agree():
     assert match >= 0.7, f"bf16 KV cache diverged: match fraction {match}"
 
 
+def test_fast_snail_int8_cache_samples_agree():
+    """cache_dtype=int8 (quarter the KV HBM traffic: int8 rows + per-row
+    max-abs scales that factor out of both attention einsums) must agree
+    with the bitwise-exact f32 cache on small grids — per-row int8 noise
+    (~0.4% relative) is comparable to bf16 rounding."""
+    model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
+                       num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
+                       dropout=0.0)
+    x = jnp.zeros((4, 5, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    rng = jax.random.PRNGKey(11)
+    s_f32 = sample_fast_snail(model, params, rng, 4, 5, 5,
+                              cache_dtype=jnp.float32)
+    s_i8 = sample_fast_snail(model, params, rng, 4, 5, 5,
+                             cache_dtype=jnp.int8)
+    a, b = np.asarray(s_f32), np.asarray(s_i8)
+    assert (b >= 0).all() and (b < K).all()
+    match = float((a == b).mean())
+    assert match >= 0.7, f"int8 KV cache diverged: match fraction {match}"
+
+
 def test_pixelcnn_loss():
     model, params = make_pixelcnn()
     x = jnp.asarray(np.random.default_rng(0).integers(0, K, (2, 6, 6)),
