@@ -816,13 +816,17 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
 
     ``cache_dtype=jnp.int8`` halves the cache bytes again: each (k_t, v_t)
     row is stored as int8 with its own per-(batch, head) max-abs scale
-    (f32 side cache, +hd/4 relative overhead). The per-ROW scales factor
-    out of both attention einsums — ``logits_j = (q . k8_j) * s^k_j`` and
-    ``attn = sum_j (p_j * s^v_j) v8_j`` — so the matmuls run on
-    int8-loaded rows widened in-register (int8 -> bf16 is exact: |q8| <=
-    127 fits bf16's 8-bit mantissa) and HBM sees only int8 + one scale
-    per row. Quantization noise is ~0.4% relative per row (comparable to
-    bf16 rounding); codes match the f32 path on small grids (tested).
+    (f32 side cache: one 4-byte scale per hd-byte row, +4/hd relative
+    overhead). The per-ROW scales factor out of both attention einsums —
+    ``logits_j = (q . k8_j) * s^k_j`` and ``attn = sum_j (p_j * s^v_j)
+    v8_j`` — so the cached rows can stream from HBM as int8 and widen to
+    bf16 in-register (exact: |k8| <= 127 fits bf16's 8-bit mantissa; the
+    query takes the same lossy f32->bf16 cast as the default bf16 arm),
+    PROVIDED XLA fuses the widening astype into the einsum operand load —
+    verify with the snail_sampler_ab int8-seg4 arm before promoting this
+    beyond opt-in. Quantization noise is ~0.4% relative per row
+    (comparable to bf16 rounding); sampled codes agreed exactly with the
+    f32 path in the 5x5 check (the test enforces >= 0.7 agreement).
     """
     p = params
     K = model.num_embeddings
