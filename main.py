@@ -191,6 +191,13 @@ def build_parser() -> ArgumentParser:
                         help="rematerialize forward activations in the "
                              "backward pass (large-image configs: trades "
                              "FLOPs for HBM)")
+    parser.add_argument("--device_data", action="store_true",
+                        help="park the whole uint8 train set in HBM "
+                             "(sharded over the data axis) and assemble "
+                             "batches with an in-jit gather + flip — "
+                             "removes steady-state host->device batch "
+                             "traffic (data/device.py; CIFAR=150MB, "
+                             "CelebA-HQ-256=5.9GB, both fit a v5e chip)")
     return parser
 
 

@@ -110,29 +110,28 @@ def _trim_tail(imgs, i, n_valid, nd, pc, n_ds, gb):
     return imgs, gv
 
 
-def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
-                objective_names, log_every: int = 1,
-                timer: Optional[StepTimer] = None,
-                scan_fn=None, scan_k: int = 1, stop_check=None,
-                accum_fn=None, accum_k: int = 1):
-    """One epoch of the hot loop (reference train_epoch, main.py:125-235).
+class _MetricPump:
+    """Pipelined metric bookkeeping shared by the host-loader and
+    device-data epoch drivers.
 
-    ``stop_check`` (optional, single-host only): polled between step
-    dispatches; when it returns True the epoch breaks early after the
-    in-flight work is flushed (preemption — utils/preemption.py). The
-    caller decides what to save; partial-epoch meters are still returned.
+    Device metric dicts are queued and pulled to the host in groups of
+    ``FETCH_GROUP`` steps with one batched transfer (the reference calls
+    ``.item()`` on every loss every batch — a forced device sync each
+    step), so logging overlaps device compute and costs ~1 transfer
+    round-trip per group instead of per metric."""
 
-    Metric host-fetches are pipelined: device metric dicts are queued and
-    pulled to the host in groups of ``FETCH_GROUP`` steps with one batched
-    transfer (the reference calls ``.item()`` on every loss every batch — a
-    forced device sync each step), so logging overlaps device compute and
-    costs ~1 transfer round-trip per group instead of per metric.
-    """
-    meters = {k: AverageMeter() for k in
-              list(objective_names) + ["total_loss"]}
-    usage_meter = AverageMeter()
+    FETCH_GROUP = 8
 
-    def drain_one(p_step, p_valid, host):
+    def __init__(self, objective_names, logger, log_every: int):
+        self.meters = {k: AverageMeter() for k in
+                       list(objective_names) + ["total_loss"]}
+        self.usage_meter = AverageMeter()
+        self.logger = logger
+        self.log_every = log_every
+        self.pending = []
+
+    def _drain_one(self, p_step, p_valid, host):
+        meters, usage_meter = self.meters, self.usage_meter
         if host.get("skipped_nonfinite"):
             # the update was skipped in-graph; keep the NaN/inf losses out of
             # the epoch meters too (the reference excludes skipped batches)
@@ -145,8 +144,9 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             usage_meter.update(host["codebook_usage_percentage"], n=p_valid)
         if host["total_loss"] > 1e15:
             print(f"Step {p_step}: EXPLODING: total={host['total_loss']:.6e}")
-        if not (log_every and p_step % log_every == 0):
+        if not (self.log_every and p_step % self.log_every == 0):
             return  # meters updated; per-step wandb record skipped
+        logger = self.logger
         if logger is not None and logger.active:
             log = {f"train/{k}": m.avg for k, m in meters.items()}
             log.update({f"train/{k}_curr": m.val for k, m in meters.items()})
@@ -158,17 +158,44 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
                 log["train/codebook_usage_percentage"] = usage_meter.avg
             logger.log(log, step=p_step)
 
-    def flush(pending):
-        if not pending:
+    def push(self, p_step: int, p_valid: int, metrics) -> None:
+        self.pending.append((p_step, p_valid, metrics))
+
+    @property
+    def due(self) -> bool:
+        return len(self.pending) >= self.FETCH_GROUP
+
+    def flush(self) -> None:
+        if not self.pending:
             return
         # one batched transfer for the whole group of metric dicts
-        fetched = jax.device_get([m for _, _, m in pending])
-        for (p_step, p_valid, _), m in zip(pending, fetched):
-            drain_one(p_step, p_valid, {k: float(v) for k, v in m.items()})
-        pending.clear()
+        fetched = jax.device_get([m for _, _, m in self.pending])
+        for (p_step, p_valid, _), m in zip(self.pending, fetched):
+            self._drain_one(p_step, p_valid,
+                            {k: float(v) for k, v in m.items()})
+        self.pending.clear()
 
-    FETCH_GROUP = 8
-    pending = []
+    def final_meters(self):
+        if self.usage_meter.count > 0:
+            self.meters["codebook_usage_percentage"] = self.usage_meter
+        return self.meters
+
+
+def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
+                objective_names, log_every: int = 1,
+                timer: Optional[StepTimer] = None,
+                scan_fn=None, scan_k: int = 1, stop_check=None,
+                accum_fn=None, accum_k: int = 1):
+    """One epoch of the hot loop (reference train_epoch, main.py:125-235).
+
+    ``stop_check`` (optional, single-host only): polled between step
+    dispatches; when it returns True the epoch breaks early after the
+    in-flight work is flushed (preemption — utils/preemption.py). The
+    caller decides what to save; partial-epoch meters are still returned.
+
+    Metric host-fetches are pipelined (see :class:`_MetricPump`).
+    """
+    pump = _MetricPump(objective_names, logger, log_every)
     n_images = 0
     nd = parallel.mesh.shape["data"]
     # tail math must follow the loader's OWN sharding (an unsharded loader
@@ -197,7 +224,7 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         # every step feeds the epoch meters (reference main.py:216-229
         # updates its AverageMeters per batch); log_every only gates the
         # per-step logger records inside drain_one
-        pending.append((step, n_valid, metrics))
+        pump.push(step, n_valid, metrics)
 
     def run_accum_buf(force=False):
         """Dispatch A buffered microbatches as ONE gradient-accumulation
@@ -214,7 +241,7 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             step += 1  # A microbatches = ONE optimizer step
             nv = sum(n for _, n in accum_buf)
             n_images += nv
-            pending.append((step, nv, mets))
+            pump.push(step, nv, mets)
             accum_buf.clear()
         elif force:
             for b, nv in accum_buf:
@@ -234,8 +261,8 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             for j, (_, nv) in enumerate(scan_buf):
                 step += 1
                 n_images += nv
-                pending.append((step, nv, jax.tree_util.tree_map(
-                    lambda m, j=j: m[j], mets)))
+                pump.push(step, nv, jax.tree_util.tree_map(
+                    lambda m, j=j: m[j], mets))
             scan_buf.clear()
         elif force:
             for b, nv in scan_buf:
@@ -266,14 +293,13 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
             run_accum_buf(force=True)
             run_scan_buf(force=True)
             run_single(imgs, n_valid)
-        if len(pending) >= FETCH_GROUP:
-            flush(pending)
+        if pump.due:
+            pump.flush()
         if stop_check is not None and stop_check():
             break
     run_accum_buf(force=True)
     run_scan_buf(force=True)
-    if pending:
-        flush(pending)
+    pump.flush()
     if timer is not None and n_images:
         # epoch-end barrier on the FINAL step (flushed fetches may lag it
         # when log_every > 1). A host fetch, not block_until_ready: on the
@@ -281,9 +307,89 @@ def train_epoch(step_fn, state, loader, parallel, rng, step, logger,
         ml = last_metrics["total_loss"]
         float(ml if getattr(ml, "ndim", 0) == 0 else ml[-1])
         timer.stop(n_images)
-    if usage_meter.count > 0:
-        meters["codebook_usage_percentage"] = usage_meter
-    return state, meters, step, rng
+    return state, pump.final_meters(), step, rng
+
+
+def train_epoch_device(dd, fed_step, state, parallel, rng, step, logger,
+                       objective_names, epoch_index: int,
+                       log_every: int = 1,
+                       timer: Optional[StepTimer] = None,
+                       fed_scan=None, scan_k: int = 1, stop_check=None,
+                       fed_accum=None, accum_k: int = 1, host_step=None):
+    """One epoch over a device-resident dataset (``--device_data``,
+    data/device.py): every full batch is assembled ON-DEVICE by the fed
+    step's gather (steady-state host->device traffic = the int32 index
+    block), and epoch leftovers run through the ordinary host path so
+    every image still trains once per epoch (reference ragged-tail
+    semantics, main.py:125-235).
+
+    ``fed_step``/``fed_scan``/``fed_accum`` are jitted
+    ``(state, images, idx, rng)`` programs built by
+    ``data.device.make_device_fed`` over the plain / scanned /
+    accumulating raw steps; ``host_step`` is the plain host-batch step
+    used for the tail."""
+    pump = _MetricPump(objective_names, logger, log_every)
+    n_images = 0
+    last_metrics = None
+    idx_local, tail_ids = dd.epoch_plan(epoch_index)
+    if timer is not None:
+        timer.start()
+    group = (accum_k if (fed_accum is not None and accum_k > 1) else
+             (scan_k if (fed_scan is not None and scan_k > 1) else 1))
+    stopped = False
+    t = 0
+    while t < dd.steps and not stopped:
+        take = group if t + group <= dd.steps else 1  # leftovers run singly
+        rng, sub = jax.random.split(rng)
+        if take > 1:
+            idx_dev = dd.put_idx(idx_local[t:t + take], stacked=True)
+            if fed_accum is not None and accum_k > 1:
+                state, mets = fed_accum(state, dd.images_dev, idx_dev, sub)
+                step += 1  # A microbatches = ONE optimizer step
+                nv = take * (dd.B // dd.pc)
+                n_images += nv
+                pump.push(step, nv, mets)
+            else:
+                state, mets = fed_scan(state, dd.images_dev, idx_dev, sub)
+                for j in range(take):
+                    step += 1
+                    n_images += dd.B // dd.pc
+                    pump.push(step, dd.B // dd.pc, jax.tree_util.tree_map(
+                        lambda m, j=j: m[j], mets))
+        else:
+            idx_dev = dd.put_idx(idx_local[t], stacked=False)
+            state, mets = fed_step(state, dd.images_dev, idx_dev, sub)
+            step += 1
+            n_images += dd.B // dd.pc
+            pump.push(step, dd.B // dd.pc, mets)
+        last_metrics = mets
+        t += take
+        if pump.due:
+            pump.flush()
+        if stop_check is not None and stop_check():
+            stopped = True
+    if not stopped and len(tail_ids):
+        host_rng = np.random.default_rng((dd.seed, epoch_index, 1 << 20))
+        for imgs, n_valid in dd.tail_batches(tail_ids, host_rng):
+            batch = parallel.shard_batch(imgs)
+            rng, sub = jax.random.split(rng)
+            state, mets = host_step(state, batch, sub)
+            last_metrics = mets
+            step += 1
+            n_images += n_valid
+            pump.push(step, n_valid, mets)
+            if pump.due:
+                pump.flush()
+            if stop_check is not None and stop_check():
+                break
+    pump.flush()
+    if timer is not None and n_images:
+        # epoch-end barrier on the final step via a host fetch (see
+        # train_epoch: block_until_ready can return early on axon)
+        ml = last_metrics["total_loss"]
+        float(ml if getattr(ml, "ndim", 0) == 0 else ml[-1])
+        timer.stop(n_images)
+    return state, pump.final_meters(), step, rng
 
 
 def evaluate(eval_fn, state, loader, parallel, rng, objective_names):
@@ -390,22 +496,33 @@ def run_training(args) -> Dict[str, Any]:
     for name, w in dict(model.lambda_weights).items():
         setattr(args, f"{name}_weight", w)
 
-    steps_per_epoch = len(train_loader)
-    batches_per_epoch = steps_per_epoch  # loader batches == aggregations
-    # gradient accumulation: A loader microbatches per optimizer update, so
-    # every step-counted cadence (lr schedule, comfort beta) runs on
-    # OPTIMIZER steps per epoch: full batches accumulate in groups of A;
-    # leftover full batches and the ragged global tail run as independent
-    # single updates (train_epoch run_accum_buf)
     accum_k = int(getattr(args, "grad_accum", 1) or 1)
-    if accum_k > 1:
-        if int(getattr(args, "steps_per_dispatch", 1) or 1) > 1:
-            raise ValueError(
-                "--grad_accum and --steps_per_dispatch are mutually "
-                "exclusive (an accumulation group is already one dispatch)")
-        n_full = min(len(train_ds) // batch_size, steps_per_epoch)
-        steps_per_epoch = max(1, n_full // accum_k + n_full % accum_k
-                              + (steps_per_epoch - n_full))
+    if accum_k > 1 and int(getattr(args, "steps_per_dispatch", 1) or 1) > 1:
+        raise ValueError(
+            "--grad_accum and --steps_per_dispatch are mutually "
+            "exclusive (an accumulation group is already one dispatch)")
+    # device-resident training data (data/device.py): the full uint8 train
+    # set lives in HBM sharded over 'data'; batches are gathered in-jit
+    dd = None
+    if getattr(args, "device_data", False):
+        from movae_tpu.data.device import DeviceData
+        dd = DeviceData(train_ds, parallel, batch_size,
+                        seed=getattr(args, "seed", 0) or 0)
+    if dd is not None:
+        steps_per_epoch = dd.optimizer_steps_per_epoch(accum_k)
+        batches_per_epoch = dd.steps + dd.tail_steps  # gradient aggregations
+    else:
+        steps_per_epoch = len(train_loader)
+        batches_per_epoch = steps_per_epoch  # loader batches == aggregations
+        # gradient accumulation: A loader microbatches per optimizer update,
+        # so every step-counted cadence (lr schedule, comfort beta) runs on
+        # OPTIMIZER steps per epoch: full batches accumulate in groups of A;
+        # leftover full batches and the ragged global tail run as
+        # independent single updates (train_epoch run_accum_buf)
+        if accum_k > 1:
+            n_full = min(len(train_ds) // batch_size, steps_per_epoch)
+            steps_per_epoch = max(1, n_full // accum_k + n_full % accum_k
+                                  + (steps_per_epoch - n_full))
     sched = lr_schedule(args.lr, getattr(args, "scheduler", None), args.epochs,
                         steps_per_epoch,
                         lr_min=getattr(args, "scheduler_lr_min", 0.0),
@@ -473,17 +590,36 @@ def run_training(args) -> Dict[str, Any]:
     # fused k-step dispatch for small per-chip batches (see
     # make_scanned_train_step); 1 = off
     scan_k = int(getattr(args, "steps_per_dispatch", 1) or 1)
-    scan_fn = (jax.jit(make_scanned_train_step(raw_step, scan_k),
-                       donate_argnums=(0,)) if scan_k > 1 else None)
+    raw_scan = (make_scanned_train_step(raw_step, scan_k)
+                if scan_k > 1 else None)
+    scan_fn = (jax.jit(raw_scan, donate_argnums=(0,))
+               if raw_scan is not None else None)
     # gradient accumulation (see make_train_step grad_accum); the plain
     # train_step handles ragged tails as independent updates
-    accum_fn = (jax.jit(
-        make_train_step(model, agg_cfg, args.epochs, steps_per_epoch,
-                        normalize_inputs=normalize,
-                        remat=getattr(args, "remat", False),
-                        grad_accum=accum_k),
-        donate_argnums=(0,)) if accum_k > 1 else None)
+    raw_accum = (make_train_step(model, agg_cfg, args.epochs,
+                                 steps_per_epoch,
+                                 normalize_inputs=normalize,
+                                 remat=getattr(args, "remat", False),
+                                 grad_accum=accum_k)
+                 if accum_k > 1 else None)
+    accum_fn = (jax.jit(raw_accum, donate_argnums=(0,))
+                if raw_accum is not None else None)
     eval_fn = jax.jit(make_eval_step(model, normalize_inputs=normalize))
+    # device-data fed variants: gather + in-jit flip around the SAME raw
+    # steps (the image store is arg 1, never donated)
+    fed_step = fed_scan = fed_accum = None
+    if dd is not None:
+        from movae_tpu.data.device import make_device_fed
+        fed_step = jax.jit(make_device_fed(raw_step, parallel.mesh, dd.flip),
+                           donate_argnums=(0,))
+        if raw_scan is not None:
+            fed_scan = jax.jit(
+                make_device_fed(raw_scan, parallel.mesh, dd.flip),
+                donate_argnums=(0,))
+        if raw_accum is not None:
+            fed_accum = jax.jit(
+                make_device_fed(raw_accum, parallel.mesh, dd.flip),
+                donate_argnums=(0,))
 
     step = 0
     timer = StepTimer()
@@ -559,11 +695,19 @@ def run_training(args) -> Dict[str, Any]:
                 payload)
 
     for epoch in range(start_epoch, args.epochs + 1):
-        state, meters, step, rng = train_epoch(
-            train_step, state, train_loader, parallel, rng, step, logger,
-            model.objective_names, log_every=log_every, timer=timer,
-            scan_fn=scan_fn, scan_k=scan_k, stop_check=stop_check,
-            accum_fn=accum_fn, accum_k=accum_k)
+        if dd is not None:
+            state, meters, step, rng = train_epoch_device(
+                dd, fed_step, state, parallel, rng, step, logger,
+                model.objective_names, epoch_index=epoch,
+                log_every=log_every, timer=timer,
+                fed_scan=fed_scan, scan_k=scan_k, stop_check=stop_check,
+                fed_accum=fed_accum, accum_k=accum_k, host_step=train_step)
+        else:
+            state, meters, step, rng = train_epoch(
+                train_step, state, train_loader, parallel, rng, step, logger,
+                model.objective_names, log_every=log_every, timer=timer,
+                scan_fn=scan_fn, scan_k=scan_k, stop_check=stop_check,
+                accum_fn=accum_fn, accum_k=accum_k)
         train_losses.append({k: v.avg for k, v in meters.items()})
 
         if guard.globally_triggered():

@@ -82,6 +82,23 @@ def test_vq_train_step_hlo_is_scatter_free():
     hlo = jax.jit(step).lower(state, x, jax.random.PRNGKey(1)).as_text()
     assert "scatter" not in hlo
 
+    # the device-data fed wrapper (gather + in-jit flip around the same
+    # step, data/device.py) must not reintroduce one either
+    from movae_tpu.data.device import make_device_fed
+    from movae_tpu.parallel.mesh import DataParallel
+
+    parallel = DataParallel()
+    nd = parallel.mesh.shape["data"]
+    images = jax.device_put(
+        jnp.zeros((8 * nd, 16, 16, 3), jnp.uint8),
+        parallel.batch_sharding)
+    idx = jax.device_put(jnp.zeros((8,), jnp.int32),
+                         parallel.batch_sharding)
+    fed = make_device_fed(step, parallel.mesh, flip=True)
+    hlo2 = jax.jit(fed).lower(state, images, idx,
+                              jax.random.PRNGKey(1)).as_text()
+    assert "scatter" not in hlo2
+
 
 def test_gather_embed_matches_nn_embed():
     """GatherEmbed is a drop-in for nn.Embed: same param tree, identical
