@@ -65,6 +65,10 @@ def main():
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--kv_cache_dtype", type=str, default="int8",
+                   choices=["f32", "bf16", "int8"],
+                   help="PixelSNAIL sampler KV-cache dtype (int8 = measured "
+                   "fastest, f32 = bitwise naive equality)")
     p.add_argument("--out_dir", "--output_dir", type=str,
                    default="generated_samples",
                    help="output directory (reference spelling: --output_dir)")

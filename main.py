@@ -127,6 +127,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pixelcnn_num_layers", type=int, default=15)
     parser.add_argument("--pixelcnn_lr", type=float, default=3e-4)
     parser.add_argument("--pixelcnn_temperature", type=float, default=1.0)
+    parser.add_argument("--kv_cache_dtype", type=str, default="int8",
+                        choices=["f32", "bf16", "int8"],
+                        help="PixelSNAIL sampler KV-cache dtype (int8 = "
+                        "measured fastest, f32 = bitwise naive equality)")
     parser.add_argument("--pixelsnail_num_blocks", type=int, default=8)
     parser.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     parser.add_argument("--pixelsnail_num_heads", type=int, default=8)

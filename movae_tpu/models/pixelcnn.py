@@ -40,8 +40,15 @@ DENSE_ATTENTION_MAX_L = 1024
 # segments, each compiled with a static KV-prefix length covering only the
 # pixels it contains — mean KV-cache read traffic (the sampler's bottleneck)
 # drops to ~(1 + 1/n)/2 of the full-L reads at the cost of n compiled loop
-# bodies. 4 ≈ 37.5% less traffic; diminishing returns beyond ~8.
-SNAIL_KV_SEGMENTS = 4
+# bodies. Measured on v5e (bs 256, 16x16, 8 blocks, interleaved medians):
+# bf16 S=1/4/8/16 -> 392k/475k/534k/546k px/s; int8 S=4/8/16 ->
+# 617k/697k/710k px/s. 8 is the knee (S=16 buys <2% for 2x the compiles).
+SNAIL_KV_SEGMENTS = 8
+
+# CLI spelling -> KV-cache dtype (--kv_cache_dtype). int8 is the measured
+# production default; f32 is the bitwise naive-equality configuration.
+KV_CACHE_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": jnp.int8}
 
 
 class GatherEmbed(nn.Module):
@@ -795,7 +802,7 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
                       height: int, width: int,
                       condition: Optional[Array] = None,
                       temperature: float = 1.0,
-                      cache_dtype: Any = jnp.bfloat16) -> Array:
+                      cache_dtype: Any = jnp.int8) -> Array:
     """Incremental-cache raster sampler for PixelSNAIL.
 
     Same design as :func:`sample_fast` (per-pixel neighborhood slices of
@@ -808,25 +815,28 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
     The per-pixel step is HBM-bound on the KV-cache reads: the causal mask
     hides keys > t but the static-shape einsum still reads all L of them,
     so at bs 256 / L 256 / 8 blocks the f32 caches cost ~0.5 GB of HBM
-    traffic per pixel. ``cache_dtype=bfloat16`` (default) halves that; the
+    traffic per pixel. ``cache_dtype=bfloat16`` halves that; the
     q.K and probs.V einsums accumulate in f32 on the MXU
     (``preferred_element_type``), activations and softmax stay f32. Pass
     ``cache_dtype=jnp.float32`` for bitwise equality with
     :func:`sample_naive` (tested both ways).
 
-    ``cache_dtype=jnp.int8`` halves the cache bytes again: each (k_t, v_t)
-    row is stored as int8 with its own per-(batch, head) max-abs scale
-    (f32 side cache: one 4-byte scale per hd-byte row, +4/hd relative
-    overhead). The per-ROW scales factor out of both attention einsums —
-    ``logits_j = (q . k8_j) * s^k_j`` and ``attn = sum_j (p_j * s^v_j)
-    v8_j`` — so the cached rows can stream from HBM as int8 and widen to
-    bf16 in-register (exact: |k8| <= 127 fits bf16's 8-bit mantissa; the
-    query takes the same lossy f32->bf16 cast as the default bf16 arm),
-    PROVIDED XLA fuses the widening astype into the einsum operand load —
-    verify with the snail_sampler_ab int8-seg4 arm before promoting this
-    beyond opt-in. Quantization noise is ~0.4% relative per row
-    (comparable to bf16 rounding); sampled codes agreed exactly with the
-    f32 path in the 5x5 check (the test enforces >= 0.7 agreement).
+    ``cache_dtype=jnp.int8`` (default) halves the cache bytes again: each
+    (k_t, v_t) row is stored as int8 with its own per-(batch, head)
+    max-abs scale (f32 side cache: one 4-byte scale per hd-byte row,
+    +4/hd relative overhead). The per-ROW scales factor out of both
+    attention einsums — ``logits_j = (q . k8_j) * s^k_j`` and ``attn =
+    sum_j (p_j * s^v_j) v8_j`` — so the cached rows stream from HBM as
+    int8 and widen to bf16 in-register (exact: |k8| <= 127 fits bf16's
+    8-bit mantissa; the query takes the same lossy f32->bf16 cast as the
+    bf16 arm). Measured on v5e (bs 256, 16x16, 8 blocks, interleaved
+    medians, scripts/snail_sampler_ab.py): int8 1.17x over bf16 at S=4
+    and 1.20x at S=8 — confirming XLA does fuse the widening astype into
+    the einsum operand load — 697k px/s at the production int8-seg8
+    configuration vs 260k for f32-seg1 (2.7x). Quantization noise is
+    ~0.4% relative per row (comparable to bf16 rounding); sampled codes
+    agreed exactly with the f32 path in the 5x5 check (the test enforces
+    >= 0.7 agreement). CLIs expose the choice as ``--kv_cache_dtype``.
     """
     p = params
     K = model.num_embeddings
@@ -1056,7 +1066,10 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
 
     carry = (samples0, in_cache0, c1_cache0, k_cache0, v_cache0,
              ks_cache0, vs_cache0)
-    chunk = max(1, -(-L // SNAIL_KV_SEGMENTS))
+    # Segment floor of 32 pixels: tiny grids gain nothing from shorter KV
+    # prefixes but would pay SNAIL_KV_SEGMENTS compiled loop bodies.
+    n_seg = max(1, min(SNAIL_KV_SEGMENTS, L // 32))
+    chunk = max(1, -(-L // n_seg))
     for lo in range(0, L, chunk):
         hi = min(lo + chunk, L)
         carry = jax.lax.fori_loop(lo, hi, make_body(hi), carry)
@@ -1098,11 +1111,11 @@ def warn_long_seq_dropout(model, h: int, w: int) -> None:
 def sample_prior(model, params, rng, batch_size, height, width,
                  condition=None, temperature: float = 1.0,
                  fast: bool = True,
-                 cache_dtype: Any = jnp.bfloat16) -> Array:
+                 cache_dtype: Any = jnp.int8) -> Array:
     """Dispatch: cached sampler for PixelCNN/PixelSNAIL, naive loop
     otherwise. ``cache_dtype`` only affects the PixelSNAIL KV cache
-    (f32 for bitwise naive-equality, bf16 default for half the HBM
-    traffic on the per-pixel hot loop)."""
+    (f32 for bitwise naive-equality; int8 default = quarter the HBM
+    traffic on the per-pixel hot loop, see sample_fast_snail)."""
     if fast and isinstance(model, PixelSNAIL):
         return sample_fast_snail(model, params, rng, batch_size, height,
                                  width, condition, temperature,
@@ -1127,7 +1140,7 @@ def sample_hierarchical(model, params, rng, batch_size: int,
                         bottom_shape: Tuple[int, int],
                         temperature: float = 1.0,
                         fast: bool = True,
-                        cache_dtype: Any = jnp.bfloat16) -> Tuple[Array, Array]:
+                        cache_dtype: Any = jnp.int8) -> Tuple[Array, Array]:
     """Sample z_top then z_bottom | z_top (pixelcnn_prior.py:410-416)."""
     rng_t, rng_b = jax.random.split(rng)
     # sampler modules come from the hierarchical module's own factories —

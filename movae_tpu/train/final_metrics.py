@@ -129,8 +129,11 @@ def _gather_chunk(imgs):
 
 def _generate_samples_impl(model, state, args, prior, rng, num: int,
                            batch: int) -> np.ndarray:
+    from movae_tpu.models.pixelcnn import KV_CACHE_DTYPES
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     temperature = getattr(args, "pixelcnn_temperature", 1.0)
+    cache_dtype = KV_CACHE_DTYPES[getattr(args, "kv_cache_dtype", "int8")]
     chunks = []
     n = 0
     while n < num:
@@ -150,13 +153,14 @@ def _generate_samples_impl(model, state, args, prior, rng, num: int,
                     pm, pp, sub, b,
                     (model.latent_spatial_dim_top,) * 2,
                     (model.latent_spatial_dim_bottom,) * 2,
-                    temperature=temperature)
+                    temperature=temperature, cache_dtype=cache_dtype)
                 imgs = model.apply(variables, z_top, z_bottom,
                                    method="decode_code")
             else:
                 s = model.latent_spatial_dim
                 codes = sample_prior(pm, pp, sub, b, s, s,
-                                     temperature=temperature)
+                                     temperature=temperature,
+                                     cache_dtype=cache_dtype)
                 imgs = model.apply(variables, codes, method="decode_code")
         else:
             imgs = model.apply(variables, b, method="sample",

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--grid", type=int, default=16)
     p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--arms", type=str, nargs="+",
+                   default=["f32-seg1", "bf16-seg1", "bf16-seg4",
+                            "int8-seg4"],
+                   help="each arm is <dtype>-seg<N>, dtype in f32/bf16/int8")
     args = p.parse_args()
 
     from movae_tpu.models.pixelcnn import PixelSNAIL, sample_fast_snail
@@ -46,23 +50,26 @@ def main():
 
     import movae_tpu.models.pixelcnn as pix
 
-    # (cache_dtype, SNAIL_KV_SEGMENTS) per arm; seg1 = full-L prefix
-    # (pre-segmentation behavior), seg4 = the production default.
-    arm_cfg = {
-        "f32-seg1": (jnp.float32, 1),
-        "bf16-seg1": (jnp.bfloat16, 1),
-        "bf16-seg4": (jnp.bfloat16, 4),
-        "int8-seg4": (jnp.int8, 4),
-    }
+    # arm name <dtype>-seg<N>: (cache_dtype, SNAIL_KV_SEGMENTS);
+    # seg1 = full-L prefix (pre-segmentation behavior).
+    dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}
+    arm_cfg = {}
+    for name in args.arms:
+        dt_name, seg = name.split("-seg")
+        arm_cfg[name] = (dtypes[dt_name], int(seg))
     arms = {}
     rng = jax.random.PRNGKey(1)
     for name, (dt, nseg) in arm_cfg.items():
+        eff = max(1, min(nseg, (h * w) // 32))  # 32-px segment floor
+        if eff != nseg:
+            print(f"note: {name} capped to seg{eff} by the 32-px "
+                  f"segment floor at L={h*w}")
         pix.SNAIL_KV_SEGMENTS = nseg  # read at trace time
         fn = jax.jit(lambda r, dt=dt: sample_fast_snail(
             model, params, r, b, h, w, cache_dtype=dt))
         int(fn(rng)[0, 0, 0])  # compile + warm with the global set
         arms[name] = fn
-    pix.SNAIL_KV_SEGMENTS = 4
+    pix.SNAIL_KV_SEGMENTS = 8
 
     times = {k: [] for k in arms}
     for rnd in range(args.rounds):
@@ -76,15 +83,14 @@ def main():
 
     px = b * h * w
     med = {k: float(np.median(v)) for k, v in times.items()}
+    names = list(med)
     for k, m in med.items():
         print(f"{k}: median {m*1e3:.1f} ms/batch = {px/m:,.0f} px/s")
-    print(f"speedup bf16-seg1 vs f32-seg1: "
-          f"{med['f32-seg1']/med['bf16-seg1']:.3f}x")
-    print(f"speedup bf16-seg4 vs bf16-seg1: "
-          f"{med['bf16-seg1']/med['bf16-seg4']:.3f}x")
-    print(f"speedup int8-seg4 vs bf16-seg4: "
-          f"{med['bf16-seg4']/med['int8-seg4']:.3f}x")
-    print(f"total vs f32-seg1: {med['f32-seg1']/med['int8-seg4']:.3f}x")
+    for prev, cur in zip(names, names[1:]):
+        print(f"speedup {cur} vs {prev}: {med[prev]/med[cur]:.3f}x")
+    if len(names) > 1:
+        print(f"total {names[-1]} vs {names[0]}: "
+              f"{med[names[0]]/med[names[-1]]:.3f}x")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,10 @@ def main():
     saved = pc.SNAIL_KV_SEGMENTS
     try:
         for s in args.segments:
+            eff = max(1, min(s, (h * w) // 32))  # 32-px segment floor
+            if eff != s:
+                print(f"note: S={s} capped to {eff} by the 32-px "
+                      f"segment floor at L={h*w}")
             pc.SNAIL_KV_SEGMENTS = s
             fn = jax.jit(lambda r, _s=s: pc.sample_fast_snail(
                 model, params, r, args.batch_size, h, w))

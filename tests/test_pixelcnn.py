@@ -115,7 +115,7 @@ def test_wavefront_sampler_matches_naive_nonsquare_with_condition():
 def test_fast_snail_sampler_matches_naive():
     """The KV-cache PixelSNAIL sampler must sample the SAME codes as the
     naive full-forward sampler for identical rng (f32 KV cache — the
-    bitwise-equality configuration; the production default is bf16)."""
+    bitwise-equality configuration; the production default is int8)."""
     model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
                        num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
                        dropout=0.0)
@@ -129,8 +129,8 @@ def test_fast_snail_sampler_matches_naive():
 
 
 def test_fast_snail_bf16_cache_samples_agree():
-    """The default bf16 KV cache (half the HBM traffic of the per-pixel hot
-    loop) must produce nearly the same codes as the bitwise-exact f32 cache:
+    """The bf16 KV cache (half the HBM traffic of the per-pixel hot loop)
+    must produce nearly the same codes as the bitwise-exact f32 cache:
     same shapes/validity always, and an overwhelming per-pixel match on a
     fixed seed (the only differences come from categorical draws whose
     gumbel gap is inside bf16 rounding of the logits)."""
@@ -142,7 +142,8 @@ def test_fast_snail_bf16_cache_samples_agree():
     rng = jax.random.PRNGKey(11)
     s_f32 = sample_fast_snail(model, params, rng, 4, 5, 5,
                               cache_dtype=jnp.float32)
-    s_bf16 = sample_fast_snail(model, params, rng, 4, 5, 5)
+    s_bf16 = sample_fast_snail(model, params, rng, 4, 5, 5,
+                               cache_dtype=jnp.bfloat16)
     assert s_bf16.shape == (4, 5, 5)
     a, b = np.asarray(s_f32), np.asarray(s_bf16)
     assert (b >= 0).all() and (b < K).all()

@@ -111,6 +111,10 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
                    default=0.0, dest="pixelcnn_weight_decay")
     p.add_argument("--pixelcnn_temperature", "--temperature", type=float,
                    default=1.0, dest="pixelcnn_temperature")
+    p.add_argument("--kv_cache_dtype", type=str, default="int8",
+                   choices=["f32", "bf16", "int8"],
+                   help="PixelSNAIL sampler KV-cache dtype (int8 = measured "
+                   "fastest, f32 = bitwise naive equality)")
     p.add_argument("--pixelsnail_num_blocks", type=int, default=8)
     p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     p.add_argument("--pixelsnail_num_heads", type=int, default=8)
