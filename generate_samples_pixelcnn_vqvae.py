@@ -49,7 +49,8 @@ def load_models(model_path: str, prior_path: str, dataset=None,
                                                 None))
     prior = {"model": prior_model,
              "params": prior_payload["model_state_dict"]["params"],
-             "hierarchical": hierarchical}
+             "hierarchical": hierarchical,
+             "args": merged}  # post-precedence view (incl. echoed prior_args)
     return model, params, batch_stats, vq_args, prior
 
 
@@ -65,10 +66,12 @@ def main():
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--temperature", type=float, default=1.0)
-    p.add_argument("--kv_cache_dtype", type=str, default="int8",
+    p.add_argument("--kv_cache_dtype", type=str, default=None,
                    choices=["f32", "bf16", "int8"],
                    help="PixelSNAIL sampler KV-cache dtype (int8 = measured "
-                   "fastest, f32 = bitwise naive equality)")
+                   "fastest, f32 = bitwise naive equality); default None = "
+                   "inherit the prior checkpoint's echoed prior_args, "
+                   "falling back to int8")
     p.add_argument("--out_dir", "--output_dir", type=str,
                    default="generated_samples",
                    help="output directory (reference spelling: --output_dir)")
@@ -102,6 +105,11 @@ def main():
 
     gen_args = SimpleNamespace(**{**vars(vq_args), **vars(a)})
     gen_args.pixelcnn_temperature = a.temperature
+    # None = not provided: inherit the post-precedence merge (prior
+    # checkpoint's echoed prior_args), falling back to the production int8
+    if a.kv_cache_dtype is None:
+        gen_args.kv_cache_dtype = getattr(prior["args"], "kv_cache_dtype",
+                                          None) or "int8"
     imgs = generate_samples(model, state, gen_args, prior,
                             jax.random.PRNGKey(a.seed), a.num_samples,
                             batch=a.batch_size)

@@ -109,7 +109,8 @@ def build_serving_fns(model, params, batch_stats, *,
                       temperature: float = 1.0,
                       image_batch: int = 8,
                       input_size: Optional[int] = None,
-                      quantize: Optional[str] = None) -> Dict[str, Tuple]:
+                      quantize: Optional[str] = None,
+                      kv_cache_dtype: str = "int8") -> Dict[str, Tuple]:
     """Pure inference callables (weights closed over) + example args.
 
     Returns ``{name: (fn, example_args, symbolic_batch_ok)}``:
@@ -137,6 +138,11 @@ def build_serving_fns(model, params, batch_stats, *,
     constants — and the weights resident in HBM — are a quarter the size.
     Prior params stay float (the autoregressive argmax chain compounds
     error; the prior is a training-side artifact anyway).
+
+    ``kv_cache_dtype`` picks the PixelSNAIL sampler KV-cache precision
+    baked into the ``sample`` artifact (same spellings as the CLIs'
+    ``--kv_cache_dtype``: int8 production default / bf16 / f32 bitwise
+    naive-equality configuration — models/pixelcnn.py KV_CACHE_DTYPES).
     """
     if quantize is not None:
         if quantize != "int8":
@@ -198,9 +204,11 @@ def build_serving_fns(model, params, batch_stats, *,
         fns["decode_codes"] = (decode_codes, code_ex, True)
 
     if prior is not None and is_vq:
-        from movae_tpu.models.pixelcnn import (sample_hierarchical,
+        from movae_tpu.models.pixelcnn import (KV_CACHE_DTYPES,
+                                               sample_hierarchical,
                                                sample_prior)
         pm, pp = prior["model"], prior["params"]
+        cache_dtype = KV_CACHE_DTYPES[kv_cache_dtype]
 
         if prior.get("hierarchical"):
             def sample(key):
@@ -208,14 +216,15 @@ def build_serving_fns(model, params, batch_stats, *,
                     pm, pp, key, sample_batch,
                     (model.latent_spatial_dim_top,) * 2,
                     (model.latent_spatial_dim_bottom,) * 2,
-                    temperature=temperature)
+                    temperature=temperature, cache_dtype=cache_dtype)
                 return model.apply(_vars(), z_top, z_bottom,
                                    method="decode_code").astype(jnp.float32)
         else:
             def sample(key):
                 s = model.latent_spatial_dim
                 codes = sample_prior(pm, pp, key, sample_batch, s, s,
-                                     temperature=temperature)
+                                     temperature=temperature,
+                                     cache_dtype=cache_dtype)
                 return model.apply(_vars(), codes,
                                    method="decode_code").astype(jnp.float32)
     else:
@@ -293,7 +302,9 @@ def export_serving(model, params, batch_stats, out_dir: str, *,
     manifest: Dict[str, Any] = {
         "format": "jax.export", "jax_version": jax.__version__,
         "platforms": list(platforms),
-        "quantize": build_kwargs.get("quantize"), "functions": {}}
+        "quantize": build_kwargs.get("quantize"),
+        "kv_cache_dtype": build_kwargs.get("kv_cache_dtype", "int8"),
+        "functions": {}}
     manifest.update(manifest_extra or {})
     for name, (fn, example, sym) in fns.items():
         fn_mesh = mesh if sym else None  # sample() stays single-device
@@ -410,7 +421,8 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                       with_prior: bool = True,
                       temperature: float = 1.0,
                       data_parallel: int = 1,
-                      quantize: Optional[str] = None) -> Dict[str, Any]:
+                      quantize: Optional[str] = None,
+                      kv_cache_dtype: str = "int8") -> Dict[str, Any]:
     """One-call checkpoint -> serving-artifact export (CLI entry).
 
     Auto-loads a trained prior next to the checkpoint
@@ -433,5 +445,6 @@ def export_checkpoint(model_path: str, out_dir: str, *,
                         "source_checkpoint": os.path.abspath(model_path)},
         normalize_inputs=bool(getattr(args, "normalize_inputs", False)),
         prior=prior, sample_batch=sample_batch, temperature=temperature,
-        input_size=input_size, quantize=quantize)
+        input_size=input_size, quantize=quantize,
+        kv_cache_dtype=kv_cache_dtype)
     return manifest

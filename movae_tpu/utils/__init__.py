@@ -113,7 +113,14 @@ def enable_persistent_compilation_cache(path: str = None) -> None:
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env == "":
         return
-    path = env or path or os.path.expanduser("~/.cache/movae_tpu_jax")
+    if env is None and path is None:
+        # default path is fingerprinted by host CPU features: CPU AOT
+        # entries from a different host family SIGILL on load (hostfp.py)
+        from movae_tpu.utils.hostfp import fingerprinted_cache_dir
+
+        path = fingerprinted_cache_dir(
+            os.path.expanduser("~/.cache/movae_tpu_jax"))
+    path = env or path
     try:
         import jax
 

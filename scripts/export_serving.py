@@ -58,6 +58,11 @@ def main() -> None:
                     help="weight-only int8 artifacts: kernels stored as "
                          "int8 + per-output-channel scales, dequantized "
                          "in-graph (~4x smaller; VQ codebook stays float)")
+    ap.add_argument("--kv_cache_dtype", default="int8",
+                    choices=["f32", "bf16", "int8"],
+                    help="PixelSNAIL sampler KV-cache precision baked into "
+                         "the sample artifact (int8 = production default; "
+                         "f32 = bitwise naive-equality configuration)")
     args = ap.parse_args()
 
     from movae_tpu.serving import export_checkpoint
@@ -67,7 +72,7 @@ def main() -> None:
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p),
         sample_batch=args.sample_batch, with_prior=not args.no_prior,
         temperature=args.temperature, data_parallel=args.data_parallel,
-        quantize=args.quantize)
+        quantize=args.quantize, kv_cache_dtype=args.kv_cache_dtype)
     print(json.dumps(manifest, indent=2, sort_keys=True))
     print(f"exported {len(manifest['functions'])} functions -> {args.out}")
 

@@ -60,7 +60,12 @@ def launcher() -> int:
     flags.append(
         f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}")
     env["XLA_FLAGS"] = " ".join(flags)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    sys.path.insert(0, REPO)
+    from movae_tpu.utils.hostfp import fingerprinted_cache_dir
+
+    # host-CPU-fingerprinted: cross-host CPU AOT entries SIGILL (hostfp.py)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   fingerprinted_cache_dir("/tmp/jax_cache"))
     # the worker runs by absolute script path, so sys.path gets scripts/,
     # not the repo root — put the package on PYTHONPATH explicitly
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -59,17 +59,20 @@ def main():
         arm_cfg[name] = (dtypes[dt_name], int(seg))
     arms = {}
     rng = jax.random.PRNGKey(1)
-    for name, (dt, nseg) in arm_cfg.items():
-        eff = max(1, min(nseg, (h * w) // 32))  # 32-px segment floor
-        if eff != nseg:
-            print(f"note: {name} capped to seg{eff} by the 32-px "
-                  f"segment floor at L={h*w}")
-        pix.SNAIL_KV_SEGMENTS = nseg  # read at trace time
-        fn = jax.jit(lambda r, dt=dt: sample_fast_snail(
-            model, params, r, b, h, w, cache_dtype=dt))
-        int(fn(rng)[0, 0, 0])  # compile + warm with the global set
-        arms[name] = fn
-    pix.SNAIL_KV_SEGMENTS = 8
+    saved_segments = pix.SNAIL_KV_SEGMENTS
+    try:
+        for name, (dt, nseg) in arm_cfg.items():
+            eff = max(1, min(nseg, (h * w) // 32))  # 32-px segment floor
+            if eff != nseg:
+                print(f"note: {name} capped to seg{eff} by the 32-px "
+                      f"segment floor at L={h*w}")
+            pix.SNAIL_KV_SEGMENTS = nseg  # read at trace time
+            fn = jax.jit(lambda r, dt=dt: sample_fast_snail(
+                model, params, r, b, h, w, cache_dtype=dt))
+            int(fn(rng)[0, 0, 0])  # compile + warm with the global set
+            arms[name] = fn
+    finally:
+        pix.SNAIL_KV_SEGMENTS = saved_segments
 
     times = {k: [] for k in arms}
     for rnd in range(args.rounds):

@@ -22,8 +22,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Persistent compilation cache: this host has a single CPU core and some
 # jitted graphs (jacrev over full param trees) take minutes to compile —
-# cache them across pytest invocations.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# cache them across pytest invocations. The dir is fingerprinted by the
+# host's CPU feature flags: CPU AOT entries from a different host family
+# SIGILL on load (movae_tpu/utils/hostfp.py), so each family gets its own
+# namespace.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from movae_tpu.utils.hostfp import fingerprinted_cache_dir  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      fingerprinted_cache_dir("/tmp/jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
