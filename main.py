@@ -201,7 +201,13 @@ def build_parser() -> ArgumentParser:
                              "batches with an in-jit gather + flip — "
                              "removes steady-state host->device batch "
                              "traffic (data/device.py; CIFAR=150MB, "
-                             "CelebA-HQ-256=5.9GB, both fit a v5e chip)")
+                             "CelebA-HQ-256=5.9GB, both fit a v5e chip). "
+                             "AUTO-enabled on TPU when the train set fits "
+                             "a conservative HBM budget (measured 4.30x "
+                             "over the host loader)")
+    parser.add_argument("--no_device_data", action="store_true",
+                        help="force the host batch loader (disables the "
+                             "TPU auto-enable of --device_data)")
     return parser
 
 

@@ -503,11 +503,8 @@ def run_training(args) -> Dict[str, Any]:
             "exclusive (an accumulation group is already one dispatch)")
     # device-resident training data (data/device.py): the full uint8 train
     # set lives in HBM sharded over 'data'; batches are gathered in-jit
-    dd = None
-    if getattr(args, "device_data", False):
-        from movae_tpu.data.device import DeviceData
-        dd = DeviceData(train_ds, parallel, batch_size,
-                        seed=getattr(args, "seed", 0) or 0)
+    from movae_tpu.data.device import resolve_device_data
+    dd = resolve_device_data(args, train_ds, parallel, batch_size)
     if dd is not None:
         steps_per_epoch = dd.optimizer_steps_per_epoch(accum_k)
         batches_per_epoch = dd.steps + dd.tail_steps  # gradient aggregations

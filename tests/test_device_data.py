@@ -173,3 +173,58 @@ def test_run_training_device_data_accum(tmp_path):
     results = run_training(_args(tmp_path, grad_accum=2, epochs=1, eval_freq=1,
                                  save_freq=1, aggregator="upgrad"))
     assert np.isfinite(results["eval_losses"][0]["total_loss"])
+
+
+# -- auto-enable resolution (VERDICT r2 item 6) ------------------------------
+
+def test_resolve_forced_and_refused():
+    from movae_tpu.data.device import DeviceData, resolve_device_data
+
+    ds = _dataset(n=64)
+    par = _parallel()
+    forced = SimpleNamespace(device_data=True, no_device_data=False, seed=0)
+    assert isinstance(resolve_device_data(forced, ds, par, 16), DeviceData)
+    # --no_device_data wins even over an explicit --device_data
+    refused = SimpleNamespace(device_data=True, no_device_data=True, seed=0)
+    assert resolve_device_data(refused, ds, par, 16) is None
+    # forced + unsupported dataset still raises (explicit request)
+    crop_ds = _dataset(n=64, crop=(8, 0.7, 1.0))
+    with pytest.raises(ValueError, match="RandomResizedCrop"):
+        resolve_device_data(forced, crop_ds, par, 16)
+
+
+def test_resolve_auto_off_on_cpu_backend():
+    """AUTO never turns on under the CPU backend (the 4.30x win is
+    H2D-traffic-bound; tests and CPU debug runs keep the host loader)."""
+    from movae_tpu.data.device import resolve_device_data
+
+    auto = SimpleNamespace(device_data=False, no_device_data=False, seed=0)
+    assert jax.default_backend() == "cpu"
+    assert resolve_device_data(auto, _dataset(n=64), _parallel(), 16) is None
+
+
+def test_resolve_auto_on_tpu(monkeypatch):
+    """With the backend reporting 'tpu', AUTO enables inside the HBM budget,
+    declines outside it, and falls back (not raises) on unsupported
+    datasets/layouts."""
+    from movae_tpu.data import device as dev
+
+    monkeypatch.setattr(dev.jax, "default_backend", lambda: "tpu")
+    auto = SimpleNamespace(device_data=False, no_device_data=False, seed=0)
+    par = _parallel()
+
+    monkeypatch.setattr(dev, "_device_hbm_budget", lambda: 10**9)
+    dd = dev.resolve_device_data(auto, _dataset(n=64), par, 16)
+    assert dd is not None and dd.steps > 0
+
+    # over budget -> host loader
+    monkeypatch.setattr(dev, "_device_hbm_budget", lambda: 10)
+    assert dev.resolve_device_data(auto, _dataset(n=64), par, 16) is None
+
+    # unsupported (crop transform) -> quiet fallback, no raise
+    monkeypatch.setattr(dev, "_device_hbm_budget", lambda: 10**9)
+    crop_ds = _dataset(n=64, crop=(8, 0.7, 1.0))
+    assert dev.resolve_device_data(auto, crop_ds, par, 16) is None
+
+    # layout error in AUTO (batch not divisible by data axis) -> fallback
+    assert dev.resolve_device_data(auto, _dataset(n=64), par, 12) is None
