@@ -57,9 +57,17 @@ def build_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = None,
+    eps: float = 1e-8,
 ) -> optax.GradientTransformation:
     """Optimizer matching the reference dispatch (main.py:1169-1178), with
-    optional global-norm clipping (main.py:211-212) fused into the chain."""
+    optional global-norm clipping (main.py:211-212) fused into the chain.
+
+    ``eps`` is the adaptive-denominator epsilon (torch default 1e-8 for all
+    three adaptive optimizers); exposed so numerical-equivalence tests can
+    raise it — at eps=1e-8 an element whose true gradient is below float32
+    cross-framework noise gets a full ±lr*sign(noise) step, which makes
+    bitwise-independent implementations diverge by 2*lr/step by construction.
+    """
     name = name.lower()
     parts = []
     if max_grad_norm is not None:
@@ -74,10 +82,10 @@ def build_optimizer(
     elif name == "adam":
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=eps))
         parts.append(optax.scale_by_learning_rate(schedule))
     elif name == "adamw":
-        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=eps))
         parts.append(optax.add_decayed_weights(weight_decay))
         parts.append(optax.scale_by_learning_rate(schedule))
     elif name == "rmsprop":
@@ -86,7 +94,7 @@ def build_optimizer(
         # torch RMSprop divides by (sqrt(nu) + eps); optax's default puts
         # eps inside the sqrt, which shrinks early/flat-gradient steps by
         # up to 1e4x relative to the reference
-        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8,
+        parts.append(optax.scale_by_rms(decay=0.99, eps=eps,
                                         eps_in_sqrt=False))
         parts.append(optax.scale_by_learning_rate(schedule))
     else:
