@@ -445,18 +445,84 @@ def get_dataset(dataset_name: str, data_dir: str = "./data",
     raise ValueError(f"Dataset {dataset_name} not supported")
 
 
+# CelebA auto-download (reference utils/utils.py:9-43). torchvision pulls
+# the archives off Google Drive via gdown; neither is available here, so we
+# use the long-standing academic mirror instead. Files land in the same
+# torchvision folder layout _load_celeba_folder expects.
+_CELEBA_MIRROR = "https://graal.ift.ulaval.ca/public/celeba/"
+_CELEBA_FILES = ("img_align_celeba.zip", "list_eval_partition.txt")
+
+
+def _network_available(host: str = "graal.ift.ulaval.ca",
+                       timeout: float = 3.0) -> bool:
+    import socket
+
+    try:
+        socket.create_connection((host, 443), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def _celeba_exists(data_dir: str) -> bool:
+    return (os.path.isdir(os.path.join(data_dir, "celeba",
+                                       "img_align_celeba"))
+            and os.path.isfile(os.path.join(data_dir, "celeba",
+                                            "list_eval_partition.txt")))
+
+
+def _ensure_celeba(data_dir: str) -> None:
+    """Download + extract CelebA if missing (reference
+    utils/utils.py:26-43): best-effort, gated on a network probe, and on
+    any failure raises the reference's manual-download instructions."""
+    if _celeba_exists(data_dir):
+        return
+    celeba_dir = os.path.join(data_dir, "celeba")
+    manual_msg = (
+        f"Failed to download CelebA to {data_dir}. You can manually "
+        "download from https://drive.google.com/drive/folders/"
+        "0B7EVK8r0v71pWEZsZE9oNnFzTm8 and extract so that "
+        "'celeba/img_align_celeba' and 'celeba/list_eval_partition.txt' "
+        "exist under the data_dir.")
+    if not _network_available():
+        raise FileNotFoundError(
+            f"CelebA not found under {celeba_dir} and no network is "
+            f"available. {manual_msg} (Use 'synthetic-64' for smoke runs.)")
+    import urllib.request
+    import zipfile
+
+    print(f"CelebA not found at {data_dir}. Downloading CelebA "
+          "(this may take a while)...", flush=True)
+    os.makedirs(celeba_dir, exist_ok=True)
+    try:
+        for fname in _CELEBA_FILES:
+            dest = os.path.join(celeba_dir, fname)
+            if not os.path.exists(dest):
+                urllib.request.urlretrieve(_CELEBA_MIRROR + fname,
+                                           dest + ".part")
+                os.replace(dest + ".part", dest)
+        zip_path = os.path.join(celeba_dir, "img_align_celeba.zip")
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(celeba_dir)
+        if not _celeba_exists(data_dir):
+            raise RuntimeError("CelebA download completed but data "
+                               "directory is still missing or invalid.")
+        print("CelebA download finished successfully.", flush=True)
+    except Exception as e:
+        raise RuntimeError(manual_msg) from e
+
+
 def _load_celeba_folder(data_dir: str, split: str, crop: int, out: int):
     """CelebA from the standard torchvision folder layout (img_align_celeba +
     list_eval_partition.txt); center-crop + bicubic resize at load
-    (utils.py:264-275)."""
+    (utils.py:264-275). Auto-downloads when missing and the network allows
+    (utils.py:26-43)."""
     from PIL import Image
 
     img_dir = os.path.join(data_dir, "celeba", "img_align_celeba")
     part_file = os.path.join(data_dir, "celeba", "list_eval_partition.txt")
     if not os.path.isdir(img_dir):
-        raise FileNotFoundError(
-            f"CelebA not found under {img_dir}; use 'synthetic-64' for smoke "
-            "runs.")
+        _ensure_celeba(data_dir)
     split_id = {"train": 0, "valid": 1, "test": 2}[split]
     names = []
     with open(part_file) as f:

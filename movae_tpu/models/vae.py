@@ -29,6 +29,55 @@ from movae_tpu.models.base import (
 Array = jax.Array
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact accumulation semantics (torch
+    nn.BatchNorm2d, used by the reference VAE encoder/decoder,
+    vae.py:77-117): normalization uses the BIASED batch variance, but the
+    running variance accumulates the UNBIASED one (factor n/(n-1)).
+    flax.linen.BatchNorm accumulates the biased variance, which leaves a
+    ~1/n relative drift in running_var after in-framework training — an
+    eval-mode-only deviation, but it shows up as a parameter-state delta in
+    cross-framework studies (scripts/equivalence_study.py). Variance is
+    computed two-pass (E[(x-mean)^2]) like torch, not E[x^2]-E[x]^2.
+
+    ``momentum`` follows the flax keep-fraction convention
+    (0.9 == torch momentum 0.1). batch_stats names match flax
+    ('mean'/'var') so checkpoints and torch_export mappings are unchanged.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = False) -> Array:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class VAE(MOVAEModel):
     latent_dim: int = 128
     input_size: int = 32
@@ -98,8 +147,9 @@ class VAE(MOVAEModel):
     def _make_norms(self, n: int, prefix: str):
         kind = (self.layer_norm or "none").lower()
         if kind == "batch":
-            return [nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                 name=f"{prefix}_{i}") for i in range(n)]
+            return [TorchBatchNorm(momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype,
+                                   name=f"{prefix}_{i}") for i in range(n)]
         if kind == "layer":
             return [nn.LayerNorm(dtype=self.dtype, name=f"{prefix}_{i}")
                     for i in range(n)]
@@ -110,7 +160,7 @@ class VAE(MOVAEModel):
     def _apply_norm(self, norm, h: Array, train: bool) -> Array:
         if norm is None:
             return h
-        if isinstance(norm, nn.BatchNorm):
+        if isinstance(norm, (nn.BatchNorm, TorchBatchNorm)):
             return norm(h, use_running_average=not train)
         return norm(h)
 

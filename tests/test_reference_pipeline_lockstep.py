@@ -1,0 +1,66 @@
+"""Training lockstep vs the UNMODIFIED reference pipeline (VERDICT r2
+item 1, in-suite subset).
+
+Runs scripts/equivalence_study.py in a subprocess (the reference tree
+shadows top-level ``main``/``models``/``utils``, so it must never be
+activated inside the shared pytest process): the reference's own
+train_epoch/models/loss_function/mtl_backward (through the refharness
+torchjd shim, itself anchored by tests/test_refharness.py) against
+movae_tpu's jitted train step — same init, same batches, same optimizer.
+
+Residual deltas have a known mechanism: at random init a few VQ argmin
+code assignments sit on fp ties and flip between frameworks (0.5%-level
+deltas on the tiny embedding/commitment components at step 0, decaying as
+assignments sharpen); the total-loss trajectory agrees to <1e-3 and the
+aggregation weights to <1e-3 absolute.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STUDY = os.path.join(REPO, "scripts", "equivalence_study.py")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile("/root/reference/main.py"),
+    reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def study_results(tmp_path_factory):
+    out = tmp_path_factory.mktemp("equiv") / "equiv.json"
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, STUDY, "--configs", "vq_vae:sum", "vq_vae:upgrad",
+         "--steps", "10", "--optimizer", "rmsprop", "--json", str(out)],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(out) as f:
+        return {f"{r['arch']}:{r['aggregator']}": r
+                for r in json.load(f)["results"]}
+
+
+@pytest.mark.parametrize("config", ["vq_vae:sum", "vq_vae:upgrad"])
+def test_loss_trajectory_tracks_reference(study_results, config):
+    res = study_results[config]
+    assert res["max_rel_loss_delta"] < 2e-3, res
+    # the trajectory must CONVERGE toward the reference, not drift away
+    assert res["last_loss"]["rel_delta"] < 1e-3, res
+
+
+def test_upgrad_weights_track_reference(study_results):
+    """movae's exact active-set dual-cone QP vs the reference path's
+    scipy-NNLS projection — two unrelated solvers, same alphas."""
+    res = study_results["vq_vae:upgrad"]
+    assert res["max_abs_weight_delta"] < 1e-3, res
+
+
+@pytest.mark.parametrize("config", ["vq_vae:sum", "vq_vae:upgrad"])
+def test_params_stay_close(study_results, config):
+    res = study_results[config]
+    assert res["final_max_param_delta"] < 5e-2, res
