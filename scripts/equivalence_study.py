@@ -130,7 +130,8 @@ def run_movae(arch, agg, steps, optimizer, batches):
     final_sd = {k: np.asarray(v) for k, v in export_torch_state_dict(
         state.params, state.batch_stats, arch).items()}
     return dict(objective_names=list(model.objective_names), init_sd=init_sd,
-                traj=traj, final_sd=final_sd)
+                traj=traj, final_sd=final_sd,
+                _flax=(model, state.params, state.batch_stats))
 
 
 # ---------------------------------------------------------------- torch side
@@ -205,7 +206,8 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd):
         traj.append(rec)
     return dict(traj=traj,
                 final_sd={k: v.detach().numpy().copy()
-                          for k, v in net.state_dict().items()})
+                          for k, v in net.state_dict().items()},
+                _net=net)
 
 
 # ---------------------------------------------------------------- comparison
@@ -241,6 +243,105 @@ def compare(arch, agg, mv, th, steps):
                 first_loss=rows[0], last_loss=rows[-1])
 
 
+# ------------------------------------------------------------------ mini gFID
+
+def run_gfid(arch, agg, optimizer, steps=300, n_samples=256, data_n=256):
+    """Mini end-to-end generative-quality comparison (the r2 VERDICT's
+    acceptance-bar probe): train BOTH frameworks on the same structured
+    synthetic dataset from the same init, sample both decoders with the
+    SAME z draws (isolates framework-induced weight differences from
+    sampling seed noise), and score both sample sets against the train set
+    through ONE shared inception tower (movae_tpu.metrics.features; random
+    but fixed weights — relative gFID parity needs no torchvision weights,
+    reference utils/metrics.py:360-510).
+
+    At n_samples=256 the 2048-dim FID estimator is rank-deficient, so the
+    raw relative delta is noise-amplified. Two guards make the comparison
+    sound: (a) KID — the unbiased small-n metric the reference also
+    computes (metrics.py:682-747) — is reported alongside; (b) a CONTROL
+    arm trains the torch reference a second time with a trivially
+    perturbed batch stream (data seed 1): the framework-vs-framework
+    delta is judged against the delta an innocuous data reshuffle causes
+    WITHIN one framework. Parity == cross-framework delta at or below the
+    control band."""
+    import torch
+
+    from movae_tpu.data import _synthetic
+    from movae_tpu.metrics.features import (extract_inception_features,
+                                            fid_from_features,
+                                            kid_from_features)
+
+    def make_batches(seed):
+        imgs, _ = _synthetic(SIZE, data_n)                 # uint8 HWC
+        x = imgs.astype(np.float32) / 127.5 - 1.0
+        order = np.random.default_rng(seed)
+        return x, [x[order.integers(0, data_n, BATCH)]
+                   for _ in range(steps)]
+
+    real, batches = make_batches(0)
+    _, batches_c1 = make_batches(1)                        # same data, new order
+    _, batches_c2 = make_batches(2)
+
+    mv = run_movae(arch, agg, steps, optimizer, batches)
+    th = run_torch(arch, agg, steps, optimizer, batches, mv["init_sd"])
+    th_c1 = run_torch(arch, agg, steps, optimizer, batches_c1,
+                      mv["init_sd"])
+    th_c2 = run_torch(arch, agg, steps, optimizer, batches_c2,
+                      mv["init_sd"])
+
+    import jax
+    import jax.numpy as jnp
+
+    z = np.random.default_rng(7).normal(
+        size=(n_samples, LATENT)).astype(np.float32)
+
+    model, params, bstats = mv["_flax"]
+    decode = jax.jit(lambda zz: model.apply(
+        {"params": params, "batch_stats": bstats}, zz, train=False,
+        method="decode"))
+    mv_samples = np.concatenate([np.asarray(decode(jnp.asarray(z[i:i + 64])))
+                                 for i in range(0, n_samples, 64)])
+
+    def torch_samples(net):
+        net.eval()
+        with torch.no_grad():
+            return np.concatenate([
+                net.decode(torch.tensor(z[i:i + 64])).numpy()
+                for i in range(0, n_samples, 64)]).transpose(0, 2, 3, 1)
+
+    th_samples = torch_samples(th["_net"])
+
+    # f64 features for KID in THIS study only: the poly kernel's values sit
+    # at 1+eps where the arm differences are below f32 resolution (measured:
+    # all arms bit-identical at f32) — the pipeline's own f32 KID keeps
+    # reference parity, the study needs the extra discriminative power.
+    f_real = extract_inception_features(real, batch_size=64).astype(
+        np.float64)
+    scores = {}
+    for name, s in [("movae", mv_samples), ("torch", th_samples),
+                    ("torch_ctl1", torch_samples(th_c1["_net"])),
+                    ("torch_ctl2", torch_samples(th_c2["_net"]))]:
+        f = extract_inception_features(s, batch_size=64).astype(np.float64)
+        scores[name] = dict(
+            gfid=float(fid_from_features(f_real, f)),
+            kid=float(kid_from_features(f_real, f, seed=0)))
+
+    def rel(a, b):
+        return float(abs(a - b) / max(abs(b), 1e-12))
+
+    out = dict(arch=arch, aggregator=agg, steps=steps,
+               n_samples=n_samples,
+               sample_mae=float(np.mean(np.abs(mv_samples - th_samples))),
+               scores=scores)
+    for metric in ("gfid", "kid"):
+        out[f"rel_{metric}_delta"] = rel(scores["movae"][metric],
+                                         scores["torch"][metric])
+        out[f"rel_{metric}_controls"] = [
+            rel(scores[c][metric], scores["torch"][metric])
+            for c in ("torch_ctl1", "torch_ctl2")]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="+",
@@ -249,26 +350,41 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--optimizer", default="rmsprop",
                     choices=["sgd", "adam", "rmsprop"])
+    ap.add_argument("--gfid", action="store_true",
+                    help="mini end-to-end gFID comparison instead of the "
+                         "trajectory study (vae archs only)")
+    ap.add_argument("--gfid_samples", type=int, default=256)
     ap.add_argument("--json", default=None)
     opts = ap.parse_args()
 
-    batches = build_batches(opts.steps)
     results = []
-    for spec in opts.configs:
-        arch, agg = spec.split(":")
-        print(f"== {arch}:{agg} ({opts.steps} steps, {opts.optimizer}) ==",
-              flush=True)
-        mv = run_movae(arch, agg, opts.steps, opts.optimizer, batches)
-        th = run_torch(arch, agg, opts.steps, opts.optimizer, batches,
-                       mv["init_sd"])
-        res = compare(arch, agg, mv, th, opts.steps)
-        results.append(res)
-        print(json.dumps(res, indent=2), flush=True)
+    if opts.gfid:
+        for spec in opts.configs:
+            arch, agg = spec.split(":")
+            print(f"== gFID {arch}:{agg} ({opts.steps} steps, "
+                  f"{opts.optimizer}) ==", flush=True)
+            res = run_gfid(arch, agg, opts.optimizer, steps=opts.steps,
+                           n_samples=opts.gfid_samples)
+            results.append(res)
+            print(json.dumps(res, indent=2), flush=True)
+    else:
+        batches = build_batches(opts.steps)
+        for spec in opts.configs:
+            arch, agg = spec.split(":")
+            print(f"== {arch}:{agg} ({opts.steps} steps, "
+                  f"{opts.optimizer}) ==", flush=True)
+            mv = run_movae(arch, agg, opts.steps, opts.optimizer, batches)
+            th = run_torch(arch, agg, opts.steps, opts.optimizer, batches,
+                           mv["init_sd"])
+            res = compare(arch, agg, mv, th, opts.steps)
+            results.append(res)
+            print(json.dumps(res, indent=2), flush=True)
 
     if opts.json:
         with open(opts.json, "w") as f:
             json.dump(dict(optimizer=opts.optimizer, steps=opts.steps,
-                           lr=LR, eps=EPS, results=results), f, indent=2)
+                           lr=LR, eps=EPS, gfid=opts.gfid,
+                           results=results), f, indent=2)
         print(f"wrote {opts.json}")
 
 

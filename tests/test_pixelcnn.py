@@ -172,6 +172,37 @@ def test_fast_snail_int8_cache_samples_agree():
     assert match >= 0.7, f"int8 KV cache diverged: match fraction {match}"
 
 
+def test_fast_snail_forced_scoring_matches_dense():
+    """Teacher-forced scoring mode (forced= + return_logits=): with the
+    bitwise-exact f32 cache the per-pixel logits must equal the dense
+    __call__ forward's logits on the same sequence, and the 'samples'
+    output must echo the forced codes. This anchors the per-pixel KL
+    measurement in scripts/kv_quality_study.py (the lossy-cache arm's
+    only observable is this incremental path)."""
+    model = PixelSNAIL(num_embeddings=K, embedding_dim=E, hidden_channels=HC,
+                       num_blocks=2, num_res_blocks_per_layer=2, num_heads=2,
+                       dropout=0.0)
+    x = jnp.zeros((2, 5, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    forced = jnp.asarray(np.random.default_rng(3).integers(0, K, (2, 5, 5)),
+                         jnp.int32)
+    echoed, logits = sample_fast_snail(
+        model, params, jax.random.PRNGKey(0), 2, 5, 5,
+        cache_dtype=jnp.float32, forced=forced, return_logits=True)
+    np.testing.assert_array_equal(np.asarray(echoed), np.asarray(forced))
+    dense = model.apply({"params": params}, forced, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(dense),
+                               rtol=0, atol=1e-4)
+    # int8 cache: same sequence, perturbed but close distributions
+    _, logits8 = sample_fast_snail(
+        model, params, jax.random.PRNGKey(0), 2, 5, 5,
+        cache_dtype=jnp.int8, forced=forced, return_logits=True)
+    lp = jax.nn.log_softmax(dense, axis=-1)
+    lq = jax.nn.log_softmax(logits8, axis=-1)
+    kl = float(jnp.mean(jnp.sum(jnp.exp(lp) * (lp - lq), axis=-1)))
+    assert 0 <= kl < 0.05, f"int8 forced-scoring KL unexpectedly large: {kl}"
+
+
 def test_pixelcnn_loss():
     model, params = make_pixelcnn()
     x = jnp.asarray(np.random.default_rng(0).integers(0, K, (2, 6, 6)),
