@@ -83,12 +83,31 @@ def train_prior(model, size, steps, batch, seed=0):
     return params
 
 
+_DENSE_CE_CHUNK = 64  # at 64x64 the flash kernel's dk=16 operands pad
+# 8x onto T(8,128) tiles (f32[B,4096,8,16] -> 4 GB at B=256): score in
+# fixed-size chunks so the temps stay ~1 GB.
+_dense_ce_fns = {}
+
+
 def dense_ce(model, params, codes):
-    """Teacher-forced dense-forward CE (nats/pixel) of a code batch."""
-    fn = jax.jit(lambda x: model.apply(
-        {"params": params}, x, train=False,
-        method="loss_function")["total_loss"])
-    return float(fn(codes))
+    """Teacher-forced dense-forward CE (nats/pixel) of a code batch,
+    averaged over fixed-size chunks (one compiled program per shape)."""
+    key = (id(model), codes.shape[1:])
+    if key not in _dense_ce_fns:
+        _dense_ce_fns[key] = jax.jit(lambda x: model.apply(
+            {"params": params}, x, train=False,
+            method="loss_function")["total_loss"])
+    fn = _dense_ce_fns[key]
+    codes = np.asarray(codes)
+    n = len(codes)
+    tot, cnt = 0.0, 0
+    for i in range(0, n, _DENSE_CE_CHUNK):
+        chunk = codes[i:i + _DENSE_CE_CHUNK]
+        if len(chunk) < _DENSE_CE_CHUNK and i > 0:
+            break  # drop ragged tail rather than recompile (CE is a mean)
+        tot += float(fn(jnp.asarray(chunk))) * len(chunk)
+        cnt += len(chunk)
+    return tot / cnt
 
 
 @jax.jit
