@@ -32,15 +32,16 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from movae_tpu.utils import (enable_persistent_compilation_cache,
-                             require_live_backend)
+if __name__ == "__main__":  # keep importable by trace_join.py w/o a backend
+    from movae_tpu.utils import (enable_persistent_compilation_cache,
+                                 require_live_backend)
 
-enable_persistent_compilation_cache()
-require_live_backend()
+    enable_persistent_compilation_cache()
+    require_live_backend()
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
 # v5e per-chip peaks
 PEAK_FLOPS = 197e12   # bf16 MXU
@@ -68,9 +69,11 @@ def shape_bytes(sig: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\]"
-    r"(?:\{[^}]*\})?)\s*([a-z\-]+)\((.*)$")
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+# the opcode is the first lowercase word directly followed by '(' after the
+# type signature — layout/tiling parens inside sigs are uppercase (T(8,128),
+# S(1)) or digit-led ((2,1)), so this anchors reliably even for tuple sigs
+_OPCODE_RE = re.compile(r" ([a-z][a-z0-9\-]*)\(")
 
 
 def parse_hlo(txt: str):
@@ -83,13 +86,17 @@ def parse_hlo(txt: str):
             in_entry = True
         elif line.startswith("}"):
             in_entry = False
-        m = _INSTR_RE.match(line)
+        m = _NAME_RE.match(line)
         if not m:
             continue
-        name, sig, opcode, rest = m.groups()
+        name, rest = m.groups()
+        om = _OPCODE_RE.search(rest)
+        if not om:
+            continue
+        sig, opcode = rest[:om.start()], om.group(1)
         # operand names: %foo.123 tokens in the call args (first paren group)
         depth, args = 1, ""
-        for ch in rest:
+        for ch in rest[om.end():]:
             depth += (ch == "(") - (ch == ")")
             if depth <= 0:
                 break
@@ -154,34 +161,41 @@ def capture(step, state, x, steps, trace_dir):
 
 
 def load_device_op_times(trace_dir, steps):
-    """Sum device-plane event durations per HLO op name, divided by the
-    number of captured steps. Returns {op_name: seconds_per_step}."""
+    """Per-op device time from the TPU plane's 'XLA Ops' line ONLY (the
+    'XLA Modules'/'Steps'/'Async XLA Ops' lines overlap the same wall time
+    and would double-count). Returns ``({op: s/step}, summary)`` where
+    summary carries the module-execution time per step (the true device
+    step latency) and the async-DMA line total (overlapped traffic)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
-        return {}, []
+        return {}, {}
     space = xplane_pb2.XSpace()
     with open(sorted(paths)[-1], "rb") as f:
         space.ParseFromString(f.read())
     per_op = collections.Counter()
-    planes = []
+    summary = {}
     for plane in space.planes:
-        planes.append(plane.name)
-        if not ("TPU" in plane.name or "/device:" in plane.name.lower()
-                or "Device" in plane.name):
-            continue
-        if "host" in plane.name.lower():
+        if not plane.name.startswith("/device:TPU"):
             continue
         meta = plane.event_metadata
         for line in plane.lines:
+            tot = sum(ev.duration_ps for ev in line.events)
+            if line.name == "XLA Modules":
+                summary["module_s_per_step"] = tot / 1e12 / steps
+                summary["module_events"] = len(line.events)
+            elif line.name == "Async XLA Ops":
+                summary["async_s_per_step"] = tot / 1e12 / steps
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 md = meta.get(ev.metadata_id)
                 if md is None:
                     continue
                 per_op[md.name] += ev.duration_ps
-    return {k: v / 1e12 / steps for k, v in per_op.items()}, planes
+    return {k: v / 1e12 / steps for k, v in per_op.items()}, summary
 
 
 def classify(opcode, flops, byts, secs):
@@ -213,30 +227,48 @@ def main():
     if isinstance(ca, list):
         ca = ca[0]
 
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with open(os.path.join(args.trace_dir, "hlo.txt"), "w") as f:
+        f.write(txt)  # keep alongside the trace for offline re-joins
     state = capture(step, state, x, args.steps, args.trace_dir)
-    times, planes = load_device_op_times(args.trace_dir, args.steps)
+    times, summary = load_device_op_times(args.trace_dir, args.steps)
     if not times:
-        print(f"NO DEVICE EVENTS in trace (planes: {planes}); "
-              "static bytes ranking only")
+        print("NO DEVICE EVENTS in trace; static bytes ranking only")
 
-    # join: xplane op names match HLO instruction names (fusion.N etc.)
+    # join: 'XLA Ops' metadata names are the full HLO instruction text
+    # ("%fusion.12 = bf16[...] fusion(...)"); key on the %name prefix.
     rows = []
     known = set()
     for name, secs in sorted(times.items(), key=lambda kv: -kv[1]):
-        base = name.split("/")[-1]
-        d = defs.get(base) or defs.get(base.lstrip("%"))
+        base = name.split(" = ")[0].strip().lstrip("%")
+        d = defs.get(base)
         byts = op_bytes(base, defs) if d else 0
-        opcode = d[1] if d else "?"
-        rows.append(dict(op=name, opcode=opcode, us=secs * 1e6,
+        opcode = d[1] if d else name.split("(")[0].strip().lstrip("%")
+        rows.append(dict(op=base or name[:60], opcode=opcode, us=secs * 1e6,
                          bytes=byts, gbps=byts / secs / 1e9 if secs else 0))
         known.add(base)
 
     total = sum(r["us"] for r in rows)
-    print(f"\ndevice time/step: {total:.1f} us over {len(rows)} ops "
-          f"(aggregate flops {ca.get('flops', 0)/1e9:.1f} G, "
-          f"bytes {ca.get('bytes accessed', 0)/1e9:.3f} GB)")
-    print(f"roofline: flops {ca.get('flops', 0)/PEAK_FLOPS*1e6:.1f} us, "
-          f"HBM {ca.get('bytes accessed', 0)/PEAK_HBM*1e6:.1f} us")
+    mod_us = summary.get("module_s_per_step", 0) * 1e6
+    async_us = summary.get("async_s_per_step", 0) * 1e6
+    t_hbm = ca.get("bytes accessed", 0) / PEAK_HBM * 1e6
+    print(f"\nmodule exec/step  : {mod_us:.1f} us   "
+          f"(sync-op sum {total:.1f} us over {len(rows)} ops; "
+          f"async-DMA line {async_us:.1f} us, overlapped)")
+    print(f"aggregate         : flops {ca.get('flops', 0)/1e9:.1f} G, "
+          f"bytes {ca.get('bytes accessed', 0)/1e9:.3f} GB")
+    print(f"roofline          : flops {ca.get('flops', 0)/PEAK_FLOPS*1e6:.1f} "
+          f"us, HBM {t_hbm:.1f} us -> "
+          f"{(t_hbm / mod_us * 100) if mod_us else 0:.1f}% of HBM bound")
+
+    # per-opcode rollup: where the step time lives by op class
+    by_code = collections.Counter()
+    for r in rows:
+        by_code[r["opcode"]] += r["us"]
+    print("\nper-opcode rollup (us/step):")
+    for code, us in by_code.most_common(12):
+        print(f"  {code:<28} {us:8.1f}  {us/total*100:5.1f}%")
+
     print(f"\n{'op':<58} {'code':<14} {'us':>8} {'%':>5} "
           f"{'MB':>8} {'GB/s':>7}")
     for r in rows[:args.top]:
@@ -255,7 +287,9 @@ def main():
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(dict(total_us=total, rows=rows[:args.top],
+            json.dump(dict(total_us=total, module_us=mod_us,
+                           async_us=async_us, rows=rows[:args.top],
+                           by_opcode=dict(by_code.most_common(20)),
                            flops=ca.get("flops", 0),
                            bytes=ca.get("bytes accessed", 0)), f, indent=2)
         print(f"wrote {args.json}")
