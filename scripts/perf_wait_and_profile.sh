@@ -24,15 +24,19 @@ EOF
 }
 
 echo "[$(date +%T)] waiting for tunnel..."
+ok=0
 for i in $(seq 1 60); do
   if probe; then
     echo "[$(date +%T)] tunnel up (attempt $i)"
+    ok=1
     break
   fi
   echo "[$(date +%T)] probe $i failed; sleeping 90s"
   sleep 90
 done
-probe || { echo "[$(date +%T)] tunnel never came back; giving up"; exit 1; }
+# trust the successful in-loop probe; re-probing here risks a momentary
+# tunnel flake aborting the whole queue right after it was confirmed up
+[ "$ok" = 1 ] || { echo "[$(date +%T)] tunnel never came back; giving up"; exit 1; }
 
 run() {  # run <name> <args...>: two attempts, 900s each
   local name=$1; shift

@@ -182,12 +182,19 @@ def load_device_op_times(trace_dir, steps):
             continue
         meta = plane.event_metadata
         for line in plane.lines:
+            if not line.events:
+                # idle planes (multi-chip hosts over the tunnel) still carry
+                # empty 'XLA Modules' lines — don't clobber real totals with 0
+                continue
             tot = sum(ev.duration_ps for ev in line.events)
             if line.name == "XLA Modules":
-                summary["module_s_per_step"] = tot / 1e12 / steps
-                summary["module_events"] = len(line.events)
+                summary["module_s_per_step"] = (
+                    summary.get("module_s_per_step", 0.0) + tot / 1e12 / steps)
+                summary["module_events"] = (
+                    summary.get("module_events", 0) + len(line.events))
             elif line.name == "Async XLA Ops":
-                summary["async_s_per_step"] = tot / 1e12 / steps
+                summary["async_s_per_step"] = (
+                    summary.get("async_s_per_step", 0.0) + tot / 1e12 / steps)
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
@@ -230,6 +237,10 @@ def main():
     os.makedirs(args.trace_dir, exist_ok=True)
     with open(os.path.join(args.trace_dir, "hlo.txt"), "w") as f:
         f.write(txt)  # keep alongside the trace for offline re-joins
+    with open(os.path.join(args.trace_dir, "meta.json"), "w") as f:
+        json.dump({"steps": args.steps,
+                   "flops": ca.get("flops", 0),
+                   "bytes": ca.get("bytes accessed", 0)}, f)
     state = capture(step, state, x, args.steps, args.trace_dir)
     times, summary = load_device_op_times(args.trace_dir, args.steps)
     if not times:
@@ -243,7 +254,11 @@ def main():
         base = name.split(" = ")[0].strip().lstrip("%")
         d = defs.get(base)
         byts = op_bytes(base, defs) if d else 0
-        opcode = d[1] if d else name.split("(")[0].strip().lstrip("%")
+        if d:
+            opcode = d[1]
+        else:
+            om = _OPCODE_RE.search(name)
+            opcode = om.group(1) if om else "?"
         rows.append(dict(op=base or name[:60], opcode=opcode, us=secs * 1e6,
                          bytes=byts, gbps=byts / secs / 1e9 if secs else 0))
         known.add(base)

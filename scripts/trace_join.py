@@ -11,6 +11,7 @@ analysis iterate while the chip (or the axon tunnel) is busy.
 import argparse
 import collections
 import glob
+import json
 import os
 import sys
 
@@ -24,11 +25,28 @@ from step_profile import (PEAK_FLOPS, PEAK_HBM, load_device_op_times,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trace_dir", required=True)
-    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the step count recorded in meta.json "
+                        "(falls back to 10 if neither is available)")
     p.add_argument("--flops", type=float, default=0)
     p.add_argument("--bytes", type=float, default=0)
     p.add_argument("--top", type=int, default=30)
     args = p.parse_args()
+
+    # step_profile.py persists the capture's step count (and cost_analysis
+    # totals) into meta.json; prefer that over a guessed flag so re-joining
+    # a --steps 8 trace can't silently deflate per-step times by 1.25x.
+    meta = {}
+    meta_path = os.path.join(args.trace_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if args.steps is None:
+        args.steps = int(meta.get("steps", 10))
+    if not args.flops:
+        args.flops = float(meta.get("flops", 0))
+    if not args.bytes:
+        args.bytes = float(meta.get("bytes", 0))
 
     hlo_path = os.path.join(args.trace_dir, "hlo.txt")
     defs, entry = ({}, set())
