@@ -192,6 +192,92 @@ def project_weight_rows(U: Array, G: Array) -> Array:
     return jax.vmap(lambda u: dual_cone_project_weights(u, G))(U)
 
 
+def cagrad_exact(G: Array, c: float) -> Array:
+    """Exact CAGrad weights (Liu et al. 2021; torchjd CAGrad — the
+    reference builds it with c=1.0, main.py:1218).
+
+    Solves ``min_{w in simplex} F(w) = w^T G g0 + sqrt(phi) ||g_w||`` with
+    ``phi = c^2 g0^T G g0`` by support enumeration, then returns
+    ``alpha = g0 + (sqrt(phi)/||g_w||) w`` (no 1/(1+c^2) rescale — the
+    upstream torchjd convention, see the anchored docs example in
+    tests/test_refharness.py).
+
+    On a support S the KKT stationarity of the restricted problem reads
+    ``b_S + s (G y)_S = nu 1`` with ``y = w/||g_w||``, ``y^T G y = 1`` —
+    eliminating y gives a scalar quadratic in nu:
+    ``nu^2 (1^T G_SS^-1 1) - 2 nu (1^T G_SS^-1 b_S) + b_S^T G_SS^-1 b_S
+    = s^2``. Both roots of every nonempty support are evaluated through
+    the TRUE objective F at their (feasibility-masked) w, and the argmin
+    taken: every candidate is a feasible point (F >= F*) and the true
+    support's minimizing root attains F* exactly, so the enumeration is
+    exact for any PSD G — including the severely scale-split Gramians
+    (diag ratios ~1e6 between reconstruction and codebook objectives)
+    where fixed-iteration mirror descent stalls far from the optimum
+    (the r4 lockstep study caught exactly that)."""
+    m = G.shape[0]
+    # scale normalization for solve conditioning: F scales uniformly by
+    # 1/kappa under G -> G/kappa, so the argmin (and alpha) are invariant
+    kappa = jnp.clip(jnp.max(jnp.abs(G)), min=1e-30)
+    Gn = (G / kappa).astype(jnp.float32)
+    g0 = jnp.full((m,), 1.0 / m, Gn.dtype)
+    b = Gn @ g0
+    phi = jnp.clip(g0 @ b, min=1e-30)
+    s = c * jnp.sqrt(phi)
+    masks = jnp.asarray(_all_masks(m)[1:], Gn.dtype)  # nonempty supports
+    tol = 1e-6
+
+    def solve_mask(sm):
+        # tiny on-support ridge: a task with an exactly-zero Gramian row
+        # (e.g. the embedding loss under the feature-Jacobian path, whose
+        # gradient lives entirely in the codebook "task params") makes the
+        # masked system singular — yet such a task's singleton support IS
+        # the optimum (F = 0 there); the ridge keeps the solve finite and
+        # the exact F evaluation still ranks the candidate correctly
+        A = (Gn * (sm[:, None] * sm[None, :]) + jnp.diag(1.0 - sm)
+             + 1e-12 * jnp.diag(sm))
+        bS = sm * b
+        x1 = jax.scipy.linalg.solve(A, sm, assume_a="pos")
+        xb = jax.scipy.linalg.solve(A, bS, assume_a="pos")
+        A11 = sm @ x1
+        A1b = sm @ xb
+        Abb = bS @ xb
+        disc = A1b * A1b - A11 * (Abb - s * s)
+        sq = jnp.sqrt(jnp.clip(disc, min=0.0))
+        denom = jnp.where(A11 > 0, A11, 1.0)
+
+        def cand(nu):
+            # y_S = (1/s) G_SS^-1 (nu 1 - b_S), expressed via x1/xb
+            y = sm * (nu * x1 - xb) / jnp.clip(s, min=1e-30)
+            sy = jnp.sum(y)
+            w = y / jnp.where(jnp.abs(sy) > 1e-12, sy, 1.0)
+            gww = jnp.clip(w @ Gn @ w, min=1e-30)
+            F = w @ b + s * jnp.sqrt(gww)
+            bad = jnp.logical_or(
+                jnp.logical_or(disc < -tol, sy <= 1e-12),
+                jnp.logical_or(jnp.any(y < -tol),
+                               jnp.logical_or(A11 <= 0,
+                                              jnp.any(jnp.isnan(w)))))
+            return w, jnp.where(bad, jnp.inf, F)
+
+        wa, Fa = cand((A1b + sq) / denom)
+        wb, Fb = cand((A1b - sq) / denom)
+        take_a = Fa <= Fb
+        return (jnp.where(take_a, wa, wb),
+                jnp.where(take_a, Fa, Fb))
+
+    ws, Fs = jax.vmap(solve_mask)(masks)
+    best = jnp.argmin(Fs)
+    # numerical fallback (all-zero G etc.): w = g0
+    w = jnp.where(jnp.isfinite(Fs[best]), ws[best], g0)
+    gw_norm = jnp.sqrt(jnp.clip(w @ Gn @ w, min=0.0))
+    # ||g_w|| ~ 0 (w supported on zero-gradient tasks): lam*g_w -> 0 in
+    # gradient space whatever lam is — return lam = 0 so the logged alpha
+    # stays finite instead of s/eps (the update direction is identical)
+    lam = jnp.where(gw_norm > 1e-9 * s, s / jnp.clip(gw_norm, min=1e-30),
+                    0.0)
+    return g0 + lam * w
+
+
 # ---------------------------------------------------------------------------
 # Eigen balance transform (AlignedMTL; aligned_mtl.py:104-133)
 # ---------------------------------------------------------------------------

@@ -226,17 +226,24 @@ def _train_prior_impl(results: Dict[str, Any], args
     batch_size = parallel.pad_to_devices(args.batch_size)
     lr = getattr(args, "pixelcnn_lr", 3e-4)
 
-    extract = extract_codes(model, state, hierarchical,
-                            normalize_inputs=results.get("normalize", False))
-    # resumed runs point the cache at the interrupted run's save_root so
-    # the prior continues on the SAME augmented code snapshot (a fresh
-    # extraction would redraw the loader's random flips)
-    cache_root = results.get("prior_cache_root") or save_root
-    levels, cached = get_or_extract_codes(
-        extract, results["train_loader"], cache_root, args.arch,
-        args.dataset, model.num_embeddings, model.input_size, hierarchical,
-        force_extract=getattr(args, "prior_force_extract_codes", False),
-        use_cache=getattr(args, "prior_use_lmdb_codes", True))
+    if results.get("prior_levels") is not None:
+        # pre-supplied frozen code levels (equivalence studies / code-set
+        # reuse): skip the VQ extraction sweep entirely
+        levels, cached = results["prior_levels"], False
+    else:
+        extract = extract_codes(
+            model, state, hierarchical,
+            normalize_inputs=results.get("normalize", False))
+        # resumed runs point the cache at the interrupted run's save_root so
+        # the prior continues on the SAME augmented code snapshot (a fresh
+        # extraction would redraw the loader's random flips)
+        cache_root = results.get("prior_cache_root") or save_root
+        levels, cached = get_or_extract_codes(
+            extract, results["train_loader"], cache_root, args.arch,
+            args.dataset, model.num_embeddings, model.input_size,
+            hierarchical,
+            force_extract=getattr(args, "prior_force_extract_codes", False),
+            use_cache=getattr(args, "prior_use_lmdb_codes", True))
     pc = jax.process_count()
     # multi-host: args.batch_size is the GLOBAL batch (as in run_training) —
     # each host loads its 1/pc slice; per-host code shards can differ by a
@@ -335,12 +342,26 @@ def _train_prior_impl(results: Dict[str, Any], args
         n_full = min(n_batches, loader.n // local_bs)
     opt_steps_per_epoch = max(1, n_full // accum_k + n_full % accum_k
                               + (n_batches - n_full))
-    sched = optax.cosine_decay_schedule(lr, epochs * opt_steps_per_epoch,
-                                        alpha=1e-6 / lr)
+    # torch CosineAnnealingLR steps per EPOCH (reference main.py:955-957,
+    # 1035: T_max=pixelcnn_epochs, eta_min=1e-6, scheduler.step() once per
+    # epoch) — LR is constant within an epoch. Quantize the optimizer-step
+    # counter to the epoch index so the LR trajectory matches the
+    # reference exactly (r4: the earlier smooth per-step cosine agreed
+    # only at epoch boundaries).
+    ep_sched = optax.cosine_decay_schedule(lr, epochs, alpha=1e-6 / lr)
+
+    def sched(count):
+        return ep_sched(count // opt_steps_per_epoch)
+
     wd = getattr(args, "pixelcnn_weight_decay", 0.0) or 0.0
+    # eps override for cross-framework lockstep studies (at torch/optax's
+    # shared 1e-8 default, sub-fp-noise gradient elements take full +-lr
+    # steps and independent implementations diverge by construction — see
+    # tests/test_torch_lockstep.py)
+    adam_eps = float(getattr(args, "pixelcnn_adam_eps", 1e-8) or 1e-8)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(sched, weight_decay=wd) if wd
-                     else optax.adam(sched))
+                     optax.adamw(sched, weight_decay=wd, eps=adam_eps) if wd
+                     else optax.adam(sched, eps=adam_eps))
     params = _place(params)
     opt_state = tx.init(params)  # moments inherit the param layout
 
@@ -486,6 +507,7 @@ def _train_prior_impl(results: Dict[str, Any], args
     # (pc > 1: n_global stays the allgathered global code count computed
     # above — args.dataset_size can be a guessed echo on checkpoint-restored
     # runs and must not drive the host-invariant tail weights)
+    step_trace = results.get("prior_step_trace")  # per-step CE capture
     for epoch in range(start_epoch, epochs + 1):
         meter = AverageMeter()
         pending = []  # delayed host fetches (overlap device compute)
@@ -497,6 +519,8 @@ def _train_prior_impl(results: Dict[str, Any], args
                 tl = np.asarray(jax.device_get(out["total_loss"]))
                 for loss, w in zip(np.atleast_1d(tl), ws):
                     meter.update(float(loss), n=w)
+                    if step_trace is not None:
+                        step_trace.append(float(loss))
             pending.clear()
 
         def dispatch_buf(force=False):

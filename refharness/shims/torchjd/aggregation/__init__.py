@@ -190,22 +190,45 @@ class _CAGradWrapper(Weighting[PSDMatrix]):
         m = G.shape[0]
         g0 = np.full(m, 1.0 / m)
         gg = float(g0 @ G @ g0)
-        sqrt_phi = self.c * np.sqrt(max(gg, 1e-12))
+        sqrt_phi = self.c * np.sqrt(max(gg, 1e-30))
 
         def obj(w):
             return float(w @ G @ g0 + sqrt_phi * np.sqrt(max(w @ G @ w,
-                                                             1e-12)))
+                                                             1e-30)))
 
-        res = minimize(obj, g0, bounds=[(0.0, 1.0)] * m,
-                       constraints={"type": "eq",
-                                    "fun": lambda w: w.sum() - 1.0},
-                       method="SLSQP")
-        w = res.x
-        gw_norm = np.sqrt(max(w @ G @ w, 1e-12))
-        lam = sqrt_phi / gw_norm
+        # deterministic multistart: a single SLSQP start from g0 misses the
+        # boundary optima of scale-split Gramians (verified against
+        # support-enumeration + multistart oracles) — start from the
+        # uniform point, every vertex, and every edge midpoint, keep the
+        # best. The optimum, not any one solver trajectory, defines CAGrad.
+        starts = [g0] + [np.eye(m)[i] for i in range(m)]
+        for i in range(m):
+            for j in range(i + 1, m):
+                e = np.zeros(m)
+                e[i] = e[j] = 0.5
+                starts.append(e)
+        best = None
+        for w0 in starts:
+            res = minimize(obj, w0, bounds=[(0.0, 1.0)] * m,
+                           constraints={"type": "eq",
+                                        "fun": lambda w: w.sum() - 1.0},
+                           method="SLSQP",
+                           options={"ftol": 1e-16, "maxiter": 500})
+            if best is None or res.fun < best.fun:
+                best = res
+        w = best.x
+        gw_norm = np.sqrt(max(w @ G @ w, 0.0))
+        # w supported on zero-gradient tasks => lam*g_w == 0 regardless of
+        # lam; report lam = 0 so weights stay finite (same rule as
+        # movae_tpu solvers.cagrad_exact)
+        lam = (sqrt_phi / gw_norm if gw_norm > 1e-9 * sqrt_phi else 0.0)
+        # NOTE: no 1/(1+c^2) rescale — torchjd returns g_0 + lam*g_w
+        # directly (docs example J=[[-4,1,1],[6,1,1]], c=0.5 ->
+        # [0.1835, 1.2041, 1.2041]); the CAGrad paper's optional rescale
+        # is not applied upstream, and movae_tpu's _cagrad_alpha matches.
         weights = g0 + lam * w
-        return torch.as_tensor(weights / (1.0 + self.c ** 2),
-                               dtype=gramian.dtype, device=gramian.device)
+        return torch.as_tensor(weights, dtype=gramian.dtype,
+                               device=gramian.device)
 
 
 class CAGrad(GramianWeightedAggregator):
@@ -234,14 +257,23 @@ class _NashMTLWrapper(Weighting[PSDMatrix]):
             from scipy.optimize import least_squares
 
             G = gramian.detach().cpu().double().numpy()
-            G = G + 1e-8 * np.eye(G.shape[0])
+            # RELATIVE ridge: a task whose Gramian row is exactly zero
+            # (feature-Jacobian path) makes G a = 1/a unsolvable (a_i ->
+            # inf); 1e-8*max|G| keeps the bargaining problem well-posed at
+            # every gradient scale while perturbing real tasks by <=1e-8
+            # relative (movae_tpu solvers._nashmtl_solve applies the same)
+            G = G + 1e-8 * max(np.abs(G).max(), 1e-300) * np.eye(G.shape[0])
 
             def resid(log_a):
                 a = np.exp(log_a)
                 return G @ a - 1.0 / a
 
-            sol = least_squares(resid, np.zeros(self.n_tasks),
-                                max_nfev=50 * self.optim_niter)
+            # decoupled-solution init (a_i = 1/sqrt(G_ii)): near-zero rows
+            # live at a ~ 1e6 where a zeros start stalls the trust region
+            # (same init as movae_tpu's _nashmtl_solve)
+            x0 = -0.5 * np.log(np.clip(np.diag(G), 1e-300, None))
+            sol = least_squares(resid, x0, max_nfev=50 * self.optim_niter,
+                                xtol=1e-15, ftol=1e-15, gtol=1e-15)
             self._weights = torch.as_tensor(np.exp(sol.x),
                                             dtype=gramian.dtype)
         self._calls += 1

@@ -71,15 +71,61 @@ NORM_EPS = 1e-4
 REG_EPS = 1e-4
 
 
+# archs built on the conv-VAE trunk: the log_var head bias can be pinned
+# to -60 so different-RNG reparameterization noise is ~1e-13 of the signal
+PINNED_VAE_ARCHS = ("vae", "recursive_kl_vae")
+# archs whose loss depends on the reparameterization draw itself (the
+# BetaTC log-density decomposition evaluates -0.5*eps^2 terms): the movae
+# step's eps is captured and replayed into the torch net instead
+EPS_INJECT_ARCHS = ("betatc_vae",)
+# comfort's beta schedule only moves across epochs: split the study's
+# steps into this many virtual epochs so the blend is exercised l->u
+COMFORT_EPOCHS = 5
+
+
 def model_args(arch):
     extra = (dict(latent_dim=LATENT, layer_norm="batch")
-             if arch in ("vae", "betatc_vae") else
+             if arch in ("vae", "betatc_vae", "recursive_kl_vae") else
              dict(embedding_dim=8, num_embeddings=32,
                   num_residual_layers=2, latent_dim=LATENT))
+    if arch == "recursive_kl_vae":
+        # the reference's DEFAULT lambda path for this arch is a live bug:
+        # the registry builds {'recursive_kld_loss'} (models/__init__.py:
+        # 59-63) but the base-VAE key validation runs BEFORE the rename and
+        # demands {'kld_loss'} (vae.py:66-79, recursive_kl_vae.py:55-60) —
+        # only the LIST form reaches training; use it on both sides
+        extra["loss_weights"] = [1.0, 0.00025]
     return dict(arch=arch, hidden_dims=list(HIDDEN), batch_size=BATCH,
                 dataset_size=DATASET_SIZE, recons_objective="mse",
-                recons_activation="tanh" if arch == "vae" else None,
+                recons_activation=("tanh" if arch in PINNED_VAE_ARCHS
+                                   else None),
                 **extra)
+
+
+def derive_agg_randomness(agg, steps, m):
+    """Replay material for stochastic aggregators: host-side derivation of
+    the EXACT per-step draws the movae train step will make (compute_grads:
+    ``rng, agg_key = split(sub)``; pcgrad: per-task permutation keys,
+    pnupgrad: one uniform coin — movae_tpu/moo/aggregators.py:141-204).
+    The torch side patches torch.randperm/torch.rand to replay these, so
+    both frameworks keep the REFERENCE's random-order/random-coin semantics
+    (pnupgrad.py:127-134; torchjd PCGrad) while drawing identically."""
+    if agg not in ("pcgrad", "pnupgrad"):
+        return None
+    import jax
+
+    rng = jax.random.PRNGKey(3)
+    out = []
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        _, agg_key = jax.random.split(sub)
+        if agg == "pcgrad":
+            keys = jax.random.split(agg_key, m)
+            out.append([np.asarray(jax.random.permutation(k, m))
+                        for k in keys])
+        else:
+            out.append(float(jax.random.uniform(agg_key)))
+    return out
 
 
 def build_batches(steps, seed=0):
@@ -90,14 +136,15 @@ def build_batches(steps, seed=0):
 
 # ---------------------------------------------------------------- movae side
 
-def run_movae(arch, agg, steps, optimizer, batches):
+def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
+              sched_epochs=1, drift_every=0):
     import jax
     import jax.numpy as jnp
     from flax import traverse_util
 
     from movae_tpu.models import get_network, init_model
     from movae_tpu.moo import AggregatorConfig, init_state
-    from movae_tpu.train.optim import build_optimizer
+    from movae_tpu.train.optim import build_optimizer, lr_schedule
     from movae_tpu.train.state import TrainState
     from movae_tpu.train.step import make_train_step
     from movae_tpu.utils.torch_export import export_torch_state_dict
@@ -105,7 +152,7 @@ def run_movae(arch, agg, steps, optimizer, batches):
     model = get_network(SIZE, 3, model_args(arch))
     params, bstats = init_model(model, jax.random.PRNGKey(0), SIZE, 3,
                                 batch_size=2)
-    if arch == "vae":
+    if arch in PINNED_VAE_ARCHS:
         flat = traverse_util.flatten_dict(params)
         key = next(k for k in flat if "log_var" in k and k[-1] == "bias")
         flat[key] = jnp.full_like(flat[key], -60.0)
@@ -115,47 +162,106 @@ def run_movae(arch, agg, steps, optimizer, batches):
 
     cfg = AggregatorConfig(name=agg, norm_eps=NORM_EPS, reg_eps=REG_EPS,
                            num_objectives=len(model.objective_names))
-    tx = build_optimizer(optimizer, LR, eps=EPS)
+    # comfort: virtual epochs so comfort_beta actually schedules l->u
+    # (reference sets beta per epoch via set_epoch, main.py:1290-1291);
+    # an active LR scheduler defines the epoch split the same way
+    if scheduler:
+        total_epochs, spe = sched_epochs, max(1, steps // sched_epochs)
+        lr = lr_schedule(LR, scheduler, sched_epochs, spe)
+    elif agg == "comfort":
+        total_epochs, spe = COMFORT_EPOCHS, max(1, steps // COMFORT_EPOCHS)
+        lr = LR
+    else:
+        total_epochs, spe, lr = 1, steps, LR
+    tx = build_optimizer(optimizer, lr, eps=EPS)
     state = TrainState.create(model.apply, params, bstats, tx,
                               init_state(cfg))
-    step_fn = jax.jit(make_train_step(model, cfg, 1, steps))
+    step_fn = jax.jit(make_train_step(model, cfg, total_epochs, spe))
+
+    capture_eps = arch in EPS_INJECT_ARCHS
+    if capture_eps:
+        # the in-step heads apply's make_rng("sample") folds identically to
+        # a plain forward_with_losses apply (same root scope, first call on
+        # the stream), so replaying the step's rng here reproduces the
+        # exact eps the step will draw; mutable updates are discarded
+        @jax.jit
+        def cap(p, bs, x, r0):
+            (_, _, outputs), _ = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                method="forward_with_losses", mutable=["batch_stats"],
+                rngs={"sample": jax.random.split(r0)[0],
+                      "dropout": jax.random.split(r0)[1]})
+            return outputs["z"], outputs["mu"], outputs["log_var"]
 
     rng = jax.random.PRNGKey(3)
-    traj = []
-    for xb in batches:
+    traj, eps_seq, snapshots = [], [], {}
+    for i, xb in enumerate(batches):
         rng, sub = jax.random.split(rng)
+        if capture_eps:
+            r0 = jax.random.split(sub)[0]
+            z, mu, lv = cap(state.params, state.batch_stats,
+                            jnp.asarray(xb), r0)
+            eps_seq.append(np.asarray((z - mu) * jnp.exp(-0.5 * lv)))
         state, metrics = step_fn(state, jnp.asarray(xb), sub)
         traj.append({k: float(v) for k, v in metrics.items()
                      if np.ndim(v) == 0})
+        if drift_every and (i + 1) % drift_every == 0:
+            snapshots[i + 1] = {
+                k: np.asarray(v) for k, v in export_torch_state_dict(
+                    state.params, state.batch_stats, arch).items()}
     final_sd = {k: np.asarray(v) for k, v in export_torch_state_dict(
         state.params, state.batch_stats, arch).items()}
     return dict(objective_names=list(model.objective_names), init_sd=init_sd,
-                traj=traj, final_sd=final_sd,
+                traj=traj, final_sd=final_sd, snapshots=snapshots,
+                eps_seq=eps_seq if capture_eps else None,
                 _flax=(model, state.params, state.batch_stats))
 
 
 # ---------------------------------------------------------------- torch side
 
 def make_reference_aggregator(agg, num_objectives):
-    """Reference aggregator wiring (main.py:1191-1234), same eps flags."""
+    """Reference aggregator wiring (main.py:1191-1244), same eps flags.
+    nupgrad/pnupgrad/aligned_mtl/mgda*/comfort are the reference's OWN code
+    (utils/torchmoo) on the shim torchjd bases; upgrad/pcgrad/cagrad/
+    nashmtl/dualproj/imtlg/mean use the shim aggregators anchored in
+    tests/test_refharness.py."""
     if agg == "sum":
         return "sum", None
     import torch  # noqa: F401
-    from torchjd.aggregation import IMTLG, DualProj, Mean, UPGrad
-    from utils.torchmoo import MGDA, AlignedMTL, NUPGrad
+    from torchjd.aggregation import (CAGrad, IMTLG, DualProj, Mean, NashMTL,
+                                     PCGrad, UPGrad)
+    from utils.torchmoo import COMFORT, MGDA, AlignedMTL, NUPGrad, PNUPGrad
 
     table = {
         "upgrad": lambda: UPGrad(norm_eps=NORM_EPS, reg_eps=REG_EPS),
         "mean": lambda: Mean(),
         "dualproj": lambda: DualProj(norm_eps=NORM_EPS, reg_eps=REG_EPS),
         "imtlg": lambda: IMTLG(),
+        "pcgrad": lambda: PCGrad(),
+        "cagrad": lambda: CAGrad(c=1.0, norm_eps=NORM_EPS),
+        # update_weights_every = len(train_loader) in the reference
+        # (main.py:1220); the study's loaders have length 1
+        "nashmtl": lambda: NashMTL(n_tasks=num_objectives,
+                                   update_weights_every=1, optim_niter=20),
         "nupgrad": lambda: NUPGrad(norm_eps=NORM_EPS, reg_eps=REG_EPS),
+        "pnupgrad": lambda: PNUPGrad(norm_eps=NORM_EPS, reg_eps=REG_EPS),
         "aligned_mtl": lambda: AlignedMTL(pref_vector=None),
         "mgda": lambda: MGDA(epsilon=1e-5, max_iters=250),
+        "mgda_ln": lambda: MGDA(epsilon=1e-5, max_iters=250,
+                                norm_type="l2"),
+        "mgda_gn": lambda: MGDA(epsilon=1e-5, max_iters=250,
+                                norm_type="loss"),
+        "mgda_lgn": lambda: MGDA(epsilon=1e-5, max_iters=250,
+                                 norm_type="loss+"),
+        "comfort": lambda: COMFORT(mgda_epsilon=1e-5, mgda_max_iters=250),
     }
     if agg not in table:
         raise SystemExit(f"aggregator {agg} not wired into the study")
     aggregator = table[agg]()
+    if agg == "comfort":
+        # COMFORT.weighting exposes only the MGDA branch (comfort.py:148);
+        # movae logs the BLENDED alpha — no comparable capture, skip it
+        return aggregator, None
     captured = []
     aggregator.weighting.register_forward_hook(
         lambda _m, _inp, weights: captured.append(
@@ -163,7 +269,9 @@ def make_reference_aggregator(agg, num_objectives):
     return aggregator, captured
 
 
-def run_torch(arch, agg, steps, optimizer, batches, init_sd):
+def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
+              agg_draws=None, scheduler=None, sched_epochs=1,
+              drift_every=0):
     import refharness
     ref_main = refharness.activate()
     import torch
@@ -174,11 +282,32 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd):
     net = ref_get_network(SIZE, 3, args, device="cpu")
     missing, unexpected = net.load_state_dict(
         {k: torch.tensor(v) for k, v in init_sd.items()}, strict=False)
-    bad = ([k for k in missing if "num_batches_tracked" not in k]
+    # vq_top./vq_bottom. are ALIASES of quantize_t./quantize_b. (the same
+    # module objects, reference vq_vae2.py:199-201) — loading the primary
+    # keys updates them; they only appear in `missing` because state_dict
+    # lists both names
+    # sobel_x/sobel_y are CONSTANT filter buffers (gg_vq_vae.py:57-60) —
+    # nothing to sync; movae bakes the same constants into ops/sobel.py
+    bad = ([k for k in missing if "num_batches_tracked" not in k
+            and not k.startswith(("vq_top.", "vq_bottom.", "sobel_"))]
            + list(unexpected))
     if bad:
         raise SystemExit(f"weight-sync key mismatch vs reference net: {bad}")
     net.train()
+
+    # the reference's anneal counters are CLASS attributes (BetaTCVAE /
+    # RecursiveKLVAE num_iter, betatc_vae.py:13, recursive_kl_vae.py:41):
+    # a previous config's run in this process would leak its step count
+    for cls in type(net).__mro__:
+        if "num_iter" in vars(cls):
+            cls.num_iter = 0
+
+    if eps_seq is not None:
+        # replay the movae step's reparameterization draws (instance attr
+        # shadows the bound method; reference signature betatc_vae.py:206)
+        eps_iter = iter([torch.tensor(e) for e in eps_seq])
+        net.reparameterize = (
+            lambda mu, logvar: mu + next(eps_iter) * torch.exp(0.5 * logvar))
 
     if optimizer == "adam":
         opt = torch.optim.Adam(net.parameters(), lr=LR, eps=EPS)
@@ -190,21 +319,53 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd):
 
     aggregator, captured = make_reference_aggregator(
         agg, len(net.objectives))
+    if scheduler:
+        spe = max(1, steps // sched_epochs)
+        if scheduler == "cosine":
+            # reference scheduler wiring + per-epoch stepping
+            # (main.py:1180-1183, 1393-1397); eta_min defaults to 0
+            sch = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=sched_epochs, eta_min=0.0)
+        else:
+            raise SystemExit(f"scheduler {scheduler} not wired")
+    else:
+        sch = None
+        spe = max(1, steps // COMFORT_EPOCHS) if agg == "comfort" else steps
 
-    traj, step = [], 0
-    for xb in batches:
+    traj, step, snapshots = [], 0, {}
+    for i, xb in enumerate(batches):
         xt = torch.tensor(xb.transpose(0, 3, 1, 2))
         if captured is not None:
             captured.clear()
-        meters, step = ref_main.train_epoch(
-            net, [(xt, torch.zeros(len(xt)))], opt, aggregator, step,
-            "cpu", args)
+        if agg == "comfort" and i % spe == 0:
+            aggregator.set_epoch(i // spe + 1,
+                                 sched_epochs if scheduler
+                                 else COMFORT_EPOCHS)
+        orig_randperm, orig_rand = torch.randperm, torch.rand
+        if agg_draws is not None and agg == "pcgrad":
+            perm_iter = iter(agg_draws[i])
+            torch.randperm = (
+                lambda n, _it=perm_iter: torch.tensor(next(_it)))
+        elif agg_draws is not None and agg == "pnupgrad":
+            coin = agg_draws[i]
+            torch.rand = lambda n, _c=coin: torch.tensor([_c])
+        try:
+            meters, step = ref_main.train_epoch(
+                net, [(xt, torch.zeros(len(xt)))], opt, aggregator, step,
+                "cpu", args)
+        finally:
+            torch.randperm, torch.rand = orig_randperm, orig_rand
         rec = {k: float(m.val) for k, m in meters.items()}
         if captured:
-            for i, w in enumerate(captured[-1]):
-                rec[f"task_{i}_weight"] = float(w)
+            for j, w in enumerate(captured[-1]):
+                rec[f"task_{j}_weight"] = float(w)
         traj.append(rec)
-    return dict(traj=traj,
+        if sch is not None and (i + 1) % spe == 0:
+            sch.step()  # per-EPOCH stepping (main.py:1393-1397)
+        if drift_every and (i + 1) % drift_every == 0:
+            snapshots[i + 1] = {k: v.detach().numpy().copy()
+                                for k, v in net.state_dict().items()}
+    return dict(traj=traj, snapshots=snapshots,
                 final_sd={k: v.detach().numpy().copy()
                           for k, v in net.state_dict().items()},
                 _net=net)
@@ -213,7 +374,7 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd):
 # ---------------------------------------------------------------- comparison
 
 def compare(arch, agg, mv, th, steps):
-    rows, worst = [], dict(loss=0.0, comp=0.0, weight=0.0)
+    rows, worst = [], dict(loss=0.0, comp=0.0, weight=0.0, weight_rel=0.0)
     names = mv["objective_names"]
     for i, (a, b) in enumerate(zip(mv["traj"], th["traj"])):
         d_loss = abs(a["total_loss"] - b["total_loss"]) / (
@@ -227,20 +388,35 @@ def compare(arch, agg, mv, th, steps):
             k = f"task_{j}_weight"
             if k in a and k in b:
                 worst["weight"] = max(worst["weight"], abs(a[k] - b[k]))
+                # relative form: degenerate zero-Gramian-row tasks carry
+                # alphas ~1/sqrt(ridge*|G|) (1e6-scale, zero gradient-space
+                # influence) where absolute deltas mislead
+                worst["weight_rel"] = max(
+                    worst["weight_rel"],
+                    abs(a[k] - b[k]) / (abs(b[k]) + 1e-6))
         rows.append(dict(step=i, movae=a["total_loss"],
                          torch=b["total_loss"], rel_delta=d_loss))
 
-    d_param = 0.0
-    for k, v in mv["final_sd"].items():
-        if "num_batches_tracked" in k:
-            continue
-        d_param = max(d_param, float(np.max(np.abs(v - th["final_sd"][k]))))
-    return dict(arch=arch, aggregator=agg, steps=steps,
-                max_rel_loss_delta=worst["loss"],
-                max_rel_component_delta=worst["comp"],
-                max_abs_weight_delta=worst["weight"],
-                final_max_param_delta=d_param,
-                first_loss=rows[0], last_loss=rows[-1])
+    def sd_delta(a, b):
+        return max(float(np.max(np.abs(v - b[k])))
+                   for k, v in a.items() if "num_batches_tracked" not in k)
+
+    d_param = sd_delta(mv["final_sd"], th["final_sd"])
+    drift = {str(s): dict(
+        param_delta=sd_delta(mv["snapshots"][s], th["snapshots"][s]),
+        rel_loss_delta=rows[s - 1]["rel_delta"])
+        for s in sorted(mv.get("snapshots", {}))
+        if s in th.get("snapshots", {})}
+    out = dict(arch=arch, aggregator=agg, steps=steps,
+               max_rel_loss_delta=worst["loss"],
+               max_rel_component_delta=worst["comp"],
+               max_abs_weight_delta=worst["weight"],
+               max_rel_weight_delta=worst["weight_rel"],
+               final_max_param_delta=d_param,
+               first_loss=rows[0], last_loss=rows[-1])
+    if drift:
+        out["drift"] = drift
+    return out
 
 
 # ------------------------------------------------------------------ mini gFID
@@ -350,6 +526,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--optimizer", default="rmsprop",
                     choices=["sgd", "adam", "rmsprop"])
+    ap.add_argument("--scheduler", default=None, choices=[None, "cosine"],
+                    help="activate the per-epoch LR scheduler on both "
+                         "sides (long-horizon drift study)")
+    ap.add_argument("--sched_epochs", type=int, default=10,
+                    help="virtual epochs the steps are split into for the "
+                         "scheduler / comfort beta")
+    ap.add_argument("--drift_every", type=int, default=0,
+                    help="snapshot the param delta every N steps")
     ap.add_argument("--gfid", action="store_true",
                     help="mini end-to-end gFID comparison instead of the "
                          "trajectory study (vae archs only)")
@@ -373,9 +557,17 @@ def main():
             arch, agg = spec.split(":")
             print(f"== {arch}:{agg} ({opts.steps} steps, "
                   f"{opts.optimizer}) ==", flush=True)
-            mv = run_movae(arch, agg, opts.steps, opts.optimizer, batches)
+            mv = run_movae(arch, agg, opts.steps, opts.optimizer, batches,
+                           scheduler=opts.scheduler,
+                           sched_epochs=opts.sched_epochs,
+                           drift_every=opts.drift_every)
+            draws = derive_agg_randomness(agg, opts.steps,
+                                          len(mv["objective_names"]))
             th = run_torch(arch, agg, opts.steps, opts.optimizer, batches,
-                           mv["init_sd"])
+                           mv["init_sd"], eps_seq=mv["eps_seq"],
+                           agg_draws=draws, scheduler=opts.scheduler,
+                           sched_epochs=opts.sched_epochs,
+                           drift_every=opts.drift_every)
             res = compare(arch, agg, mv, th, opts.steps)
             results.append(res)
             print(json.dumps(res, indent=2), flush=True)

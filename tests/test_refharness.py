@@ -24,7 +24,8 @@ _SHIMS = os.path.join(os.path.dirname(os.path.dirname(
 sys.path.insert(0, _SHIMS)
 try:
     import torchjd
-    from torchjd.aggregation import (IMTLG, DualProj, Mean, Sum, UPGrad)
+    from torchjd.aggregation import (CAGrad, IMTLG, DualProj, Mean, NashMTL,
+                                     PCGrad, Sum, UPGrad)
     from torchjd.aggregation._utils.dual_cone import project_weights
     from torchjd.autojac import backward, mtl_backward
 finally:
@@ -159,6 +160,61 @@ def test_upgrad_no_conflict_equals_mean():
     J = torch.tensor([[1.0, 0.2], [0.8, 0.5]])
     np.testing.assert_allclose(UPGrad()(J).numpy(), Mean()(J).numpy(),
                                atol=1e-3)
+
+
+def test_pcgrad_matches_published_example():
+    """torchjd docs example (J=[[-4,1,1],[6,1,1]] -> [0.5848, 3.8012,
+    3.8012]); for m=2 the result is projection-order independent, and the
+    value is also the closed-form PCGrad (Yu et al. 2020) hand derivation:
+    g1' = g1 - (g1.g2/|g2|^2) g2, g2' symmetric, summed."""
+    J = torch.tensor([[-4.0, 1.0, 1.0], [6.0, 1.0, 1.0]])
+    out = PCGrad()(J)
+    np.testing.assert_allclose(out.numpy(), [0.5848, 3.8012, 3.8012],
+                               atol=2e-4)
+
+
+def test_cagrad_matches_published_example():
+    """torchjd docs example at c=0.5 -> [0.1835, 1.2041, 1.2041]. Upstream
+    returns g_0 + lam*g_w with NO 1/(1+c^2) rescale (the CAGrad paper's
+    optional rescale is not applied) — this anchors that convention, which
+    movae_tpu's _cagrad_alpha shares."""
+    J = torch.tensor([[-4.0, 1.0, 1.0], [6.0, 1.0, 1.0]])
+    out = CAGrad(c=0.5)(J)
+    np.testing.assert_allclose(out.numpy(), [0.1835, 1.2041, 1.2041],
+                               atol=2e-3)
+
+
+def test_nashmtl_first_order_conditions():
+    """NashMTL's bargaining solution is defined by alpha > 0 with
+    G alpha = 1/alpha (Navon et al. 2022, eq. 5 first-order conditions —
+    the same property movae_tpu's _nashmtl_solve is KKT-anchored to in
+    tests/test_solvers.py). The shim's scipy solver must satisfy it on
+    conflicting and benign Gramians alike."""
+    rng = np.random.default_rng(0)
+    for m in (2, 3, 4):
+        J = torch.tensor(rng.normal(size=(m, 10)), dtype=torch.float64)
+        G = J @ J.T
+        agg = NashMTL(n_tasks=m)
+        # aggregator.weighting is MATRIX-level (takes J); the Gramian-level
+        # weighting underneath is what the first-order condition is on
+        alpha = agg.weighting.psd_weighting(G).double()
+        resid = G @ alpha - 1.0 / alpha
+        assert float(resid.abs().max()) < 1e-5, resid
+
+
+def test_nashmtl_update_cadence():
+    """update_weights_every=k: the solve refreshes only every k-th call,
+    returning the carried weights in between (the reference passes
+    k=len(train_loader), main.py:1220)."""
+    J1 = torch.tensor([[-4.0, 1.0, 1.0], [6.0, 1.0, 1.0]])
+    J2 = torch.tensor([[2.0, 0.0, 1.0], [0.0, 3.0, 1.0]])
+    agg = NashMTL(n_tasks=2, update_weights_every=2)
+    w = agg.weighting.psd_weighting
+    a = w(J1 @ J1.T)
+    b = w(J2 @ J2.T)  # second call: no refresh
+    np.testing.assert_allclose(a.numpy(), b.numpy())
+    c = w(J2 @ J2.T)  # third call: refresh on J2's Gramian
+    assert not np.allclose(a.numpy(), c.numpy())
 
 
 def test_dualproj_and_imtlg_shapes():

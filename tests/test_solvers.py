@@ -231,6 +231,51 @@ def test_cagrad_matches_scipy_inner_solve(m):
 
 
 @pytest.mark.parametrize("m", [2, 3, 4, 5])
+def test_cagrad_exact_scale_split_gramians(m):
+    """The support-enumeration CAGrad solve (solvers.cagrad_exact, r4) must
+    attain the multistart-SLSQP optimum on severely scale-split Gramians
+    (objective-norm ratios up to ~1e5 — the VQ regime where reconstruction
+    dwarfs the codebook losses and the r1 fixed-iteration mirror descent
+    stalled at 2-900x-off weights; caught by the r4 reference lockstep)."""
+    from scipy import optimize
+
+    rng = np.random.default_rng(40 + m)
+    for _ in range(10):
+        scales = 10.0 ** rng.uniform(-4, 1, size=m)
+        A = rng.normal(size=(m, m + 5)) * scales[:, None]
+        Gm = A @ A.T
+        w0 = np.full(m, 1.0 / m)
+        sqrt_phi = np.sqrt(w0 @ Gm @ w0)
+
+        def obj(w):
+            return w @ Gm @ w0 + sqrt_phi * np.sqrt(
+                max(w @ Gm @ w, 1e-300))
+
+        starts = [w0] + [np.eye(m)[i] for i in range(m)]
+        for i in range(m):
+            for j in range(i + 1, m):
+                e = np.zeros(m)
+                e[i] = e[j] = 0.5
+                starts.append(e)
+        best = min(
+            optimize.minimize(
+                obj, s, bounds=[(0.0, 1.0)] * m,
+                constraints={"type": "eq",
+                             "fun": lambda w: w.sum() - 1.0},
+                method="SLSQP",
+                options={"ftol": 1e-16, "maxiter": 500}).fun
+            for s in starts)
+
+        c = cfg("cagrad", num_objectives=m)
+        alpha = np.asarray(weights(c, G_=jnp.asarray(Gm, jnp.float32),
+                                   losses=jnp.ones(m)), np.float64)
+        w_ours = np.clip(alpha - w0, 0.0, None)
+        w_ours = w_ours / max(w_ours.sum(), 1e-300)
+        scale = abs(best) + sqrt_phi ** 2
+        assert obj(w_ours) <= best + 1e-4 * scale, (m, obj(w_ours), best)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4, 5])
 def test_nashmtl_kkt_random_gramians(m):
     """NashMTL first-order conditions alpha_i (G alpha)_i = const, alpha > 0
     on random well-conditioned Gramians (the reference solves the same
