@@ -87,7 +87,7 @@ def make_codes(hier: bool, seed: int = 7):
         x = rng.normal(size=(N, h + 2, w + 2))
         sm = (x[:, :-2, :-2] + x[:, 1:-1, :-2] + x[:, :-2, 1:-1]
               + 2 * x[:, 1:-1, 1:-1])
-        q = np.clip(((sm - sm.min()) / (sm.ptp() + 1e-9) * K).astype(
+        q = np.clip(((sm - sm.min()) / (np.ptp(sm) + 1e-9) * K).astype(
             np.int32), 0, K - 1)
         return q[:, :h, :w]
 
@@ -210,10 +210,15 @@ def run_torch(prior_kind: str, epochs: int, levels, init_sd):
 
         def get_code_indices(self, idx):
             i = idx.long().numpy()
+            # the real path returns argmin indices, i.e. Long tensors
+            # (vq_vae.py get_code_indices; CE requires Long targets)
             if hier:
-                return {"indices_top": torch.tensor(levels["top"][i]),
-                        "indices_bottom": torch.tensor(levels["bottom"][i])}
-            return torch.tensor(levels["codes"][i])
+                return {
+                    "indices_top": torch.tensor(levels["top"][i]).long(),
+                    "indices_bottom":
+                        torch.tensor(levels["bottom"][i]).long(),
+                }
+            return torch.tensor(levels["codes"][i]).long()
 
     trace = []
     saves = []
@@ -223,7 +228,13 @@ def run_torch(prior_kind: str, epochs: int, levels, init_sd):
             p = real_cls(**kw)
             missing, unexpected = p.load_state_dict(
                 {k: torch.tensor(v) for k, v in init_sd.items()},
-                strict=True)
+                strict=False)
+            # '.mask' buffers are the CONSTANT causal masks MaskedConv2d
+            # registers (pixelcnn_prior.py:30-54) — nothing to sync
+            bad = ([k for k in missing if not k.endswith(".mask")]
+                   + list(unexpected))
+            if bad:
+                raise SystemExit(f"prior init key mismatch: {bad}")
             if hier:
                 # per-step capture for the hierarchical path (the loop
                 # reads loss_function()["total_loss"], main.py:999-1002)
@@ -300,7 +311,16 @@ def compare(prior_kind, mv, th, epochs):
            for a, b in zip(mv["trace"], th["trace"])]
     d_param = 0.0
     for k, v in mv["final_sd"].items():
-        d_param = max(d_param, float(np.max(np.abs(v - th["final_sd"][k]))))
+        tv = th["final_sd"][k]
+        mask_key = k[:-len("weight")] + "mask"
+        if k.endswith(".weight") and mask_key in th["final_sd"]:
+            # MaskedConv2d re-masks weight.data in each FORWARD
+            # (pixelcnn_prior.py:52-54), so the torch checkpoint's
+            # masked-out entries hold the last Adam step's residue —
+            # forward-irrelevant; compare the causal projection
+            m = th["final_sd"][mask_key]
+            v, tv = v * m, tv * m
+        d_param = max(d_param, float(np.max(np.abs(v - tv))))
     mv_dec = decisions(mv["epoch_avgs"])
     th_dec = decisions(th["epoch_avgs"])
     return dict(

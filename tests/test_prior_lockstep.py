@@ -1,0 +1,58 @@
+"""Stage-2 (prior training) lockstep vs the UNMODIFIED reference loop
+(VERDICT r3 item 2, in-suite subset).
+
+Runs scripts/prior_equivalence_study.py in a subprocess (refharness must
+never activate inside the shared pytest process): the reference's own
+``train_pixelcnn_prior`` (main.py:890-1051 — Adam + per-epoch cosine,
+grad-clip 1.0, best-checkpoint rule) against movae_tpu/train/prior.py from
+identical frozen codes and identical prior init. Asserts per-step CE
+lockstep, matching best-checkpoint decision traces, and close final
+parameters for both the single-level PixelCNN and the hierarchical prior.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STUDY = os.path.join(REPO, "scripts", "prior_equivalence_study.py")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile("/root/reference/main.py"),
+    reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def prior_results(tmp_path_factory):
+    out = tmp_path_factory.mktemp("prior_equiv") / "prior_equiv.json"
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, STUDY, "--configs", "pixelcnn",
+         "hierarchical_pixelcnn", "--epochs", "4", "--json", str(out)],
+        capture_output=True, text=True, timeout=3600, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(out) as f:
+        return {r["prior"]: r for r in json.load(f)["results"]}
+
+
+@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+def test_prior_ce_trajectory_locksteps(prior_results, kind):
+    res = prior_results[kind]
+    assert res["max_rel_ce_delta"] < 1e-4, res
+    assert res["last_rel_ce_delta"] < 1e-4, res
+
+
+@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+def test_prior_best_checkpoint_decisions_match(prior_results, kind):
+    res = prior_results[kind]
+    assert res["decisions_match"], res
+
+
+@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+def test_prior_final_params_close(prior_results, kind):
+    res = prior_results[kind]
+    assert res["final_max_param_delta"] < 1e-3, res
