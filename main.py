@@ -135,6 +135,12 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     parser.add_argument("--pixelsnail_num_heads", type=int, default=8)
     parser.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    parser.add_argument("--attention_dropout", type=str, default="output",
+                        choices=["output", "weights"],
+                        help="prior attention-dropout semantics: output = "
+                        "flash path, 1.73x faster, quality-equivalent "
+                        "(BENCH.md A/B); weights = reference-exact "
+                        "(pixelcnn_prior.py:126-127)")
     parser.add_argument("--prior_use_lmdb_codes", action="store_true",
                         default=True)
     parser.add_argument("--no_prior_lmdb_codes", action="store_false",

@@ -143,6 +143,14 @@ class CausalAttention(nn.Module):
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # "output" (default): flash path + dropout on the attention output —
+    # measured quality-equivalent to the reference's weight dropout (BENCH.md
+    # r1 semantics A/B: delta inside the seed spread) and 1.73x faster at the
+    # production prior shape (scripts/prior_attn_ab.py: the dense path
+    # materializes B*H*L*L weights and draws threefry bits for each).
+    # "weights": reference-exact attention-WEIGHT dropout
+    # (pixelcnn_prior.py:126-127) at L <= DENSE_ATTENTION_MAX_L.
+    attn_dropout_mode: str = "output"
 
     def setup(self):
         self.head_dim = self.channels // self.num_heads
@@ -168,7 +176,9 @@ class CausalAttention(nn.Module):
         sm_scale = 1.0 / float(hd) ** 0.5
         from movae_tpu.parallel.context import get_context_parallel
         ctx = get_context_parallel()
-        if (self.dropout > 0.0 and train and L <= DENSE_ATTENTION_MAX_L
+        if (self.dropout > 0.0 and train
+                and self.attn_dropout_mode == "weights"
+                and L <= DENSE_ATTENTION_MAX_L
                 and (ctx is None or ctx.size <= 1)):
             # (under context parallelism the ring path + output dropout is
             # used even at short L — the dense weight-dropout matrix would
@@ -206,6 +216,7 @@ class PixelSNAILBlock(nn.Module):
     num_heads: int = 8
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_dropout_mode: str = "output"
 
     def setup(self):
         self.res_blocks = [
@@ -214,6 +225,8 @@ class PixelSNAILBlock(nn.Module):
         ]
         self.attention = CausalAttention(self.channels, self.num_heads,
                                          self.dropout, dtype=self.dtype,
+                                         attn_dropout_mode=
+                                         self.attn_dropout_mode,
                                          name="attention")
         self.out_conv = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
                                 name="out_conv")
@@ -299,6 +312,7 @@ class PixelSNAIL(nn.Module):
     conditional_channels: int = 0
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_dropout_mode: str = "output"
 
     def setup(self):
         self.embedding = GatherEmbed(self.num_embeddings, self.embedding_dim,
@@ -309,7 +323,9 @@ class PixelSNAIL(nn.Module):
         self.blocks = [
             PixelSNAILBlock(self.hidden_channels,
                             self.num_res_blocks_per_layer, self.num_heads,
-                            self.dropout, dtype=self.dtype, name=f"block_{i}")
+                            self.dropout, dtype=self.dtype,
+                            attn_dropout_mode=self.attn_dropout_mode,
+                            name=f"block_{i}")
             for i in range(self.num_blocks)
         ]
         self.out1 = nn.Conv(self.hidden_channels, (1, 1), dtype=self.dtype,
@@ -414,6 +430,7 @@ class HierarchicalPixelSNAIL(nn.Module):
     num_layers_bottom: int = 15
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_dropout_mode: str = "output"
 
     @nn.nowrap
     def make_top_module(self) -> "PixelSNAIL":
@@ -422,7 +439,8 @@ class HierarchicalPixelSNAIL(nn.Module):
         return PixelSNAIL(
             self.num_embeddings, self.embedding_dim, self.hidden_channels,
             self.num_blocks_top, self.num_res_blocks_per_layer,
-            self.num_heads, dropout=self.dropout, dtype=self.dtype)
+            self.num_heads, dropout=self.dropout, dtype=self.dtype,
+            attn_dropout_mode=self.attn_dropout_mode)
 
     @nn.nowrap
     def make_bottom_module(self) -> "PixelCNN":
@@ -1121,6 +1139,13 @@ def warn_long_seq_dropout(model, h: int, w: int) -> None:
         return
     ctx = get_context_parallel()
     cp_active = ctx is not None and ctx.size > 1
+    if getattr(model, "attn_dropout_mode", "output") == "output":
+        print(f"Note: attention dropout={dropout} regularizes the attention "
+              "OUTPUT (flash path; quality-equivalent per the BENCH.md "
+              "semantics A/B, 1.73x faster at the production shape). "
+              "Use --attention_dropout weights for the reference's "
+              "attention-weight semantics (pixelcnn_prior.py:126-127).")
+        return
     if L > DENSE_ATTENTION_MAX_L:
         print(f"Note: attention grid {h}x{w} (L={L}) exceeds the dense "
               f"threshold ({DENSE_ATTENTION_MAX_L}); dropout={dropout} is "

@@ -50,6 +50,10 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
     # actually built with) > the live VQ model's D > the VQ args echo > 64
     d = (getattr(args, "prior_embedding_dim", None) or embedding_dim
          or getattr(args, "embedding_dim", None) or 64)
+    # --attention_dropout: "output" (default, flash path — 1.73x train-step
+    # speedup, quality-equivalent per the BENCH.md semantics A/B) or
+    # "weights" (reference-exact, pixelcnn_prior.py:126-127)
+    adm = getattr(args, "attention_dropout", "output") or "output"
     if hierarchical:
         if prior_type == "pixelsnail":
             return HierarchicalPixelSNAIL(
@@ -60,7 +64,8 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
                     args, "pixelsnail_num_res_blocks", 2),
                 num_heads=getattr(args, "pixelsnail_num_heads", 8),
                 num_layers_bottom=nl,
-                dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt)
+                dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt,
+                attn_dropout_mode=adm)
         return HierarchicalPixelCNN(num_embeddings=num_embeddings,
                                     embedding_dim=d,
                                     hidden_channels=hc, num_layers=nl,
@@ -73,7 +78,8 @@ def build_prior(args, num_embeddings: int, hierarchical: bool,
             num_res_blocks_per_layer=getattr(args, "pixelsnail_num_res_blocks",
                                              2),
             num_heads=getattr(args, "pixelsnail_num_heads", 8),
-            dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt)
+            dropout=getattr(args, "pixelsnail_dropout", 0.1), dtype=dt,
+            attn_dropout_mode=adm)
     return PixelCNN(num_embeddings=num_embeddings, embedding_dim=d,
                     hidden_channels=hc, num_layers=nl, dtype=dt)
 

@@ -48,14 +48,17 @@ def make_codes(n, grid, K, seed):
 def run_arm(arm, codes_tr, codes_va, grid, K, epochs, bs, dropout, seed):
     import movae_tpu.models.pixelcnn as pix
     orig = pix.DENSE_ATTENTION_MAX_L
-    # arm A: dense path (attention-WEIGHT dropout, reference semantics)
-    # arm B: forced flash-style path (attention-OUTPUT dropout)
-    pix.DENSE_ATTENTION_MAX_L = orig if arm == "weights" else 0
     try:
+        # arm A: dense path (attention-WEIGHT dropout, reference semantics)
+        # arm B: flash path (attention-OUTPUT dropout) — since r4 this is
+        # the attn_dropout_mode default, no threshold forcing needed
         model = pix.PixelSNAIL(num_embeddings=K, embedding_dim=32,
                                hidden_channels=64, num_blocks=2,
                                num_res_blocks_per_layer=1, num_heads=4,
-                               dropout=dropout)
+                               dropout=dropout,
+                               attn_dropout_mode=(
+                                   "weights" if arm == "weights"
+                                   else "output"))
         z0 = jnp.zeros((2, grid, grid), jnp.int32)
         rng = jax.random.PRNGKey(seed)
         params = model.init({"params": rng, "dropout": rng}, z0,

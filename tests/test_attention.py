@@ -78,3 +78,39 @@ def test_causal_attention_long_L_dropout_branch():
     # dropout actually fires: some outputs exactly zero w.h.p.
     eval_out = attn.apply(params, x, train=False)
     assert not np.allclose(np.asarray(out), np.asarray(eval_out))
+
+
+def test_attn_dropout_mode_dispatch(monkeypatch):
+    """attn_dropout_mode selects the branch at short L: "output" (default,
+    1.73x faster — scripts/prior_attn_ab.py) routes through
+    ops.attention.causal_attention with dropout on the output; "weights"
+    keeps the reference's dense attention-weight dropout
+    (pixelcnn_prior.py:126-127). Eval-mode forwards are identical — the
+    mode only changes the train-time regularization."""
+    import movae_tpu.ops.attention as attn_ops
+    from movae_tpu.models.pixelcnn import CausalAttention
+
+    calls = []
+    real = attn_ops.causal_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(attn_ops, "causal_attention", spy)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, 4, 16)).astype(np.float32))  # L=16, well below dense max
+    outs = {}
+    for mode in ("weights", "output"):
+        attn = CausalAttention(channels=16, num_heads=2, dropout=0.2,
+                               attn_dropout_mode=mode)
+        params = attn.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        before = len(calls)
+        attn.apply(params, x, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+        used_flash = len(calls) > before
+        assert used_flash == (mode == "output"), mode
+        outs[mode] = np.asarray(attn.apply(params, x, train=False))
+    np.testing.assert_allclose(outs["weights"], outs["output"], atol=0)

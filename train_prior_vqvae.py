@@ -119,6 +119,12 @@ def build_prior_parser(checkpoint_alias: str = "vqvae_checkpoint"
     p.add_argument("--pixelsnail_num_res_blocks", type=int, default=2)
     p.add_argument("--pixelsnail_num_heads", type=int, default=8)
     p.add_argument("--pixelsnail_dropout", type=float, default=0.1)
+    p.add_argument("--attention_dropout", type=str, default="output",
+                   choices=["output", "weights"],
+                   help="prior attention-dropout semantics: output = flash "
+                        "path, 1.73x faster, quality-equivalent (BENCH.md "
+                        "A/B); weights = reference-exact "
+                        "(pixelcnn_prior.py:126-127)")
     p.add_argument("--context_parallel", type=int, default=1,
                    help="ring-attention sequence partitions over the mesh "
                         "'seq' axis (long-L prior attention)")
