@@ -534,6 +534,12 @@ def main():
                          "scheduler / comfort beta")
     ap.add_argument("--drift_every", type=int, default=0,
                     help="snapshot the param delta every N steps")
+    ap.add_argument("--chaos_control", type=float, default=0.0,
+                    help="also run the TORCH side a second time from an "
+                         "init perturbed by +-this (uniform) and report "
+                         "its drift vs the unperturbed torch run — the "
+                         "within-framework sensitivity the cross-framework "
+                         "drift must be judged against")
     ap.add_argument("--gfid", action="store_true",
                     help="mini end-to-end gFID comparison instead of the "
                          "trajectory study (vae archs only)")
@@ -569,6 +575,27 @@ def main():
                            sched_epochs=opts.sched_epochs,
                            drift_every=opts.drift_every)
             res = compare(arch, agg, mv, th, opts.steps)
+            if opts.chaos_control > 0:
+                prng = np.random.default_rng(13)
+                sd2 = {k: (v + prng.uniform(-opts.chaos_control,
+                                            opts.chaos_control,
+                                            v.shape).astype(v.dtype)
+                           if np.issubdtype(v.dtype, np.floating) else v)
+                       for k, v in mv["init_sd"].items()}
+                th2 = run_torch(arch, agg, opts.steps, opts.optimizer,
+                                batches, sd2, eps_seq=mv["eps_seq"],
+                                agg_draws=draws, scheduler=opts.scheduler,
+                                sched_epochs=opts.sched_epochs,
+                                drift_every=opts.drift_every)
+                th_as_mv = dict(objective_names=mv["objective_names"],
+                                traj=th2["traj"], final_sd=th2["final_sd"],
+                                snapshots=th2["snapshots"])
+                ctl = compare(arch, agg, th_as_mv, th, opts.steps)
+                res["chaos_control"] = dict(
+                    perturb=opts.chaos_control,
+                    max_rel_loss_delta=ctl["max_rel_loss_delta"],
+                    final_max_param_delta=ctl["final_max_param_delta"],
+                    drift=ctl.get("drift"))
             results.append(res)
             print(json.dumps(res, indent=2), flush=True)
 

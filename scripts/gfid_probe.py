@@ -46,11 +46,18 @@ ARCH = "vq_vae"
 AGG = "upgrad"
 N_SAMPLES = 2048
 DATA_N = 2048
-TRAIN_STEPS = 600
-PRIOR_EPOCHS = 4
+# r4 v2: the 600-step/4-epoch v1 run left every arm ~3600x above the FID
+# estimator floor (split-real gfid 1.7e-8 vs arm gfid 3-6e-5) but with
+# 11-47% RUN-TO-RUN training variance between torch controls — the models
+# were far from converged, so an innocuous batch reshuffle moved gFID as
+# much as a framework swap. Longer training tightens every arm onto the
+# same attractor; a movae-side control makes the band symmetric.
+TRAIN_STEPS = 3000
+PRIOR_EPOCHS = 12
 PRIOR_HC = 32
 PRIOR_NL = 5
 CONTROLS = 3
+MOVAE_CONTROLS = 1
 
 
 def _force_cpu_reexec():
@@ -63,7 +70,7 @@ def _force_cpu_reexec():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def make_data(seed):
+def make_data(seed, steps):
     from movae_tpu.data import _synthetic
     import equivalence_study as eq
 
@@ -71,7 +78,7 @@ def make_data(seed):
     x = imgs.astype(np.float32) / 127.5 - 1.0
     order = np.random.default_rng(seed)
     return x, [x[order.integers(0, DATA_N, eq.BATCH)]
-               for _ in range(TRAIN_STEPS)]
+               for _ in range(steps)]
 
 
 def prior_args():
@@ -85,7 +92,7 @@ def prior_args():
     )
 
 
-def movae_arm(batches, x):
+def movae_arm(batches, x, steps, prior_epochs, sample_seed=9):
     import equivalence_study as eq
     import jax
     import jax.numpy as jnp
@@ -94,7 +101,7 @@ def movae_arm(batches, x):
     from movae_tpu.train import final_metrics
     from movae_tpu.train.prior import train_prior
 
-    mv = eq.run_movae(ARCH, AGG, TRAIN_STEPS, "adam", batches)
+    mv = eq.run_movae(ARCH, AGG, steps, "adam", batches)
     model, params, bstats = mv["_flax"]
     state = types.SimpleNamespace(params=params, batch_stats=bstats)
 
@@ -107,6 +114,7 @@ def movae_arm(batches, x):
     levels = {"codes": codes.reshape(len(x), s, s).astype(np.int32)}
 
     pargs = prior_args()
+    pargs.pixelcnn_epochs = prior_epochs
     with tempfile.TemporaryDirectory() as td:
         results = dict(model=model, state=state, save_root=td,
                        parallel=DataParallel(make_mesh()), train_loader=None,
@@ -114,18 +122,18 @@ def movae_arm(batches, x):
         prior = train_prior(results, pargs)
 
     samples = final_metrics.generate_samples(
-        model, state, pargs, prior, jax.random.PRNGKey(9), N_SAMPLES,
-        batch=256)
+        model, state, pargs, prior, jax.random.PRNGKey(sample_seed),
+        N_SAMPLES, batch=256)
     return mv, np.asarray(samples, np.float32)
 
 
-def torch_arm(batches, x, init_sd, arm_seed):
+def torch_arm(batches, x, init_sd, arm_seed, steps, prior_epochs):
     import equivalence_study as eq
     import refharness
     ref_main = refharness.activate()
     import torch
 
-    th = eq.run_torch(ARCH, AGG, TRAIN_STEPS, "adam", batches, init_sd)
+    th = eq.run_torch(ARCH, AGG, steps, "adam", batches, init_sd)
     net = th["_net"]
 
     # image loader over the full train set (the reference's on-the-fly
@@ -135,6 +143,7 @@ def torch_arm(batches, x, init_sd, arm_seed):
     loader = [(torch.tensor(x[i:i + 64].transpose(0, 3, 1, 2)),
                torch.zeros(1)) for i in range(0, len(x), 64)]
     pargs = prior_args()
+    pargs.pixelcnn_epochs = prior_epochs
     with tempfile.TemporaryDirectory() as td:
         prior = ref_main.train_pixelcnn_prior(net, loader, "cpu", pargs, td)
 
@@ -147,7 +156,7 @@ def torch_arm(batches, x, init_sd, arm_seed):
     return np.concatenate(outs).astype(np.float32)
 
 
-def phase_train(out_dir):
+def phase_train(out_dir, steps, prior_epochs):
     _force_cpu_reexec()
     from movae_tpu.utils.hostfp import fingerprinted_cache_dir
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -156,28 +165,37 @@ def phase_train(out_dir):
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.makedirs(out_dir, exist_ok=True)
 
-    x, batches0 = make_data(0)
+    x, batches0 = make_data(0, steps)
     np.save(os.path.join(out_dir, "real.npy"), x)
 
-    print(f"== movae arm ({ARCH}:{AGG}, {TRAIN_STEPS} steps + "
-          f"{PRIOR_EPOCHS}-epoch prior) ==", flush=True)
-    mv, samples = movae_arm(batches0, x)
+    print(f"== movae arm ({ARCH}:{AGG}, {steps} steps + "
+          f"{prior_epochs}-epoch prior) ==", flush=True)
+    mv, samples = movae_arm(batches0, x, steps, prior_epochs)
     np.save(os.path.join(out_dir, "movae.npy"), samples)
+
+    for c in range(1, MOVAE_CONTROLS + 1):
+        print(f"== movae control {c} (reshuffled batches) ==", flush=True)
+        _, batches_c = make_data(100 + c, steps)
+        _, s = movae_arm(batches_c, x, steps, prior_epochs,
+                         sample_seed=9 + c)
+        np.save(os.path.join(out_dir, f"movae_ctl{c}.npy"), s)
 
     print("== torch arm (same init, same batches) ==", flush=True)
     np.save(os.path.join(out_dir, "torch.npy"),
-            torch_arm(batches0, x, mv["init_sd"], 0))
+            torch_arm(batches0, x, mv["init_sd"], 0, steps, prior_epochs))
 
     for c in range(1, CONTROLS + 1):
         print(f"== torch control {c} (reshuffled batches) ==", flush=True)
-        _, batches_c = make_data(c)
+        _, batches_c = make_data(c, steps)
         np.save(os.path.join(out_dir, f"torch_ctl{c}.npy"),
-                torch_arm(batches_c, x, mv["init_sd"], c))
+                torch_arm(batches_c, x, mv["init_sd"], c, steps,
+                          prior_epochs))
 
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(dict(arch=ARCH, agg=AGG, size=SIZE, n_samples=N_SAMPLES,
-                       data_n=DATA_N, train_steps=TRAIN_STEPS,
-                       prior_epochs=PRIOR_EPOCHS, controls=CONTROLS), f)
+                       data_n=DATA_N, train_steps=steps,
+                       prior_epochs=prior_epochs, controls=CONTROLS,
+                       movae_controls=MOVAE_CONTROLS), f)
     print(f"train phase done -> {out_dir}")
 
 
@@ -193,8 +211,10 @@ def phase_score(out_dir, json_out):
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     real = np.load(os.path.join(out_dir, "real.npy"))
-    arms = ["movae", "torch"] + [
-        f"torch_ctl{c}" for c in range(1, meta["controls"] + 1)]
+    arms = (["movae", "torch"]
+            + [f"movae_ctl{c}"
+               for c in range(1, meta.get("movae_controls", 0) + 1)]
+            + [f"torch_ctl{c}" for c in range(1, meta["controls"] + 1)])
 
     print(f"scoring on backend={jax.default_backend()} "
           f"({len(arms)} arms x {meta['n_samples']})", flush=True)
@@ -218,6 +238,9 @@ def phase_score(out_dir, json_out):
         out[f"rel_{metric}_controls"] = [
             rel(scores[f"torch_ctl{c}"][metric], scores["torch"][metric])
             for c in range(1, meta["controls"] + 1)]
+        out[f"rel_{metric}_movae_controls"] = [
+            rel(scores[f"movae_ctl{c}"][metric], scores["movae"][metric])
+            for c in range(1, meta.get("movae_controls", 0) + 1)]
     print(json.dumps(out, indent=2))
     if json_out:
         with open(json_out, "w") as f:
@@ -230,9 +253,11 @@ def main():
     ap.add_argument("--phase", choices=["train", "score"], required=True)
     ap.add_argument("--out", default="/tmp/gfid_probe")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--train_steps", type=int, default=TRAIN_STEPS)
+    ap.add_argument("--prior_epochs", type=int, default=PRIOR_EPOCHS)
     opts = ap.parse_args()
     if opts.phase == "train":
-        phase_train(opts.out)
+        phase_train(opts.out, opts.train_steps, opts.prior_epochs)
     else:
         phase_score(opts.out, opts.json)
 
