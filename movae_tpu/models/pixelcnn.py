@@ -204,7 +204,13 @@ class CausalAttention(nn.Module):
             out = causal_attention(q, k, v, sm_scale)
             if self.dropout > 0.0 and train:
                 out = self.drop(out, deterministic=False)
-        out = out.transpose(0, 2, 1, 3).reshape(b, L, nh * hd)
+        # the reference flattens the attention output DIM-MAJOR — its
+        # out.permute(0,2,3,1).reshape(B,L,proj_dim) interleaves as
+        # (head_dim, heads), not (heads, head_dim)
+        # (pixelcnn_prior.py:129-131); out_proj weights are layout-bound,
+        # so forward parity requires the same interleave (r4: this was the
+        # step-0 CE gap in the PixelSNAIL stage-2 lockstep)
+        out = out.transpose(0, 2, 3, 1).reshape(b, L, nh * hd)
         return self.out_proj(out).reshape(b, h, w, c)
 
 
@@ -1070,7 +1076,10 @@ def sample_fast_snail(model: PixelSNAIL, params, rng: Array, batch_size: int,
                                   probs.astype(ein_dtype),
                                   v_pref.astype(ein_dtype),
                                   preferred_element_type=jnp.float32)
-                attn = attn.reshape(batch_size, pd) @ wo[l] + bo[l]
+                # dim-major flatten — must match CausalAttention/__call__'s
+                # reference-exact (head_dim, heads) interleave
+                attn = (attn.transpose(0, 2, 1).reshape(batch_size, pd)
+                        @ wo[l] + bo[l])
 
                 blk_out = (jnp.concatenate([x, attn], axis=-1) @ woc[l]
                            + boc[l])

@@ -98,14 +98,21 @@ def make_codes(hier: bool, seed: int = 7):
 
 def prior_args(prior_kind: str):
     hier = prior_kind.startswith("hierarchical")
+    snail = "pixelsnail" in prior_kind
     return argparse.Namespace(
         arch="vq_vae2" if hier else "vq_vae",
         dataset="synthetic-prior-study", dataset_size=N, batch_size=BS,
-        num_workers=0, seed=SEED, prior_type="pixelcnn",
+        num_workers=0, seed=SEED,
+        prior_type="pixelsnail" if snail else "pixelcnn",
         pixelcnn_epochs=0, pixelcnn_hidden_channels=HC,
         pixelcnn_num_layers=NL, pixelcnn_lr=LR, pixelcnn_temperature=1.0,
         pixelcnn_adam_eps=ADAM_EPS, prior_use_lmdb_codes=False,
         prior_sample_every=0, input_size=4 * GRID,
+        # PixelSNAIL lockstep arms run dropout=0 (the reference reads
+        # args.pixelsnail_dropout, main.py:927-946 — both sides
+        # deterministic, attention path included)
+        pixelsnail_num_blocks=2, pixelsnail_num_res_blocks=1,
+        pixelsnail_num_heads=2, pixelsnail_dropout=0.0,
     )
 
 
@@ -136,7 +143,7 @@ def run_movae(prior_kind: str, epochs: int, levels):
         z = jnp.zeros((2, GRID, GRID), jnp.int32)
         params = prior.init({"params": rng, "dropout": rng}, z,
                             train=False)["params"]
-    arch_name = "hierarchical_pixelcnn" if hier else "pixelcnn"
+    arch_name = prior_kind
     init_sd = {k: np.asarray(v) for k, v in export_torch_state_dict(
         params, {}, arch_name).items()}
 
@@ -149,7 +156,7 @@ def run_movae(prior_kind: str, epochs: int, levels):
                        prior_levels=levels, prior_step_trace=trace)
         train_prior(results, args)
         final = ckpt_lib.load_checkpoint(
-            ckpt_lib.final_prior_path(td, "pixelcnn"))
+            ckpt_lib.final_prior_path(td, args.prior_type))
     final_sd = {k: np.asarray(v) for k, v in export_torch_state_dict(
         final["model_state_dict"]["params"], {}, arch_name).items()}
 
@@ -266,7 +273,8 @@ def run_torch(prior_kind: str, epochs: int, levels, init_sd):
 
     # scoped patches: init injection, Adam eps, CE/save capture
     patches = {}
-    for name in ("PixelCNN", "HierarchicalPixelCNN"):
+    for name in ("PixelCNN", "HierarchicalPixelCNN", "PixelSNAIL",
+                 "HierarchicalPixelSNAIL"):
         patches[name] = getattr(ref_main, name)
         setattr(ref_main, name, patched_cls(patches[name]))
     real_adam = ref_main.optim.Adam

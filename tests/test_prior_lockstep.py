@@ -25,34 +25,42 @@ pytestmark = pytest.mark.skipif(
     reason="reference tree not available")
 
 
+CONFIGS = ["pixelcnn", "hierarchical_pixelcnn", "pixelsnail"]
+
+
 @pytest.fixture(scope="module")
 def prior_results(tmp_path_factory):
     out = tmp_path_factory.mktemp("prior_equiv") / "prior_equiv.json"
     env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
                PALLAS_AXON_POOL_IPS="")
     proc = subprocess.run(
-        [sys.executable, STUDY, "--configs", "pixelcnn",
-         "hierarchical_pixelcnn", "--epochs", "4", "--json", str(out)],
+        [sys.executable, STUDY, "--configs", *CONFIGS,
+         "--epochs", "4", "--json", str(out)],
         capture_output=True, text=True, timeout=3600, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-3000:]
     with open(out) as f:
         return {r["prior"]: r for r in json.load(f)["results"]}
 
 
-@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+@pytest.mark.parametrize("kind", CONFIGS)
 def test_prior_ce_trajectory_locksteps(prior_results, kind):
     res = prior_results[kind]
-    assert res["max_rel_ce_delta"] < 1e-4, res
-    assert res["last_rel_ce_delta"] < 1e-4, res
+    # conv-only PixelCNN holds 2e-7; the attention priors accumulate
+    # softmax-amplified fp noise across steps (step-0 forward parity is
+    # 1e-7 — see BENCH.md stage-2 table) so their trajectory bound is
+    # looser
+    tol = 1e-3 if "snail" in kind else 1e-4
+    assert res["max_rel_ce_delta"] < tol, res
+    assert res["last_rel_ce_delta"] < tol, res
 
 
-@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+@pytest.mark.parametrize("kind", CONFIGS)
 def test_prior_best_checkpoint_decisions_match(prior_results, kind):
     res = prior_results[kind]
     assert res["decisions_match"], res
 
 
-@pytest.mark.parametrize("kind", ["pixelcnn", "hierarchical_pixelcnn"])
+@pytest.mark.parametrize("kind", CONFIGS)
 def test_prior_final_params_close(prior_results, kind):
     res = prior_results[kind]
     assert res["final_max_param_delta"] < 1e-3, res
