@@ -35,10 +35,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step(batch_size, grid, blocks, dropout, mode):
+def build_step(batch_size, grid, blocks, dropout, mode, force_flash=False):
+    import functools
+
     import optax
 
     import movae_tpu.models.pixelcnn as pcx
+    import movae_tpu.ops.attention as attn_ops
+
+    base = attn_ops.causal_attention
+    if force_flash:
+        # experiment arm: route even short L through the pallas flash
+        # kernel instead of the XLA dense matrix (dense_threshold=0);
+        # restored after compile — the compiled executable keeps the
+        # traced behavior
+        attn_ops.causal_attention = functools.partial(
+            base, dense_threshold=0)
 
     model = pcx.PixelSNAIL(num_embeddings=512, embedding_dim=64,
                            hidden_channels=128, num_blocks=blocks,
@@ -63,7 +75,11 @@ def build_step(batch_size, grid, blocks, dropout, mode):
         updates, opt_state = tx.update(g, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
-    compiled = jax.jit(step).lower(params, opt_state, z, rng).compile()
+    try:
+        compiled = jax.jit(step).lower(params, opt_state, z,
+                                       rng).compile()
+    finally:
+        attn_ops.causal_attention = base
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -89,14 +105,20 @@ def main():
           f"{args.grid}x{args.grid}, {args.blocks} blocks, bf16) ==",
           flush=True)
     specs = {
-        "dense-wdrop": (args.dropout, "weights"),
-        "flash-odrop": (args.dropout, "output"),
-        "flash-nodrop": (0.0, "output"),
+        "dense-wdrop": (args.dropout, "weights", False),
+        "flash-odrop": (args.dropout, "output", False),
+        "flash-nodrop": (0.0, "output", False),
+        "pallas-odrop": (args.dropout, "output", True),
     }
     arms = {}
-    for name, (drop, mode) in specs.items():
-        arms[name] = build_step(args.batch_size, args.grid, args.blocks,
-                                drop, mode)
+    for name, (drop, mode, ff) in specs.items():
+        try:
+            arms[name] = build_step(args.batch_size, args.grid,
+                                    args.blocks, drop, mode,
+                                    force_flash=ff)
+        except Exception as e:
+            print(f"  {name}: SKIPPED ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
         print(f"  {name}: bytes accessed "
               f"{arms[name][4] / 1e9:.2f} GB/step", flush=True)
 
