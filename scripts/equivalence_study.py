@@ -73,11 +73,17 @@ REG_EPS = 1e-4
 
 # archs built on the conv-VAE trunk: the log_var head bias can be pinned
 # to -60 so different-RNG reparameterization noise is ~1e-13 of the signal
-PINNED_VAE_ARCHS = ("vae", "recursive_kl_vae")
+PINNED_VAE_ARCHS = ("vae", "recursive_kl_vae", "gg_vae", "cycle_vae",
+                    "recursive_cyclic_vae")
 # archs whose loss depends on the reparameterization draw itself (the
 # BetaTC log-density decomposition evaluates -0.5*eps^2 terms): the movae
 # step's eps is captured and replayed into the torch net instead
 EPS_INJECT_ARCHS = ("betatc_vae",)
+# archs that draw a fresh z_prior ~ N(0,I) inside the forward (the cycle
+# loss is a direct function of it, cycle_vae.py:48-52 /
+# recursive_cyclic_vae.py:145-150): the movae step's draw is captured and
+# replayed into the torch run via a scoped torch.randn patch
+ZPRIOR_ARCHS = ("cycle_vae", "recursive_cyclic_vae")
 # comfort's beta schedule only moves across epochs: split the study's
 # steps into this many virtual epochs so the blend is exercised l->u
 COMFORT_EPOCHS = 5
@@ -85,7 +91,8 @@ COMFORT_EPOCHS = 5
 
 def model_args(arch):
     extra = (dict(latent_dim=LATENT, layer_norm="batch")
-             if arch in ("vae", "betatc_vae", "recursive_kl_vae") else
+             if arch in ("vae", "betatc_vae", "recursive_kl_vae", "gg_vae",
+                         "cycle_vae", "recursive_cyclic_vae") else
              dict(embedding_dim=8, num_embeddings=32,
                   num_residual_layers=2, latent_dim=LATENT))
     if arch == "recursive_kl_vae":
@@ -95,6 +102,15 @@ def model_args(arch):
         # demands {'kld_loss'} (vae.py:66-79, recursive_kl_vae.py:55-60) —
         # only the LIST form reaches training; use it on both sides
         extra["loss_weights"] = [1.0, 0.00025]
+    elif arch == "cycle_vae":
+        # same live-bug class: the default dict {reconstruction_loss,
+        # cycle_loss} (models/__init__.py:68-69) fails the base-VAE key
+        # validation; the LIST form routes [recon, 0.0] to the base and
+        # lambda_weights[1] to cycle (cycle_vae.py:29-41)
+        extra["loss_weights"] = [1.0, 0.00025]
+    elif arch == "recursive_cyclic_vae":
+        # ditto, 3 objectives (recursive_cyclic_vae.py:107-130)
+        extra["loss_weights"] = [1.0, 0.00025, 0.00025]
     return dict(arch=arch, hidden_dims=list(HIDDEN), batch_size=BATCH,
                 dataset_size=DATASET_SIZE, recons_objective="mse",
                 recons_activation=("tanh" if arch in PINNED_VAE_ARCHS
@@ -179,11 +195,13 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
     step_fn = jax.jit(make_train_step(model, cfg, total_epochs, spe))
 
     capture_eps = arch in EPS_INJECT_ARCHS
-    if capture_eps:
+    capture_zp = arch in ZPRIOR_ARCHS
+    if capture_eps or capture_zp:
         # the in-step heads apply's make_rng("sample") folds identically to
         # a plain forward_with_losses apply (same root scope, first call on
         # the stream), so replaying the step's rng here reproduces the
-        # exact eps the step will draw; mutable updates are discarded
+        # exact eps / z_prior the step will draw; mutable updates are
+        # discarded
         @jax.jit
         def cap(p, bs, x, r0):
             (_, _, outputs), _ = model.apply(
@@ -191,17 +209,21 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
                 method="forward_with_losses", mutable=["batch_stats"],
                 rngs={"sample": jax.random.split(r0)[0],
                       "dropout": jax.random.split(r0)[1]})
-            return outputs["z"], outputs["mu"], outputs["log_var"]
+            return (outputs["z"], outputs["mu"], outputs["log_var"],
+                    outputs.get("z_prior", outputs["z"]))
 
     rng = jax.random.PRNGKey(3)
-    traj, eps_seq, snapshots = [], [], {}
+    traj, eps_seq, zp_seq, snapshots = [], [], [], {}
     for i, xb in enumerate(batches):
         rng, sub = jax.random.split(rng)
-        if capture_eps:
+        if capture_eps or capture_zp:
             r0 = jax.random.split(sub)[0]
-            z, mu, lv = cap(state.params, state.batch_stats,
-                            jnp.asarray(xb), r0)
-            eps_seq.append(np.asarray((z - mu) * jnp.exp(-0.5 * lv)))
+            z, mu, lv, zp = cap(state.params, state.batch_stats,
+                                jnp.asarray(xb), r0)
+            if capture_eps:
+                eps_seq.append(np.asarray((z - mu) * jnp.exp(-0.5 * lv)))
+            if capture_zp:
+                zp_seq.append(np.asarray(zp))
         state, metrics = step_fn(state, jnp.asarray(xb), sub)
         traj.append({k: float(v) for k, v in metrics.items()
                      if np.ndim(v) == 0})
@@ -214,6 +236,7 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
     return dict(objective_names=list(model.objective_names), init_sd=init_sd,
                 traj=traj, final_sd=final_sd, snapshots=snapshots,
                 eps_seq=eps_seq if capture_eps else None,
+                zp_seq=zp_seq if capture_zp else None,
                 _flax=(model, state.params, state.batch_stats))
 
 
@@ -271,7 +294,7 @@ def make_reference_aggregator(agg, num_objectives):
 
 def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
               agg_draws=None, scheduler=None, sched_epochs=1,
-              drift_every=0):
+              drift_every=0, zp_seq=None):
     import refharness
     ref_main = refharness.activate()
     import torch
@@ -342,6 +365,7 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
                                  sched_epochs if scheduler
                                  else COMFORT_EPOCHS)
         orig_randperm, orig_rand = torch.randperm, torch.rand
+        orig_randn = torch.randn
         if agg_draws is not None and agg == "pcgrad":
             perm_iter = iter(agg_draws[i])
             torch.randperm = (
@@ -349,12 +373,18 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
         elif agg_draws is not None and agg == "pnupgrad":
             coin = agg_draws[i]
             torch.rand = lambda n, _c=coin: torch.tensor([_c])
+        if zp_seq is not None:
+            # replay the movae step's z_prior ~ N(0,I) (the forward's only
+            # other draw; reference cycle_vae.py:48 torch.randn)
+            zp = torch.tensor(zp_seq[i])
+            torch.randn = lambda *a, _z=zp, **kw: _z
         try:
             meters, step = ref_main.train_epoch(
                 net, [(xt, torch.zeros(len(xt)))], opt, aggregator, step,
                 "cpu", args)
         finally:
             torch.randperm, torch.rand = orig_randperm, orig_rand
+            torch.randn = orig_randn
         rec = {k: float(m.val) for k, m in meters.items()}
         if captured:
             for j, w in enumerate(captured[-1]):
@@ -571,6 +601,7 @@ def main():
                                           len(mv["objective_names"]))
             th = run_torch(arch, agg, opts.steps, opts.optimizer, batches,
                            mv["init_sd"], eps_seq=mv["eps_seq"],
+                           zp_seq=mv["zp_seq"],
                            agg_draws=draws, scheduler=opts.scheduler,
                            sched_epochs=opts.sched_epochs,
                            drift_every=opts.drift_every)
@@ -584,6 +615,7 @@ def main():
                        for k, v in mv["init_sd"].items()}
                 th2 = run_torch(arch, agg, opts.steps, opts.optimizer,
                                 batches, sd2, eps_seq=mv["eps_seq"],
+                                zp_seq=mv["zp_seq"],
                                 agg_draws=draws, scheduler=opts.scheduler,
                                 sched_epochs=opts.sched_epochs,
                                 drift_every=opts.drift_every)
