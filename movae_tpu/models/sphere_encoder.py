@@ -185,6 +185,13 @@ class SphereEncoder(VAE):
             "v_enc_dec": v_enc_dec,
             "sigma": sigma,
             "sigma_sub": sigma_sub,
+            # diagnostic extras beyond the reference's dict (harmless —
+            # loss_terms reads by name): the raw draws, so equivalence
+            # studies can replay them into the reference's torch.rand/randn
+            # call sites (scripts/equivalence_study.py SPHERE_ARCHS)
+            "angle_deg": angle_deg,
+            "s": s,
+            "e": e,
         }
 
     # --- losses ---------------------------------------------------------------

@@ -329,6 +329,9 @@ class SphereEncoderViT(MOVAEModel):
             "v_noisy_small": v_noisy_small, "x_recon_NOISY": x_noisy,
             "x_recon_noisy_small_sg": jax.lax.stop_gradient(x_small),
             "v_enc_dec": v_ed, "sigma": sigma, "sigma_sub": sigma_sub,
+            # diagnostic extras (see sphere_encoder.py __call__): raw draws
+            # for cross-framework replay in equivalence studies
+            "angle_deg": angle_deg, "s": s, "e": e,
         }
 
     def _pixel_loss(self, pred, target, sl1_w, perc_w):

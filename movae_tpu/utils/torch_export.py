@@ -261,8 +261,10 @@ def _export_vit_block(ex: _Exporter, t: str, f: str):
     ex.dense(f"{t}.attn.qkv", f"{f}/attn/qkv")
     ex.dense(f"{t}.attn.proj", f"{f}/attn/proj")
     ex.norm(f"{t}.norm2", f"{f}/norm2")
+    # second Linear of the block MLP is Sequential index 3 (Dropout at 2,
+    # sphere_encoder_vit.py:179-185; r4 fix, see torch_import twin)
     ex.dense(f"{t}.mlp.0", f"{f}/mlp1")
-    ex.dense(f"{t}.mlp.2", f"{f}/mlp2")
+    ex.dense(f"{t}.mlp.3", f"{f}/mlp2")
 
 
 def _export_mixer(ex: _Exporter, t: str, f: str):

@@ -357,8 +357,12 @@ def _map_vit_block(im: _Importer, t: str, f: str):
     im.dense(f"{t}.attn.qkv", f"{f}/attn/qkv")
     im.dense(f"{t}.attn.proj", f"{f}/attn/proj")
     im.norm(f"{t}.norm2", f"{f}/norm2")
+    # mlp Sequential = [Linear, GELU, Dropout, Linear, Dropout]
+    # (sphere_encoder_vit.py:179-185): the second Linear is index 3
+    # (r4 fix — index 2 is the Dropout; caught by the sphere-ViT
+    # cross-framework lockstep's strict weight sync)
     im.dense(f"{t}.mlp.0", f"{f}/mlp1")
-    im.dense(f"{t}.mlp.2", f"{f}/mlp2")
+    im.dense(f"{t}.mlp.3", f"{f}/mlp2")
 
 
 def _map_mixer(im: _Importer, t: str, f: str):

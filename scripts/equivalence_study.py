@@ -84,17 +84,34 @@ EPS_INJECT_ARCHS = ("betatc_vae",)
 # recursive_cyclic_vae.py:145-150): the movae step's draw is captured and
 # replayed into the torch run via a scoped torch.randn patch
 ZPRIOR_ARCHS = ("cycle_vae", "recursive_cyclic_vae")
+# sphere encoders draw angle ~ U[0,a_max], s ~ U[0,0.5], e ~ N(0,I) inside
+# the forward (sphere_encoder.py:203-218): the movae step's draws (exposed
+# as diagnostic outputs) are replayed via scoped torch.rand/randn patches.
+# The reference hard-enables its VGG perceptual term (no flag,
+# models/__init__.py:90-106 + sphere_encoder.py:127) — the study forces
+# use_perceptual=False on BOTH sides (tower equivalence is separately
+# proven by the metric oracles + dress rehearsal) via a scoped constructor
+# patch on the torch side.
+SPHERE_ARCHS = ("sphere_encoder", "sphere_encoder_vit")
 # comfort's beta schedule only moves across epochs: split the study's
 # steps into this many virtual epochs so the blend is exercised l->u
 COMFORT_EPOCHS = 5
 
 
 def model_args(arch):
-    extra = (dict(latent_dim=LATENT, layer_norm="batch")
-             if arch in ("vae", "betatc_vae", "recursive_kl_vae", "gg_vae",
-                         "cycle_vae", "recursive_cyclic_vae") else
-             dict(embedding_dim=8, num_embeddings=32,
-                  num_residual_layers=2, latent_dim=LATENT))
+    if arch == "sphere_encoder":
+        extra = dict(latent_dim=LATENT, use_perceptual=False)
+    elif arch == "sphere_encoder_vit":
+        # 16px / patch 2 -> 64 patches; latent must divide evenly
+        extra = dict(latent_dim=64, use_perceptual=False, patch_size=2,
+                     vit_embed_dim=32, vit_depth=2, vit_num_heads=2,
+                     vit_mixer_depth=1)
+    elif arch in ("vae", "betatc_vae", "recursive_kl_vae", "gg_vae",
+                  "cycle_vae", "recursive_cyclic_vae"):
+        extra = dict(latent_dim=LATENT, layer_norm="batch")
+    else:
+        extra = dict(embedding_dim=8, num_embeddings=32,
+                     num_residual_layers=2, latent_dim=LATENT)
     if arch == "recursive_kl_vae":
         # the reference's DEFAULT lambda path for this arch is a live bug:
         # the registry builds {'recursive_kld_loss'} (models/__init__.py:
@@ -196,6 +213,19 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
 
     capture_eps = arch in EPS_INJECT_ARCHS
     capture_zp = arch in ZPRIOR_ARCHS
+    capture_sph = arch in SPHERE_ARCHS
+    if capture_sph:
+        # sphere forwards have no z/mu/log_var — capture the raw draws the
+        # model now exposes as diagnostic outputs (angle_deg, s, e)
+        @jax.jit
+        def cap_sph(p, bs, x, r0):
+            (_, _, outputs), _ = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                method="forward_with_losses", mutable=["batch_stats"],
+                rngs={"sample": jax.random.split(r0)[0],
+                      "dropout": jax.random.split(r0)[1]})
+            return (outputs["angle_deg"], outputs["s"], outputs["e"],
+                    outputs["sigma"])
     if capture_eps or capture_zp:
         # the in-step heads apply's make_rng("sample") folds identically to
         # a plain forward_with_losses apply (same root scope, first call on
@@ -213,7 +243,7 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
                     outputs.get("z_prior", outputs["z"]))
 
     rng = jax.random.PRNGKey(3)
-    traj, eps_seq, zp_seq, snapshots = [], [], [], {}
+    traj, eps_seq, zp_seq, sph_seq, snapshots = [], [], [], [], {}
     for i, xb in enumerate(batches):
         rng, sub = jax.random.split(rng)
         if capture_eps or capture_zp:
@@ -224,6 +254,19 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
                 eps_seq.append(np.asarray((z - mu) * jnp.exp(-0.5 * lv)))
             if capture_zp:
                 zp_seq.append(np.asarray(zp))
+        if capture_sph:
+            r0 = jax.random.split(sub)[0]
+            ang, s, e, sig = cap_sph(state.params, state.batch_stats,
+                                     jnp.asarray(xb), r0)
+            # invert to the uniform draws the reference makes:
+            # angle = rand*angle_max, s = rand*0.5 (the latter is a
+            # power-of-two scale, so s/0.5*0.5 replays BIT-EXACTLY;
+            # sigma = tan(angle*pi/180) is NOT exactly invertible through
+            # /80*80, so the exact sigma is captured too and injected via
+            # a scoped torch.tan patch — sphere_encoder.py:203-215)
+            sph_seq.append((np.asarray(ang) / model.sigma_max_angle_deg,
+                            np.asarray(s) / 0.5, np.asarray(e),
+                            np.asarray(sig)))
         state, metrics = step_fn(state, jnp.asarray(xb), sub)
         traj.append({k: float(v) for k, v in metrics.items()
                      if np.ndim(v) == 0})
@@ -237,6 +280,7 @@ def run_movae(arch, agg, steps, optimizer, batches, scheduler=None,
                 traj=traj, final_sd=final_sd, snapshots=snapshots,
                 eps_seq=eps_seq if capture_eps else None,
                 zp_seq=zp_seq if capture_zp else None,
+                sph_seq=sph_seq if capture_sph else None,
                 _flax=(model, state.params, state.batch_stats))
 
 
@@ -294,15 +338,32 @@ def make_reference_aggregator(agg, num_objectives):
 
 def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
               agg_draws=None, scheduler=None, sched_epochs=1,
-              drift_every=0, zp_seq=None):
+              drift_every=0, zp_seq=None, sph_seq=None):
+    import functools
+
     import refharness
     ref_main = refharness.activate()
     import torch
+    import models as ref_models
     from models import get_network as ref_get_network
 
     args = argparse.Namespace(**model_args(arch), max_grad_norm=None,
                               use_wandb=False)
-    net = ref_get_network(SIZE, 3, args, device="cpu")
+    sphere_patch = {}
+    if arch in SPHERE_ARCHS:
+        # the reference hard-enables the VGG16 perceptual term (no flag,
+        # sphere_encoder.py:127); force it off for the lockstep — the
+        # movae side runs use_perceptual=False too (model_args)
+        for name in ("SphereEncoder", "SphereEncoderViT"):
+            if hasattr(ref_models, name):
+                sphere_patch[name] = getattr(ref_models, name)
+                setattr(ref_models, name, functools.partial(
+                    sphere_patch[name], use_perceptual=False))
+    try:
+        net = ref_get_network(SIZE, 3, args, device="cpu")
+    finally:
+        for name, cls in sphere_patch.items():
+            setattr(ref_models, name, cls)
     missing, unexpected = net.load_state_dict(
         {k: torch.tensor(v) for k, v in init_sd.items()}, strict=False)
     # vq_top./vq_bottom. are ALIASES of quantize_t./quantize_b. (the same
@@ -311,8 +372,12 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
     # lists both names
     # sobel_x/sobel_y are CONSTANT filter buffers (gg_vq_vae.py:57-60) —
     # nothing to sync; movae bakes the same constants into ops/sobel.py
+    # .pe / rotary.inv_freq are the ViT's CONSTANT sinusoidal-PE and RoPE
+    # frequency buffers (sphere_encoder_vit.py) — nothing to sync, same
+    # whitelist as torch_import._SKIP_BUFFERS
     bad = ([k for k in missing if "num_batches_tracked" not in k
-            and not k.startswith(("vq_top.", "vq_bottom.", "sobel_"))]
+            and not k.startswith(("vq_top.", "vq_bottom.", "sobel_"))
+            and not k.endswith((".pe", "rotary.inv_freq"))]
            + list(unexpected))
     if bad:
         raise SystemExit(f"weight-sync key mismatch vs reference net: {bad}")
@@ -378,6 +443,20 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
             # other draw; reference cycle_vae.py:48 torch.randn)
             zp = torch.tensor(zp_seq[i])
             torch.randn = lambda *a, _z=zp, **kw: _z
+        if sph_seq is not None:
+            # replay the sphere forward's draws in call order: rand ->
+            # angle (approximate — only consumed through the patched tan),
+            # rand -> s (bit-exact, power-of-two scale), randn -> e;
+            # torch.tan -> the exact captured sigma (the /80*80->tan chain
+            # is not ulp-invertible and its noise Lyapunov-amplifies)
+            ua, us, e, sig = sph_seq[i]
+            rit = iter([torch.tensor(ua), torch.tensor(us)])
+            torch.rand = lambda *a, _it=rit, **kw: next(_it)
+            torch.randn = lambda *a, _e=torch.tensor(e), **kw: _e
+            orig_tan = torch.tan
+            torch.tan = lambda _x, _s=torch.tensor(sig): _s
+        else:
+            orig_tan = torch.tan
         try:
             meters, step = ref_main.train_epoch(
                 net, [(xt, torch.zeros(len(xt)))], opt, aggregator, step,
@@ -385,6 +464,7 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
         finally:
             torch.randperm, torch.rand = orig_randperm, orig_rand
             torch.randn = orig_randn
+            torch.tan = orig_tan
         rec = {k: float(m.val) for k, m in meters.items()}
         if captured:
             for j, w in enumerate(captured[-1]):
@@ -601,7 +681,7 @@ def main():
                                           len(mv["objective_names"]))
             th = run_torch(arch, agg, opts.steps, opts.optimizer, batches,
                            mv["init_sd"], eps_seq=mv["eps_seq"],
-                           zp_seq=mv["zp_seq"],
+                           zp_seq=mv["zp_seq"], sph_seq=mv["sph_seq"],
                            agg_draws=draws, scheduler=opts.scheduler,
                            sched_epochs=opts.sched_epochs,
                            drift_every=opts.drift_every)
@@ -615,7 +695,7 @@ def main():
                        for k, v in mv["init_sd"].items()}
                 th2 = run_torch(arch, agg, opts.steps, opts.optimizer,
                                 batches, sd2, eps_seq=mv["eps_seq"],
-                                zp_seq=mv["zp_seq"],
+                                zp_seq=mv["zp_seq"], sph_seq=mv["sph_seq"],
                                 agg_draws=draws, scheduler=opts.scheduler,
                                 sched_epochs=opts.sched_epochs,
                                 drift_every=opts.drift_every)
