@@ -1,9 +1,13 @@
 """Scaled end-to-end gFID equivalence probe (VERDICT r3 item 3).
 
 The r3 mini-probe (equivalence_study.py --gfid) proved indistinguishability
-at toy scale but its torch-vs-torch control band was 11-27% — an order of
-magnitude wider than the 2% acceptance framing. This probe raises the
-statistical power to where the band is single-digit %:
+at toy scale but its torch-vs-torch control band was 11-27%. This probe
+raises the statistical power (findings in BENCH.md "gFID equivalence probe
+v2/v3": the band is RUN-TO-RUN TRAINING variance; convergence drives
+absolute gFID toward the estimator floor, so relative bands cannot reach
+single-digit % on a toy task — what the probe DOES establish is that the
+cross-framework delta sits inside both frameworks' own
+innocuous-perturbation bands at every scale tested, with mixed signs):
 
 * acceptance-#3 SHAPE: VQ-VAE trained with a multi-objective aggregator,
   then a PixelCNN prior over its frozen codes, samples drawn THROUGH the
@@ -81,18 +85,20 @@ def make_data(seed, steps):
                for _ in range(steps)]
 
 
-def prior_args():
+def prior_args(hc=None, nl=None):
     return argparse.Namespace(
         arch=ARCH, dataset="gfid-probe", dataset_size=DATA_N, batch_size=64,
         num_workers=0, seed=0, prior_type="pixelcnn",
-        pixelcnn_epochs=PRIOR_EPOCHS, pixelcnn_hidden_channels=PRIOR_HC,
-        pixelcnn_num_layers=PRIOR_NL, pixelcnn_lr=3e-4,
+        pixelcnn_epochs=PRIOR_EPOCHS,
+        pixelcnn_hidden_channels=hc or PRIOR_HC,
+        pixelcnn_num_layers=nl or PRIOR_NL, pixelcnn_lr=3e-4,
         pixelcnn_temperature=1.0, prior_use_lmdb_codes=False,
         prior_sample_every=0, input_size=SIZE, kv_cache_dtype="int8",
     )
 
 
-def movae_arm(batches, x, steps, prior_epochs, sample_seed=9):
+def movae_arm(batches, x, steps, prior_epochs, sample_seed=9,
+              hc=None, nl=None):
     import equivalence_study as eq
     import jax
     import jax.numpy as jnp
@@ -113,7 +119,7 @@ def movae_arm(batches, x, steps, prior_epochs, sample_seed=9):
     s = model.latent_spatial_dim
     levels = {"codes": codes.reshape(len(x), s, s).astype(np.int32)}
 
-    pargs = prior_args()
+    pargs = prior_args(hc, nl)
     pargs.pixelcnn_epochs = prior_epochs
     with tempfile.TemporaryDirectory() as td:
         results = dict(model=model, state=state, save_root=td,
@@ -127,7 +133,8 @@ def movae_arm(batches, x, steps, prior_epochs, sample_seed=9):
     return mv, np.asarray(samples, np.float32)
 
 
-def torch_arm(batches, x, init_sd, arm_seed, steps, prior_epochs):
+def torch_arm(batches, x, init_sd, arm_seed, steps, prior_epochs,
+              hc=None, nl=None):
     import equivalence_study as eq
     import refharness
     ref_main = refharness.activate()
@@ -142,7 +149,7 @@ def torch_arm(batches, x, init_sd, arm_seed, steps, prior_epochs):
     torch.manual_seed(1234 + arm_seed)
     loader = [(torch.tensor(x[i:i + 64].transpose(0, 3, 1, 2)),
                torch.zeros(1)) for i in range(0, len(x), 64)]
-    pargs = prior_args()
+    pargs = prior_args(hc, nl)
     pargs.pixelcnn_epochs = prior_epochs
     with tempfile.TemporaryDirectory() as td:
         prior = ref_main.train_pixelcnn_prior(net, loader, "cpu", pargs, td)
@@ -156,7 +163,7 @@ def torch_arm(batches, x, init_sd, arm_seed, steps, prior_epochs):
     return np.concatenate(outs).astype(np.float32)
 
 
-def phase_train(out_dir, steps, prior_epochs):
+def phase_train(out_dir, steps, prior_epochs, hc=None, nl=None):
     _force_cpu_reexec()
     from movae_tpu.utils.hostfp import fingerprinted_cache_dir
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -170,32 +177,35 @@ def phase_train(out_dir, steps, prior_epochs):
 
     print(f"== movae arm ({ARCH}:{AGG}, {steps} steps + "
           f"{prior_epochs}-epoch prior) ==", flush=True)
-    mv, samples = movae_arm(batches0, x, steps, prior_epochs)
+    mv, samples = movae_arm(batches0, x, steps, prior_epochs,
+                            hc=hc, nl=nl)
     np.save(os.path.join(out_dir, "movae.npy"), samples)
 
     for c in range(1, MOVAE_CONTROLS + 1):
         print(f"== movae control {c} (reshuffled batches) ==", flush=True)
         _, batches_c = make_data(100 + c, steps)
         _, s = movae_arm(batches_c, x, steps, prior_epochs,
-                         sample_seed=9 + c)
+                         sample_seed=9 + c, hc=hc, nl=nl)
         np.save(os.path.join(out_dir, f"movae_ctl{c}.npy"), s)
 
     print("== torch arm (same init, same batches) ==", flush=True)
     np.save(os.path.join(out_dir, "torch.npy"),
-            torch_arm(batches0, x, mv["init_sd"], 0, steps, prior_epochs))
+            torch_arm(batches0, x, mv["init_sd"], 0, steps,
+                      prior_epochs, hc=hc, nl=nl))
 
     for c in range(1, CONTROLS + 1):
         print(f"== torch control {c} (reshuffled batches) ==", flush=True)
         _, batches_c = make_data(c, steps)
         np.save(os.path.join(out_dir, f"torch_ctl{c}.npy"),
                 torch_arm(batches_c, x, mv["init_sd"], c, steps,
-                          prior_epochs))
+                          prior_epochs, hc=hc, nl=nl))
 
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(dict(arch=ARCH, agg=AGG, size=SIZE, n_samples=N_SAMPLES,
                        data_n=DATA_N, train_steps=steps,
                        prior_epochs=prior_epochs, controls=CONTROLS,
-                       movae_controls=MOVAE_CONTROLS), f)
+                       movae_controls=MOVAE_CONTROLS,
+                       prior_hc=hc or PRIOR_HC, prior_nl=nl or PRIOR_NL), f)
     print(f"train phase done -> {out_dir}")
 
 
@@ -255,9 +265,15 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--train_steps", type=int, default=TRAIN_STEPS)
     ap.add_argument("--prior_epochs", type=int, default=PRIOR_EPOCHS)
+    ap.add_argument("--prior_hc", type=int, default=None,
+                    help="prior hidden channels (small = deliberately "
+                         "under-powered prior -> stable capacity-limited "
+                         "gFID gap)")
+    ap.add_argument("--prior_nl", type=int, default=None)
     opts = ap.parse_args()
     if opts.phase == "train":
-        phase_train(opts.out, opts.train_steps, opts.prior_epochs)
+        phase_train(opts.out, opts.train_steps, opts.prior_epochs,
+                    hc=opts.prior_hc, nl=opts.prior_nl)
     else:
         phase_score(opts.out, opts.json)
 

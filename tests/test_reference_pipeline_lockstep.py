@@ -32,7 +32,9 @@ pytestmark = pytest.mark.skipif(
 
 CONFIGS = ["vq_vae:sum", "vq_vae:upgrad", "vq_vae:pcgrad", "vq_vae:cagrad",
            "vq_vae:nashmtl", "vq_vae:mgda_gn", "vq_vae:comfort",
-           "recursive_kl_vae:mgda"]
+           "recursive_kl_vae:mgda",
+           # r4 family extension: z_prior replay + sphere draw replay
+           "cycle_vae:upgrad", "sphere_encoder:upgrad"]
 
 
 @pytest.fixture(scope="module")
@@ -63,6 +65,8 @@ def test_loss_trajectory_tracks_reference(study_results, config):
     "vq_vae:pcgrad",   # replayed random projection order (r4)
     "vq_vae:cagrad",   # exact support enumeration vs multistart SLSQP (r4)
     "vq_vae:mgda_gn",  # loss-normalized Frank-Wolfe (r4)
+    "cycle_vae:upgrad",       # z_prior replay (r4)
+    "sphere_encoder:upgrad",  # sphere draw replay, 3-objective (r4)
 ])
 def test_weights_track_reference(study_results, config):
     """movae's in-jit solvers vs the reference path's host solvers — two
