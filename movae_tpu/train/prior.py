@@ -91,8 +91,15 @@ def prior_args_echo(args, embedding_dim=None) -> Dict[str, Any]:
     only {epoch, state_dict, loss}, main.py:1037-1047)."""
     keys = ("prior_type", "pixelcnn_hidden_channels", "pixelcnn_num_layers",
             "pixelsnail_num_blocks", "pixelsnail_num_res_blocks",
-            "pixelsnail_num_heads", "pixelsnail_dropout")
+            "pixelsnail_num_heads", "pixelsnail_dropout", "attention_dropout")
     echo = {k: getattr(args, k) for k in keys if hasattr(args, k)}
+    # Attention-output flatten layout version. r4 fixed the PixelSNAIL
+    # out_proj interleave from heads-major to the reference's dim-major
+    # (reference pixelcnn_prior.py:129-131); out_proj kernels learned
+    # against the old flatten are channel-permuted under the fixed module.
+    # Stamp the layout so loaders can flag pre-fix movae-trained priors
+    # (reference-written .pth files were always dim-major and are fine).
+    echo["attn_out_layout"] = "dim_major"
     if embedding_dim is not None:
         # the table width the prior was actually built with (may differ
         # from the VQ args echo for checkpoints predating the
@@ -122,8 +129,21 @@ def find_prior(model_path: str, model, vq_args) -> Optional[Dict[str, Any]]:
             if os.path.exists(os.path.join(path, "meta.json")):
                 try:
                     payload = ckpt_lib.load_checkpoint(path)
-                    merged = SimpleNamespace(**{
-                        **vars(vq_args), **(payload.get("prior_args") or {})})
+                    p_args = payload.get("prior_args") or {}
+                    if ("pixelsnail" in prior_dir
+                            and "attn_out_layout" not in p_args):
+                        # pre-r4 movae-trained SNAIL priors learned out_proj
+                        # against a heads-major attention flatten; the fixed
+                        # module (dim-major, ref pixelcnn_prior.py:129-131)
+                        # permutes their attention-output channels. See
+                        # docs/MIGRATION.md "PixelSNAIL attention layout".
+                        print(f"WARNING: {path} predates the r4 PixelSNAIL "
+                              "attention-layout fix (no attn_out_layout "
+                              "stamp); its out_proj weights were trained "
+                              "against the heads-major flatten and will be "
+                              "misinterpreted — retrain the prior or see "
+                              "docs/MIGRATION.md")
+                    merged = SimpleNamespace(**{**vars(vq_args), **p_args})
                     if "pixelsnail" in prior_dir:
                         merged.prior_type = "pixelsnail"
                     prior_model = build_prior(
