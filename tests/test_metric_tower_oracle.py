@@ -34,194 +34,10 @@ import torch.nn as tnn
 import torch.nn.functional as F
 
 
-# ---------------------------------------------------------------------------
-# torch mirror of torchvision.models.inception_v3 (transform_input=False,
-# aux head omitted — it does not participate in the eval-mode forward).
-# Module names match torchvision so state_dict keys are converter-compatible.
-# ---------------------------------------------------------------------------
-
-class TBasicConv2d(tnn.Module):
-    def __init__(self, cin, cout, **kw):
-        super().__init__()
-        self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
-        self.bn = tnn.BatchNorm2d(cout, eps=0.001)
-
-    def forward(self, x):
-        return F.relu(self.bn(self.conv(x)))
-
-
-class TInceptionA(tnn.Module):
-    def __init__(self, cin, pool_features):
-        super().__init__()
-        self.branch1x1 = TBasicConv2d(cin, 64, kernel_size=1)
-        self.branch5x5_1 = TBasicConv2d(cin, 48, kernel_size=1)
-        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
-        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
-        self.branch_pool = TBasicConv2d(cin, pool_features, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b5 = self.branch5x5_2(self.branch5x5_1(x))
-        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
-        return torch.cat([b1, b5, bd, bp], 1)
-
-
-class TInceptionB(tnn.Module):
-    def __init__(self, cin):
-        super().__init__()
-        self.branch3x3 = TBasicConv2d(cin, 384, kernel_size=3, stride=2)
-        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        b3 = self.branch3x3(x)
-        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
-
-
-class TInceptionC(tnn.Module):
-    def __init__(self, cin, c7):
-        super().__init__()
-        self.branch1x1 = TBasicConv2d(cin, 192, kernel_size=1)
-        self.branch7x7_1 = TBasicConv2d(cin, c7, kernel_size=1)
-        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7),
-                                        padding=(0, 3))
-        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1),
-                                        padding=(3, 0))
-        self.branch7x7dbl_1 = TBasicConv2d(cin, c7, kernel_size=1)
-        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1),
-                                           padding=(3, 0))
-        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7),
-                                           padding=(0, 3))
-        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1),
-                                           padding=(3, 0))
-        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7),
-                                           padding=(0, 3))
-        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
-        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
-            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
-        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
-        return torch.cat([b1, b7, bd, bp], 1)
-
-
-class TInceptionD(tnn.Module):
-    def __init__(self, cin):
-        super().__init__()
-        self.branch3x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
-        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
-        self.branch7x7x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
-        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7),
-                                          padding=(0, 3))
-        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1),
-                                          padding=(3, 0))
-        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        b3 = self.branch3x3_2(self.branch3x3_1(x))
-        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
-            self.branch7x7x3_1(x))))
-        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
-
-
-class TInceptionE(tnn.Module):
-    def __init__(self, cin):
-        super().__init__()
-        self.branch1x1 = TBasicConv2d(cin, 320, kernel_size=1)
-        self.branch3x3_1 = TBasicConv2d(cin, 384, kernel_size=1)
-        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3),
-                                         padding=(0, 1))
-        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1),
-                                         padding=(1, 0))
-        self.branch3x3dbl_1 = TBasicConv2d(cin, 448, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
-        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3),
-                                            padding=(0, 1))
-        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1),
-                                            padding=(1, 0))
-        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b3 = self.branch3x3_1(x)
-        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
-        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
-        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
-        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
-        return torch.cat([b1, b3, bd, bp], 1)
-
-
-class TInception3(tnn.Module):
-    """torchvision inception_v3 eval-mode forward (aux head inert)."""
-
-    def __init__(self):
-        super().__init__()
-        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
-        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
-        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
-        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
-        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
-        self.Mixed_5b = TInceptionA(192, 32)
-        self.Mixed_5c = TInceptionA(256, 64)
-        self.Mixed_5d = TInceptionA(288, 64)
-        self.Mixed_6a = TInceptionB(288)
-        self.Mixed_6b = TInceptionC(768, 128)
-        self.Mixed_6c = TInceptionC(768, 160)
-        self.Mixed_6d = TInceptionC(768, 160)
-        self.Mixed_6e = TInceptionC(768, 192)
-        self.Mixed_7a = TInceptionD(768)
-        self.Mixed_7b = TInceptionE(1280)
-        self.Mixed_7c = TInceptionE(2048)
-        self.fc = tnn.Linear(2048, 1000)
-
-    def forward(self, x):
-        x = self.Conv2d_1a_3x3(x)
-        x = self.Conv2d_2a_3x3(x)
-        x = self.Conv2d_2b_3x3(x)
-        x = F.max_pool2d(x, 3, stride=2)
-        x = self.Conv2d_3b_1x1(x)
-        x = self.Conv2d_4a_3x3(x)
-        x = F.max_pool2d(x, 3, stride=2)
-        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
-                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
-                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
-            x = getattr(self, name)(x)
-        feats = torch.flatten(F.adaptive_avg_pool2d(x, (1, 1)), 1)
-        return feats, self.fc(feats)
-
-
-def _randomize(model: tnn.Module, seed: int) -> None:
-    """Seeded, well-scaled random weights (BN stats randomized too so the
-    batch_stats conversion path is actually exercised)."""
-    g = torch.Generator().manual_seed(seed)
-    sd = model.state_dict()
-    for k, v in sd.items():
-        if k.endswith("num_batches_tracked"):
-            continue
-        if k.endswith("running_var"):
-            sd[k] = 0.5 + torch.rand(v.shape, generator=g)
-        elif k.endswith(("bn.weight",)):
-            sd[k] = 0.5 + torch.rand(v.shape, generator=g)
-        elif k.endswith("conv.weight"):
-            fan_in = int(np.prod(v.shape[1:]))
-            sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
-        else:  # bn.bias, running_mean, fc.*, plain conv bias/weight (VGG)
-            if k.endswith("weight") and v.ndim == 4:
-                fan_in = int(np.prod(v.shape[1:]))
-                sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
-            elif k.endswith("weight") and v.ndim == 2:
-                sd[k] = torch.randn(v.shape, generator=g) * 0.02
-            else:
-                sd[k] = torch.randn(v.shape, generator=g) * 0.1
-    model.load_state_dict(sd)
-    model.eval()
+# The torch mirrors of the torchvision tower architectures live in
+# refharness/towers.py (shared with the torchvision shim's weight-synced
+# tower mode); this module anchors the flax towers against them.
+from refharness.towers import TInception3, TVGG16, randomize as _randomize
 
 
 def _torch_inception_preprocess(x: "torch.Tensor") -> "torch.Tensor":
@@ -305,7 +121,7 @@ def test_inception_tower_and_fid_match_torch(tmp_path):
 
     jf, jl = tower.extract(real, batch_size=2, want_logits=True)
     with torch.no_grad():
-        tf_, tl = tm(_torch_inception_preprocess(
+        tf_, tl = tm.features_and_logits(_torch_inception_preprocess(
             torch.from_numpy(np.transpose(real, (0, 3, 1, 2)))))
     tf_, tl = tf_.numpy(), tl.numpy()
 
@@ -320,7 +136,7 @@ def test_inception_tower_and_fid_match_torch(tmp_path):
     # (stable sqrtm) without weakening the pipeline-equivalence claim
     jff = tower.extract(fake, batch_size=2)
     with torch.no_grad():
-        tff, _ = tm(_torch_inception_preprocess(
+        tff, _ = tm.features_and_logits(_torch_inception_preprocess(
             torch.from_numpy(np.transpose(fake, (0, 3, 1, 2)))))
     fid_j = feat_mod.fid_from_features(jf[:, :4], jff[:, :4])
     fid_t = feat_mod.fid_from_features(tf_[:, :4], tff.numpy()[:, :4])
@@ -339,18 +155,10 @@ def test_vgg_lpips_matches_torch(tmp_path):
     from movae_tpu.metrics.vgg import (VGG16Features, convert_torch_weights,
                                        load_params, make_lpips_fn)
 
-    # torchvision vgg16().features[:23] — conv indices 0,2,5,7,10,12,14,
-    # 17,19,21; state_dict keys features.N.{weight,bias}
-    layers, cin = [], 3
-    for ch in (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-               512, 512, 512, "M"):
-        if ch == "M":
-            layers.append(tnn.MaxPool2d(2, 2))
-        else:
-            layers += [tnn.Conv2d(cin, ch, 3, padding=1), tnn.ReLU()]
-            cin = ch
-    tv = tnn.Sequential()
-    tv.features = tnn.Sequential(*layers)
+    # torchvision vgg16() surface (full features Sequential; conv indices
+    # 0,2,5,...; state_dict keys features.N.{weight,bias}) from the shared
+    # mirror — the LPIPS taps are at 3/8/15/22 so the conv5 block is inert
+    tv = TVGG16()
     _randomize(tv, 77)
     npz = str(tmp_path / "vgg.npz")
     convert_torch_weights(tv.state_dict(), npz)
@@ -417,3 +225,34 @@ def _torch_lpips(features: tnn.Sequential, a: np.ndarray,
                 d = (na - nb).pow(2).sum(dim=1)
                 scores.append(d.mean(dim=(1, 2)))
         return float(torch.stack(scores).mean())
+
+
+def test_refharness_tf_shim_matches_preprocess_oracle():
+    """The refharness torchvision.transforms.functional shim (used when the
+    UNMODIFIED reference metric stack runs in eval lockstep studies) must
+    reproduce the proven preprocessing: resize(299, BICUBIC, antialias) +
+    center_crop(299) + ImageNet normalize == _torch_inception_preprocess
+    (itself anchored against the flax pipeline above)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "refharness", "shims", "torchvision",
+        "transforms", "functional.py")
+    spec = importlib.util.spec_from_file_location("_shim_tf", path)
+    TF = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(TF)
+
+    rng = np.random.default_rng(5)
+    for hw in ((32, 32), (40, 56), (299, 320)):
+        x = torch.from_numpy(rng.uniform(
+            -1, 1, (2, 3, hw[0], hw[1])).astype(np.float32))
+        x01 = torch.clamp(x * 0.5 + 0.5, 0.0, 1.0)
+        got = TF.resize(x01, 299, interpolation=TF.InterpolationMode.BICUBIC,
+                        antialias=True)
+        got = TF.center_crop(got, [299, 299])
+        got = TF.normalize(got, mean=[0.485, 0.456, 0.406],
+                           std=[0.229, 0.224, 0.225])
+        want = _torch_inception_preprocess(x)
+        np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-5,
+                                   atol=1e-5)
