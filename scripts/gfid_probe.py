@@ -270,7 +270,17 @@ def main():
                          "under-powered prior -> stable capacity-limited "
                          "gFID gap)")
     ap.add_argument("--prior_nl", type=int, default=None)
+    ap.add_argument("--size", type=int, default=None,
+                    help="image size for a larger probe rung (v4: 32px — "
+                         "the largest trainable scale on this host; the "
+                         "16px default reproduces the v2/v3 rungs)")
     opts = ap.parse_args()
+    if opts.size:
+        global SIZE
+        SIZE = opts.size
+        import equivalence_study as eq
+
+        eq.SIZE = opts.size
     if opts.phase == "train":
         phase_train(opts.out, opts.train_steps, opts.prior_epochs,
                     hc=opts.prior_hc, nl=opts.prior_nl)

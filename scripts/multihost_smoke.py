@@ -29,7 +29,15 @@ each, gloo collectives) that form one 8-device global mesh and exercise:
      batch-sharded KV-cache sampler's draws must be bitwise identical to
      the unsharded sampler, a ragged batch must no-op safely, and
      final_metrics._gather_chunk must fetch the cross-host-sharded
-     result on every process.
+     result on every process,
+  9. a full cross-host FSDP OPTIMIZER step: params + SGD-momentum state
+     ZeRO-3-sharded over the 'data' axis spanning both hosts, two
+     multi-objective updates, post-step params must match the
+     replicated-placement run of the same steps and agree across hosts,
+  10. a full cross-host PIPELINE optimizer step: grads of the 2-stage
+     GPipe loss (stage hand-off crossing gloo) -> SGD update on the
+     stage-sharded stacked params, post-step params must match the plain
+     single-trace grad+update and agree across hosts.
 
 Run: python scripts/multihost_smoke.py            (launcher)
 Exit code 0 = all workers passed.
@@ -304,7 +312,89 @@ def worker(pid: int, port: int, workdir: str) -> None:
         np.float64(got8.sum())))
     assert (sums == sums[0]).all(), f"sample draws diverged: {sums}"
     print(f"{tag} cross-host sample-parallel sampling ok", flush=True)
+
+    # -- 9. cross-host FSDP optimizer step (sharded momentum) ---------------
+    # params + optimizer state ZeRO-3-placed over the 8-device 'data' axis
+    # (4 devices per host): the grad reduce-scatters, the sharded SGD
+    # update, and the param all-gathers all cross the gloo boundary.
+    # SGD (linear in g) keeps the fsdp-vs-replicated delta at the fp noise
+    # of the different reduction orders; adam at any eps would square it
+    # through m-hat/v-hat (tests/test_torch_lockstep.py mechanism).
+    margs2 = dict(arch="vq_vae", embedding_dim=8, num_embeddings=32,
+                  hidden_dims=(8, 16), num_residual_layers=1,
+                  batch_size=local_bs * NUM_PROCS, dataset_size=64)
+    model2 = get_network(input_size, 3, margs2)
+    p0, bst0 = init_model(model2, jax.random.PRNGKey(1), input_size, 3,
+                          batch_size=2)
+    cfg2 = AggregatorConfig(name="upgrad",
+                            num_objectives=len(model2.objective_names))
+
+    def run_two_steps(par):
+        tx2 = build_optimizer("sgd", 1e-2)
+        pr = (par.shard_params(p0, min_elems=0) if par.fsdp
+              else par.replicate(p0))
+        st = TrainState.create(model2.apply, pr, par.replicate(bst0), tx2,
+                               init_state(cfg2))
+        sfn = jax.jit(make_train_step(model2, cfg2, 1, 1))
+        with par.mesh:
+            for _ in range(2):
+                st, m = sfn(st, batch, rng)
+        return par.host_copy(st.params), float(m["total_loss"])
+
+    fsdp_params, fsdp_loss = run_two_steps(
+        DataParallel(parallel.mesh, fsdp=True))
+    repl_params, repl_loss = run_two_steps(parallel)
+    flat_f = jax.tree_util.tree_leaves(fsdp_params)
+    flat_r = jax.tree_util.tree_leaves(repl_params)
+    d = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(flat_f, flat_r))
+    assert d < 1e-5, f"fsdp post-step params diverged from replicated: {d}"
+    csum = np.float64(sum(float(np.sum(np.asarray(a))) for a in flat_f))
+    csums = np.asarray(multihost_utils.process_allgather(csum))
+    assert (csums == csums[0]).all(), f"fsdp params diverged across: {csums}"
+    print(f"{tag} cross-host fsdp optimizer step ok (delta={d:.2e}, "
+          f"loss fsdp={fsdp_loss:.6f} repl={repl_loss:.6f})", flush=True)
+
+    # -- 10. cross-host PIPELINE optimizer step ------------------------------
+    import optax
+    from jax.sharding import PartitionSpec as PSpec2
+
+    tx3 = optax.sgd(1e-2)
+
+    def fetch_tree(tree, mesh):
+        rep = jax.jit(lambda t: t, out_shardings=jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, PSpec2()), tree))(tree)
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), rep)
+
+    with pp_mesh:
+        pp_step = jax.jit(lambda p, z: _sgd_update(
+            tx3, p, jax.grad(lambda q: pp_loss(
+                q, z, jax.random.PRNGKey(13))["total_loss"])(p)))
+        new_stacked = pp_step(stacked_g, z2_g)
+        new_stacked_h = fetch_tree(new_stacked, pp_mesh)
+    plain_grads = jax.jit(jax.grad(prior2_loss))(
+        parallel.replicate(p2), parallel.replicate(jnp.asarray(z2_np)))
+    plain_new = _sgd_update(tx3, stack_block_params(p2),
+                            stack_block_params(jax.device_get(plain_grads)))
+    flat_p = jax.tree_util.tree_leaves(jax.device_get(plain_new))
+    flat_s = jax.tree_util.tree_leaves(new_stacked_h)
+    d2 = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(flat_s, flat_p))
+    assert d2 < 1e-5, f"pipelined post-step params diverged: {d2}"
+    csum2 = np.float64(sum(float(np.sum(a)) for a in flat_s))
+    csums2 = np.asarray(multihost_utils.process_allgather(csum2))
+    assert (csums2 == csums2[0]).all(), f"pipe params diverged: {csums2}"
+    print(f"{tag} cross-host pipeline optimizer step ok (delta={d2:.2e})",
+          flush=True)
     multihost_utils.sync_global_devices("done")
+
+
+def _sgd_update(tx, params, grads):
+    import jax
+    import optax
+
+    updates, _ = tx.update(grads, tx.init(params), params)
+    return optax.apply_updates(params, updates)
 
 
 if __name__ == "__main__":

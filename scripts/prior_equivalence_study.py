@@ -348,6 +348,13 @@ def main():
     ap.add_argument("--configs", nargs="+",
                     default=["pixelcnn", "hierarchical_pixelcnn"])
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--chaos_control", type=float, default=0.0,
+                    help="also run the TORCH side a second time from an "
+                         "init perturbed by +-this (uniform) and report its "
+                         "drift vs the unperturbed torch run — the "
+                         "within-framework sensitivity band the "
+                         "cross-framework CE delta must be judged against "
+                         "(same arm equivalence_study.py grew in r4)")
     ap.add_argument("--json", default=None)
     opts = ap.parse_args()
 
@@ -360,6 +367,22 @@ def main():
         mv = run_movae(kind, opts.epochs, levels)
         th = run_torch(kind, opts.epochs, levels, mv["init_sd"])
         res = compare(kind, mv, th, opts.epochs)
+        if opts.chaos_control > 0:
+            prng = np.random.default_rng(13)
+            sd2 = {k: (v + prng.uniform(-opts.chaos_control,
+                                        opts.chaos_control,
+                                        v.shape).astype(v.dtype)
+                       if np.issubdtype(v.dtype, np.floating) else v)
+                   for k, v in mv["init_sd"].items()}
+            th2 = run_torch(kind, opts.epochs, levels, sd2)
+            ctl = compare(kind, th2, th, opts.epochs)
+            res["chaos_control"] = dict(
+                perturb=opts.chaos_control,
+                max_rel_ce_delta=ctl["max_rel_ce_delta"],
+                last_rel_ce_delta=ctl["last_rel_ce_delta"],
+                final_max_param_delta=ctl["final_max_param_delta"],
+                decisions_match=(ctl["best_decisions_movae"]
+                                 == ctl["best_decisions_torch"]))
         results.append(res)
         print(json.dumps(res, indent=2), flush=True)
 
