@@ -88,11 +88,15 @@ ZPRIOR_ARCHS = ("cycle_vae", "recursive_cyclic_vae")
 # the forward (sphere_encoder.py:203-218): the movae step's draws (exposed
 # as diagnostic outputs) are replayed via scoped torch.rand/randn patches.
 # The reference hard-enables its VGG perceptual term (no flag,
-# models/__init__.py:90-106 + sphere_encoder.py:127) — the study forces
-# use_perceptual=False on BOTH sides (tower equivalence is separately
-# proven by the metric oracles + dress rehearsal) via a scoped constructor
-# patch on the torch side.
+# models/__init__.py:90-106 + sphere_encoder.py:127). Default study mode
+# forces use_perceptual=False on BOTH sides via a scoped constructor patch
+# on the torch side; --sphere_perceptual instead runs the term ACTIVE with
+# WEIGHT-SYNCED random VGG towers (the refharness torchvision shim's
+# MOVAE_REFHARNESS_TOWER_SEED mode + the same state_dict converted into
+# the flax tower) so the perceptual GRADIENT path is cross-framework-
+# exercised (r4 VERDICT Missing #1).
 SPHERE_ARCHS = ("sphere_encoder", "sphere_encoder_vit")
+SPHERE_PERCEPTUAL = False
 # comfort's beta schedule only moves across epochs: split the study's
 # steps into this many virtual epochs so the blend is exercised l->u
 COMFORT_EPOCHS = 5
@@ -100,12 +104,12 @@ COMFORT_EPOCHS = 5
 
 def model_args(arch):
     if arch == "sphere_encoder":
-        extra = dict(latent_dim=LATENT, use_perceptual=False)
+        extra = dict(latent_dim=LATENT, use_perceptual=SPHERE_PERCEPTUAL)
     elif arch == "sphere_encoder_vit":
         # 16px / patch 2 -> 64 patches; latent must divide evenly
-        extra = dict(latent_dim=64, use_perceptual=False, patch_size=2,
-                     vit_embed_dim=32, vit_depth=2, vit_num_heads=2,
-                     vit_mixer_depth=1)
+        extra = dict(latent_dim=64, use_perceptual=SPHERE_PERCEPTUAL,
+                     patch_size=2, vit_embed_dim=32, vit_depth=2,
+                     vit_num_heads=2, vit_mixer_depth=1)
     elif arch in ("vae", "betatc_vae", "recursive_kl_vae", "gg_vae",
                   "cycle_vae", "recursive_cyclic_vae"):
         extra = dict(latent_dim=LATENT, layer_norm="batch")
@@ -350,10 +354,13 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
     args = argparse.Namespace(**model_args(arch), max_grad_norm=None,
                               use_wandb=False)
     sphere_patch = {}
-    if arch in SPHERE_ARCHS:
+    if arch in SPHERE_ARCHS and not SPHERE_PERCEPTUAL:
         # the reference hard-enables the VGG16 perceptual term (no flag,
-        # sphere_encoder.py:127); force it off for the lockstep — the
-        # movae side runs use_perceptual=False too (model_args)
+        # sphere_encoder.py:127); force it off for the default lockstep —
+        # the movae side runs use_perceptual=False too (model_args). With
+        # --sphere_perceptual the patch is skipped: the reference
+        # constructor builds its PerceptualLoss through the torchvision
+        # shim's seeded tower, weight-synced with the flax side.
         for name in ("SphereEncoder", "SphereEncoderViT"):
             if hasattr(ref_models, name):
                 sphere_patch[name] = getattr(ref_models, name)
@@ -375,8 +382,12 @@ def run_torch(arch, agg, steps, optimizer, batches, init_sd, eps_seq=None,
     # .pe / rotary.inv_freq are the ViT's CONSTANT sinusoidal-PE and RoPE
     # frequency buffers (sphere_encoder_vit.py) — nothing to sync, same
     # whitelist as torch_import._SKIP_BUFFERS
+    # perceptual_loss.features.* is the FROZEN VGG tower (requires_grad
+    # False, objectives.py:62-63) — synced separately via the torchvision
+    # shim's tower seed, not through the model state_dict
     bad = ([k for k in missing if "num_batches_tracked" not in k
-            and not k.startswith(("vq_top.", "vq_bottom.", "sobel_"))
+            and not k.startswith(("vq_top.", "vq_bottom.", "sobel_",
+                                  "perceptual_loss."))
             and not k.endswith((".pe", "rotary.inv_freq"))]
            + list(unexpected))
     if bad:
@@ -654,8 +665,33 @@ def main():
                     help="mini end-to-end gFID comparison instead of the "
                          "trajectory study (vae archs only)")
     ap.add_argument("--gfid_samples", type=int, default=256)
+    ap.add_argument("--sphere_perceptual", action="store_true",
+                    help="run sphere configs with the reference's "
+                         "hard-enabled VGG perceptual term ACTIVE through "
+                         "weight-synced random towers (r4 VERDICT "
+                         "Missing #1)")
     ap.add_argument("--json", default=None)
     opts = ap.parse_args()
+
+    if opts.sphere_perceptual:
+        global SPHERE_PERCEPTUAL
+        SPHERE_PERCEPTUAL = True
+        # one seed drives the torch side (torchvision shim towers) and the
+        # flax side (same state_dict converted to npz) — must be set
+        # before any model build
+        import tempfile
+
+        from refharness.towers import build_vgg16
+
+        from movae_tpu.metrics.vgg import convert_torch_weights
+
+        seed = 20260820
+        os.environ["MOVAE_REFHARNESS_TOWER_SEED"] = str(seed)
+        vgg_npz = os.path.join(tempfile.mkdtemp(prefix="sphere_perc_"),
+                               "vgg_sync.npz")
+        # the shim's vgg16() serves build_vgg16(seed + 1)
+        convert_torch_weights(build_vgg16(seed + 1).state_dict(), vgg_npz)
+        os.environ["MOVAE_VGG16_WEIGHTS"] = vgg_npz
 
     results = []
     if opts.gfid:
