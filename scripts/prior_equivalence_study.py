@@ -160,11 +160,27 @@ def run_movae(prior_kind: str, epochs: int, levels):
     final_sd = {k: np.asarray(v) for k, v in export_torch_state_dict(
         final["model_state_dict"]["params"], {}, arch_name).items()}
 
+    # same-params evaluation probe: CE of the FINAL movae params on one
+    # fixed batch (epoch-0 order, first BS samples) — the torch side
+    # evaluates the SAME state_dict on the SAME batch, isolating the pure
+    # cross-framework fp-evaluation delta from training-state divergence
+    order = np.random.default_rng((SEED, 0)).permutation(N)[:BS]
+    fp = final["model_state_dict"]["params"]
+    if hier:
+        zt = jnp.asarray(levels["top"][order])
+        zb = jnp.asarray(levels["bottom"][order])
+        ce_same = float(prior.apply({"params": fp}, zt, zb, train=False,
+                                    method="loss_function")["total_loss"])
+    else:
+        zz = jnp.asarray(levels["codes"][order])
+        ce_same = float(prior.apply({"params": fp}, zz, train=False,
+                                    method="loss_function")["total_loss"])
+
     spe = N // BS
     epoch_avgs = [float(np.mean(trace[e * spe:(e + 1) * spe]))
                   for e in range(epochs)]
     return dict(init_sd=init_sd, trace=trace, epoch_avgs=epoch_avgs,
-                final_sd=final_sd)
+                final_sd=final_sd, same_batch_ce=ce_same)
 
 
 # ---------------------------------------------------------------- torch side
@@ -192,7 +208,7 @@ class _ReplayLoader:
                    self.torch.zeros(1))
 
 
-def run_torch(prior_kind: str, epochs: int, levels, init_sd):
+def run_torch(prior_kind: str, epochs: int, levels, init_sd, eval_sd=None):
     import refharness
     ref_main = refharness.activate()
     import torch
@@ -296,9 +312,35 @@ def run_torch(prior_kind: str, epochs: int, levels, init_sd):
     spe = N // BS
     epoch_avgs = [float(np.mean(trace[e * spe:(e + 1) * spe]))
                   for e in range(epochs)]
-    return dict(trace=trace, epoch_avgs=epoch_avgs, best_epochs=saves,
-                final_sd={k: v.detach().numpy().copy()
-                          for k, v in prior.state_dict().items()})
+    out = dict(trace=trace, epoch_avgs=epoch_avgs, best_epochs=saves,
+               final_sd={k: v.detach().numpy().copy()
+                         for k, v in prior.state_dict().items()})
+
+    if eval_sd is not None:
+        # same-params evaluation probe (see run_movae): load the movae
+        # FINAL state into the reference prior and evaluate the same
+        # fixed batch — pure fp-evaluation delta, no training divergence
+        prior.load_state_dict({k: torch.tensor(v)
+                               for k, v in eval_sd.items()}, strict=False)
+        prior.eval()
+        order = np.random.default_rng((SEED, 0)).permutation(N)[:BS]
+        n_trace = len(trace)
+        with torch.no_grad():
+            if hier:
+                # the hierarchical prior's loss_function is the
+                # trace-capturing patch from training — drop its probe entry
+                zt = torch.tensor(levels["top"][order]).long()
+                zb = torch.tensor(levels["bottom"][order]).long()
+                ce = float(prior.loss_function(zt, zb)["total_loss"])
+            else:
+                zz = torch.tensor(levels["codes"][order]).long()
+                logits = prior(zz)
+                ce = float(torch.nn.functional.cross_entropy(
+                    logits.permute(0, 2, 3, 1).reshape(-1, K),
+                    zz.reshape(-1)))
+        del trace[n_trace:]
+        out["same_batch_ce"] = ce
+    return out
 
 
 # ---------------------------------------------------------------- comparison
@@ -365,8 +407,14 @@ def main():
         print(f"== prior lockstep {kind} ({opts.epochs} epochs x "
               f"{N // BS} steps) ==", flush=True)
         mv = run_movae(kind, opts.epochs, levels)
-        th = run_torch(kind, opts.epochs, levels, mv["init_sd"])
+        th = run_torch(kind, opts.epochs, levels, mv["init_sd"],
+                       eval_sd=mv["final_sd"])
         res = compare(kind, mv, th, opts.epochs)
+        if "same_batch_ce" in th:
+            a, b = mv["same_batch_ce"], th["same_batch_ce"]
+            res["same_params_eval"] = dict(
+                ce_movae=a, ce_torch=b,
+                rel_delta=abs(a - b) / (abs(b) + 1e-12))
         if opts.chaos_control > 0:
             prng = np.random.default_rng(13)
             sd2 = {k: (v + prng.uniform(-opts.chaos_control,
