@@ -100,7 +100,10 @@ def stage_torch(out_dir):
 
     def tower(x):
         with torch.no_grad():
-            f, l = tm(oracle._torch_inception_preprocess(
+            # r5: TInception3.forward returns logits only (torchvision
+            # eval surface, refharness/towers.py); the oracle pair comes
+            # from features_and_logits
+            f, l = tm.features_and_logits(oracle._torch_inception_preprocess(
                 torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))))
         return f.numpy().astype(np.float64), l.numpy()
 
