@@ -50,8 +50,11 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEVICES_PER_PROC = 4
-NUM_PROCS = 2
+# MOVAE_SMOKE_PROCS=4 MOVAE_SMOKE_DEVS=2 runs the 4-process configuration
+# (r5; every arm is written in terms of these, so the 8-device global mesh
+# splits 2x4 or 4x2 — workers inherit the env through the launcher)
+NUM_PROCS = int(os.environ.get("MOVAE_SMOKE_PROCS", "2"))
+DEVICES_PER_PROC = int(os.environ.get("MOVAE_SMOKE_DEVS", "4"))
 
 
 def launcher() -> int:
