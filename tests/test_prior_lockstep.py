@@ -64,3 +64,12 @@ def test_prior_best_checkpoint_decisions_match(prior_results, kind):
 def test_prior_final_params_close(prior_results, kind):
     res = prior_results[kind]
     assert res["final_max_param_delta"] < 1e-3, res
+
+
+@pytest.mark.parametrize("kind", CONFIGS)
+def test_same_params_evaluation_exact(prior_results, kind):
+    """r5 probe: the FINAL movae prior parameters loaded into the reference
+    prior and evaluated on the same fixed batch must agree at fp-noise
+    level — CE-trace deltas are state divergence, never evaluation bias."""
+    res = prior_results[kind]
+    assert res["same_params_eval"]["rel_delta"] < 1e-6, res["same_params_eval"]
