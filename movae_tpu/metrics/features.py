@@ -20,23 +20,29 @@ import numpy as np
 from scipy import linalg
 
 from movae_tpu.metrics.inception import InceptionV3, load_params
-from movae_tpu.ops.resize import resize_bicubic
+from movae_tpu.ops.resize import resize_bicubic, resize_bilinear
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def inception_preprocess(batch: jax.Array) -> jax.Array:
-    """[-1,1] -> [0,1] denorm, resize shorter side to 299 (bicubic,
-    antialias), center-crop 299, ImageNet-normalize (metrics.py:542-553).
-    NHWC.
+def inception_preprocess(batch: jax.Array,
+                         method: str = "bicubic") -> jax.Array:
+    """[-1,1] -> [0,1] denorm, resize shorter side to 299 (antialias),
+    center-crop 299, ImageNet-normalize (metrics.py:542-553). NHWC.
 
-    Matches ``torchvision.transforms.functional.resize(t, 299, BICUBIC,
+    Matches ``torchvision.transforms.functional.resize(t, 299, <method>,
     antialias=True)`` exactly: shorter-side target with the longer side
     TRUNCATED (``int(299 * long / short)``), no-op when the shorter side
-    is already 299, and torch's antialiased bicubic kernel (see
+    is already 299, and torch's antialiased kernels (see
     movae_tpu/ops/resize.py — ``jax.image.resize`` uses a different cubic
-    kernel and would silently skew FID)."""
+    kernel and would silently skew FID).
+
+    ``method``: the reference uses BICUBIC for the FID/KID feature passes
+    (metrics.py:549-553, 636-640) but torchvision's DEFAULT — BILINEAR —
+    for the Inception-Score logits pass (``TF.resize(batch, 299,
+    antialias=True)`` with no interpolation argument, metrics.py:873-875);
+    both are mirrored bug-for-bug."""
     x = batch.astype(jnp.float32) * 0.5 + 0.5
     x = jnp.clip(x, 0.0, 1.0)
     b, h, w, c = x.shape
@@ -45,7 +51,8 @@ def inception_preprocess(batch: jax.Array) -> jax.Array:
             nh, nw = 299, int(299 * w / h)
         else:
             nw, nh = 299, int(299 * h / w)
-        x = resize_bicubic(x, nh, nw, antialias=True)
+        resize = resize_bilinear if method == "bilinear" else resize_bicubic
+        x = resize(x, nh, nw, antialias=True)
     else:
         nh, nw = h, w
     # TF.center_crop offset: int(round((size - crop)/2)) — banker's round
@@ -69,7 +76,18 @@ class InceptionTower:
                                              inception_preprocess(batch))
             return feats, logits
 
+        # separate pass for the IS logits: the reference's IS preprocessing
+        # resizes BILINEAR (torchvision default, metrics.py:873-875) where
+        # the FID path is BICUBIC — two distinct compiled programs
+        @jax.jit
+        def run_bilinear(batch):
+            feats, logits = self.model.apply(
+                self.variables, inception_preprocess(batch,
+                                                     method="bilinear"))
+            return feats, logits
+
         self._run = run
+        self._run_bilinear = run_bilinear
 
     @classmethod
     def get(cls) -> "InceptionTower":
@@ -78,12 +96,14 @@ class InceptionTower:
         return cls._instance
 
     def extract(self, images: np.ndarray, batch_size: int = 128,
-                want_logits: bool = False):
+                want_logits: bool = False, method: str = "bicubic"):
         """images: (N,H,W,C) float, EXPECTED in [-1,1]: preprocessing
         unconditionally denormalizes with x*0.5+0.5 exactly like the
         reference (metrics.py:542), so [0,1] inputs (non-normalized BCE
         runs) get compressed to [0.5,1] — a deliberate bug-for-bug parity
-        choice; the VGG/LPIPS tower auto-ranges instead (vgg.py)."""
+        choice; the VGG/LPIPS tower auto-ranges instead (vgg.py).
+        ``method="bilinear"`` selects the IS-path preprocessing (see
+        inception_preprocess)."""
         n = len(images)
         if n == 0:
             return (np.array([]), np.array([])) if want_logits else np.array([])
@@ -105,8 +125,10 @@ class InceptionTower:
                 # second XLA compilation for the remainder
                 pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
                 chunk = np.concatenate([chunk, pad])
-            f, lg = self._run(jnp.asarray(chunk) if sharding is None
-                              else jax.device_put(chunk, sharding))
+            run = (self._run_bilinear if method == "bilinear"
+                   else self._run)
+            f, lg = run(jnp.asarray(chunk) if sharding is None
+                        else jax.device_put(chunk, sharding))
             feats.append(np.asarray(f)[:valid])
             if want_logits:
                 logits.append(np.asarray(lg)[:valid])
@@ -224,8 +246,12 @@ def calculate_inception_score(images, batch_size: int = 128,
     Returns (mean, std)."""
     if len(images) == 0:
         return float("nan"), float("nan")
+    # the reference's IS pass resizes BILINEAR (torchvision's default for
+    # TF.resize with no interpolation argument, metrics.py:873-875) where
+    # its FID passes are explicit BICUBIC — mirrored bug-for-bug
     _, logits = InceptionTower.get().extract(images, batch_size,
-                                             want_logits=True)
+                                             want_logits=True,
+                                             method="bilinear")
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     return inception_score_from_probs(probs, splits)
 

@@ -256,3 +256,69 @@ def test_refharness_tf_shim_matches_preprocess_oracle():
         want = _torch_inception_preprocess(x)
         np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-5,
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,out,aa", [
+    ((2, 32, 32, 3), (299, 299), True),    # the IS upscale path
+    ((2, 512, 384, 3), (299, 224), True),  # downscale, non-square
+    ((1, 64, 48, 2), (48, 96), True),      # mixed up/down
+    ((2, 40, 56, 3), (20, 28), False),     # classic kernel, downscale
+    ((1, 17, 23, 1), (51, 46), False),     # classic kernel, upscale
+])
+def test_resize_bilinear_matches_torch(shape, out, aa):
+    """r5: the reference's Inception-Score pass resizes BILINEAR
+    (torchvision's default for TF.resize with no interpolation argument,
+    metrics.py:873-875) — both torch bilinear paths are mirrored like the
+    bicubic pair above."""
+    from movae_tpu.ops.resize import resize_bilinear
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(resize_bilinear(x, out[0], out[1], antialias=aa))
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    want = F.interpolate(t, size=out, mode="bilinear", antialias=aa,
+                         align_corners=False)
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_is_logits_path_matches_torch(tmp_path):
+    """End-to-end IS-path equivalence through the BILINEAR preprocessing:
+    reference calculate_inception_score pipeline (denorm -> TF.resize(299,
+    antialias=True) [bilinear default] -> center crop -> normalize ->
+    inception logits -> softmax -> split-KL, metrics.py:835-914) vs
+    calculate_inception_score on the weight-synced flax tower."""
+    import os
+
+    from movae_tpu.metrics import features as feat_mod
+    from movae_tpu.metrics.inception import convert_torch_weights
+
+    tm = TInception3()
+    _randomize(tm, 555)
+    npz = str(tmp_path / "inception_is.npz")
+    convert_torch_weights(tm.state_dict(), npz)
+
+    rng = np.random.default_rng(6)
+    imgs = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+
+    # torch side: the reference's IS preprocessing, bilinear default
+    x = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+    x = torch.clamp(x * 0.5 + 0.5, 0, 1)
+    x = F.interpolate(x, size=(299, 299), mode="bilinear", antialias=True)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        tl = tm((x - mean) / std)
+    pt = np.asarray(torch.softmax(tl, dim=-1))
+    is_t, _ = feat_mod.inception_score_from_probs(pt, splits=2)
+
+    # flax side: the production IS surface on the synced tower
+    tower = feat_mod.InceptionTower(weights_path=npz)
+    old = feat_mod.InceptionTower._instance
+    feat_mod.InceptionTower._instance = tower
+    try:
+        is_j, _ = feat_mod.calculate_inception_score(imgs, batch_size=4,
+                                                     splits=2)
+    finally:
+        feat_mod.InceptionTower._instance = old
+
+    assert abs(is_j - is_t) / is_t < 1e-2, (is_j, is_t)
