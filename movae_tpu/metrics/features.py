@@ -258,9 +258,16 @@ def calculate_inception_score(images, batch_size: int = 128,
 
 def precision_recall_from_features(real_features: np.ndarray,
                                    fake_features: np.ndarray,
-                                   k: int = 3):
-    """kNN-manifold precision/recall (Kynkäänniemi 2019; metrics.py:712-736,
-    917-1039 — disabled in the reference pipeline but provided)."""
+                                   k: int = 3, nearest_only: bool = True):
+    """kNN-manifold precision/recall (metrics.py:712-736, 917-1039 —
+    disabled in the reference pipeline, main.py:845-846, but provided).
+
+    ``nearest_only=True`` (default) is the REFERENCE's variant: a sample
+    counts as covered only if its single NEAREST manifold point's k-NN
+    ball contains it (metrics.py:726-735) — stricter than Kynkäänniemi
+    2019's membership test (ANY manifold ball contains it), which remains
+    available via ``nearest_only=False``. Cross-framework lockstep of the
+    default is pinned by tests/test_kid_pr_lockstep.py."""
     if len(real_features) < k + 1 or len(fake_features) < k + 1:
         return float("nan"), float("nan")
 
@@ -272,6 +279,10 @@ def precision_recall_from_features(real_features: np.ndarray,
     def coverage(samples, manifold, radii):
         d = np.linalg.norm(samples[:, None, :] - manifold[None, :, :],
                            axis=-1)
+        if nearest_only:
+            j = np.argmin(d, axis=1)
+            near = d[np.arange(len(samples)), j]
+            return float(np.mean(near <= radii[j]))
         return float(np.mean(np.any(d <= radii[None, :], axis=1)))
 
     r_real = kth_nn_radii(real_features)
